@@ -1,0 +1,134 @@
+"""Unit tests for the pure shared kernels (SURVEY.md §5 layer 1)."""
+
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from spider_ray.common.extract import extract_hrefs, extract_text
+from spider_ray.common.hashing import hash64, hash64_many, task_id
+from spider_ray.common.urlnorm import canonicalize, host_of, path_of, resolve
+
+
+class TestCanonicalize:
+    @pytest.mark.parametrize(
+        "raw,expected",
+        [
+            ("HTTP://Host0.Example/p/1", "http://host0.example/p/1"),
+            ("http://host0.example:80/p/1", "http://host0.example/p/1"),
+            ("https://host0.example:443/p/1", "https://host0.example/p/1"),
+            ("http://host0.example:8080/p/1", "http://host0.example:8080/p/1"),
+            ("http://host0.example/p/1#frag", "http://host0.example/p/1"),
+            ("http://h.example", "http://h.example/"),
+            ("http://h.example//a//b", "http://h.example/a/b"),
+            ("http://h.example/a/./b", "http://h.example/a/b"),
+            ("http://h.example/a/x/../b", "http://h.example/a/b"),
+            ("http://h.example/p?b=2&a=1", "http://h.example/p?a=1&b=2"),
+            ("http://h.example/p?a=1&b=2", "http://h.example/p?a=1&b=2"),
+            ("  http://h.example/p  ", "http://h.example/p"),
+            ("ftp://h.example/p", None),
+            ("mailto:x@y.z", None),
+            ("", None),
+            (None, None),
+            ("http://", None),
+        ],
+    )
+    def test_cases(self, raw, expected):
+        assert canonicalize(raw) == expected
+
+    def test_idempotent(self):
+        u = canonicalize("HTTP://A.B:80//x/./y?q=2&p=1#f")
+        assert canonicalize(u) == u
+
+    @given(st.text(max_size=50))
+    @settings(max_examples=200, deadline=None)
+    def test_never_raises_and_idempotent(self, s):
+        c = canonicalize(s)
+        if c is not None:
+            assert canonicalize(c) == c
+
+    def test_host_path(self):
+        u = "http://h.example:8080/a/b?x=1"
+        assert host_of(u) == "h.example"
+        assert path_of(u) == "/a/b"
+        assert path_of("http://h.example/") == "/"
+
+    def test_resolve(self):
+        base = "http://h.example/dir/page"
+        assert resolve(base, "/abs") == "http://h.example/abs"
+        assert resolve(base, "rel") == "http://h.example/dir/rel"
+        assert resolve(base, "http://o.example/x") == "http://o.example/x"
+        assert resolve(base, "javascript:void(0)") is None
+        assert resolve(base, "#frag") is None
+        assert resolve(base, "mailto:a@b.c") is None
+
+
+class TestExtract:
+    HTML = (
+        b"<html><head><title>T \xc3\xa9</title><style>p{x}</style></head>"
+        b"<body><!-- c --><h1>H</h1><p>a &amp; b</p>"
+        b'<a href="/x">x</a><a href=\'y\'>y</a><a href=z>z</a>'
+        b"<script>var q=1;</script></body></html>"
+    )
+
+    def test_text(self):
+        assert extract_text(self.HTML) == "T é H a & b x y z"
+
+    def test_text_str_bytes_equal(self):
+        assert extract_text(self.HTML) == extract_text(self.HTML.decode("utf-8"))
+
+    def test_hrefs(self):
+        assert extract_hrefs(self.HTML) == ["/x", "y", "z"]
+
+    def test_deterministic(self):
+        assert extract_text(self.HTML) == extract_text(self.HTML)
+
+    @given(st.text(max_size=200))
+    @settings(max_examples=100, deadline=None)
+    def test_never_raises(self, s):
+        extract_text(s)
+        extract_hrefs(s)
+
+
+class TestHashing:
+    def test_stable(self):
+        assert hash64("http://a.example/") == hash64("http://a.example/")
+        assert hash64("a") != hash64("b")
+        assert 0 <= hash64("x") < 2**63
+
+    def test_many_matches_scalar(self):
+        urls = [f"http://h{i}.example/p/{i}" for i in range(100)]
+        arr = hash64_many(urls)
+        assert arr.dtype.name == "int64"
+        assert list(arr) == [hash64(u) for u in urls]
+
+    def test_task_id_deterministic(self):
+        assert task_id(1, 2, 3) == task_id(1, 2, 3)
+        assert task_id(1, 2, 3) != task_id(1, 2, 4)
+
+
+class TestDatagen:
+    def test_pages_invariants(self):
+        from spider_ray.datagen import gen_pages, gen_seeds, sanity_check
+
+        pages = gen_pages(500, seed=42)
+        assert pages.num_rows == 500
+        assert pages.schema.names == ["url", "warc_ts", "html", "text", "lang"]
+        assert pa.types.is_binary(pages.schema.field("html").type)
+        assert pa.types.is_timestamp(pages.schema.field("warc_ts").type)
+        sanity_check(pages)
+        # deterministic
+        again = gen_pages(500, seed=42)
+        assert pages.equals(again)
+        assert not pages.equals(gen_pages(500, seed=43))
+        seeds = gen_seeds(pages, seed=42)
+        assert seeds.num_rows >= 5
+        assert gen_seeds(pages, seed=42).equals(seeds)
+
+    def test_mega_host_skew(self):
+        from spider_ray.common.urlnorm import canonicalize, host_of
+        from spider_ray.datagen import gen_pages
+
+        pages = gen_pages(2000, seed=42)
+        hosts = [host_of(canonicalize(u)) for u in pages["url"].to_pylist()]
+        top = max(set(hosts), key=hosts.count)
+        assert hosts.count(top) / len(hosts) > 0.20  # mega-host for salting
