@@ -1,0 +1,398 @@
+"""The crawl engine: Ray-Data epoch driver with checkpoint/resume.
+
+This is the rebuild of spider-go's trigger→dispatch→worker→output loop
+(`pkg/spider/workflow.go:83-328`, SURVEY.md §3.4) as a bulk-synchronous
+epoch loop over Ray Datasets:
+
+  seeds ──admit──► frontier₀ (Parquet, partitioned by url_hash % P)
+  epoch e:
+    select   scheduler.select_epoch  (combiner + salted reduce; budget B)
+    fetch    actor-pool FetchWorker  (partition-aligned pages join, robots)
+    route    outcome ports ok/miss/robots  (meta_output routing, §2 #10)
+    fan-out  explode_links (1 page → k urls, §2 #9)
+    dedup    groupby(canonical_url).max(priority)  (per-epoch, links only)
+    seen     two-phase check/add against sharded bloom+cuckoo actors
+    next     frontier_{e+1} = (frontier_e − selected) ∪ admitted
+    ckpt     epoch_e/{order,texts,admitted,frontier}/ + manifest
+
+The reference's per-hop Mongo session contexts become in-band columns
+(priority, host ride on the rows); its only cross-epoch keyed state —
+the URL-seen set — lives in the shard actors and is reconstructible from
+the admitted/ checkpoint deltas, which is what makes resume exact
+(SURVEY.md §4.1 "checkpoint / resume").
+
+Delivery semantics: Ray retries give at-least-once per task; determinism
+plus two-phase seen admission plus overwrite-by-partition checkpoint
+writes make the pipeline effectively-once — versus the reference's
+at-most-once (ack-before-process, `pkg/spider/messenger_worker_nats.go:108`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .common.hashing import hash64_many
+from .scheduler import select_epoch
+from .stages.crawl import (
+    FRONTIER_SCHEMA,
+    FetchWorker,
+    build_pages_index,
+    canon_table,
+    explode_links,
+    finalize_links,
+)
+from .state.seen import SeenChecker, make_seen_shards
+
+_ORDER_SCHEMA = pa.schema(
+    [
+        ("epoch", pa.int32()),
+        ("seq", pa.int64()),
+        ("canonical_url", pa.string()),
+        ("host", pa.string()),
+        ("priority", pa.float64()),
+        ("outcome", pa.string()),
+    ]
+)
+
+
+class CrawlEngine:
+    """One crawl run rooted at a checkpoint directory.
+
+    Parameters mirror the politeness fixture (FIXTURES.md F3).  num_parts
+    is the global partition count P (frontier storage, pages index, seen
+    shards are all keyed by url_hash % P / % S).
+    """
+
+    def __init__(self, pages_path: str, politeness: dict, ckpt_dir: str,
+                 num_parts: int = 16, seen_shards: int = 8,
+                 fetch_concurrency: int = 4,
+                 seen_capacity_per_shard: int = 1 << 17,
+                 force_salted_scheduler: bool = False):
+        self.pages_path = pages_path
+        self.politeness = politeness
+        self.budget = int(politeness["max_per_host_per_epoch"])
+        self.max_epochs = int(politeness["max_epochs"])
+        self.robots = dict(politeness.get("robots", {}))
+        self.ckpt_dir = ckpt_dir
+        self.num_parts = num_parts
+        self.num_shards = seen_shards
+        self.fetch_concurrency = fetch_concurrency
+        self.seen_capacity = seen_capacity_per_shard
+        self.force_salted = force_salted_scheduler
+        self.index_dir = os.path.join(ckpt_dir, "pages_index")
+        self._checker: SeenChecker | None = None
+        self._seq = 0
+
+    # ------------------------------------------------------------------ io
+    def _epoch_dir(self, e: int) -> str:
+        return os.path.join(self.ckpt_dir, f"epoch_{e:04d}")
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.ckpt_dir, "manifest.json")
+
+    def _read_manifest(self) -> dict | None:
+        p = self._manifest_path()
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _write_manifest(self, m: dict) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self._manifest_path())  # atomic
+
+    # --------------------------------------------------------------- setup
+    def _init_shards(self):
+        shards = make_seen_shards(self.num_shards, self.seen_capacity)
+        self._checker = SeenChecker(shards)
+
+    def _admit_seeds(self, seeds: pa.Table) -> pa.Table:
+        """Epoch-0 admission: canonicalize, dedup(max prio), mark seen."""
+        t = canon_table(seeds["url"].to_pylist(),
+                        np.asarray(seeds["priority"]), self.num_parts)
+        self._checker.add(np.asarray(t["url_hash"]))
+        return t
+
+    def _write_frontier(self, ds_or_table, e: int) -> str:
+        """Write frontier for epoch e+1 under epoch=e/frontier/."""
+        out = os.path.join(self._epoch_dir(e), "frontier")
+        if isinstance(ds_or_table, pa.Table):
+            os.makedirs(out, exist_ok=True)
+            pq.write_table(ds_or_table, os.path.join(out, "frontier.parquet"))
+        else:
+            ds_or_table.write_parquet(out, mode="overwrite")
+        return out
+
+    @staticmethod
+    def _parquet_files(path: str) -> list[str]:
+        out = []
+        for root, _, files in os.walk(path):
+            out += [os.path.join(root, f) for f in files if f.endswith(".parquet")]
+        return sorted(out)
+
+    def _read_frontier(self, e: int):
+        import ray.data as rd
+
+        files = self._parquet_files(os.path.join(self._epoch_dir(e), "frontier"))
+        if not files:
+            return rd.from_arrow(pa.Table.from_pylist([], schema=FRONTIER_SCHEMA))
+        return rd.read_parquet(files)
+
+    # ---------------------------------------------------------------- run
+    def run(self, seeds: pa.Table | None = None, resume: bool = False) -> dict:
+        """Run (or resume) the crawl; returns the final manifest.
+
+        Fresh run: `seeds` required; any existing checkpoint is replaced.
+        Resume: state is rebuilt from the manifest + admitted deltas and
+        the loop continues after the last complete epoch — final outputs
+        are byte-identical to an uninterrupted run (tested).
+        """
+        manifest = self._read_manifest() if resume else None
+        if manifest is None:
+            assert seeds is not None, "fresh run needs seeds"
+            if os.path.isdir(self.ckpt_dir):
+                # keep the (idempotent) pages index; drop stale epoch state
+                for name in os.listdir(self.ckpt_dir):
+                    if name.startswith("epoch_") or name == "manifest.json":
+                        full = os.path.join(self.ckpt_dir, name)
+                        shutil.rmtree(full) if os.path.isdir(full) else os.remove(full)
+            os.makedirs(self.ckpt_dir, exist_ok=True)
+            build_pages_index(self.pages_path, self.index_dir, self.num_parts)
+            self._init_shards()
+            frontier0 = self._admit_seeds(seeds)
+            self._write_frontier(frontier0, -1)
+            init_dir = os.path.join(self.ckpt_dir, "epoch_-001")
+            os.makedirs(os.path.join(init_dir, "admitted"), exist_ok=True)
+            pq.write_table(
+                frontier0.append_column("first_epoch",
+                                        pa.array([0] * frontier0.num_rows, pa.int32())),
+                os.path.join(init_dir, "admitted", "admitted.parquet"),
+            )
+            manifest = {
+                "version": 1,
+                "pages_path": os.path.abspath(self.pages_path),
+                "politeness": self.politeness,
+                "num_parts": self.num_parts,
+                "num_shards": self.num_shards,
+                "next_epoch": 0,
+                "next_seq": 0,
+                "epochs": [],
+                "done": False,
+            }
+            self._write_manifest(manifest)
+        else:
+            assert manifest["num_parts"] == self.num_parts, "num_parts changed"
+            build_pages_index(self.pages_path, self.index_dir, self.num_parts)
+            self._init_shards()
+            # rebuild seen shards from admitted deltas (epoch-atomic)
+            for e in range(-1, manifest["next_epoch"]):
+                files = self._parquet_files(os.path.join(self._epoch_dir(e), "admitted"))
+                if files:
+                    t = pq.read_table(files, columns=["url_hash"])
+                    if t.num_rows:
+                        self._checker.add(np.asarray(t["url_hash"]))
+        self._seq = manifest["next_seq"]
+
+        for e in range(manifest["next_epoch"], self.max_epochs):
+            frontier = self._read_frontier(e - 1)
+            if frontier.count() == 0:
+                break
+            stats = self._run_epoch(e, frontier)
+            manifest["epochs"].append(stats)
+            manifest["next_epoch"] = e + 1
+            manifest["next_seq"] = self._seq
+            self._write_manifest(manifest)
+        manifest["done"] = True
+        self._write_manifest(manifest)
+        return manifest
+
+    # -------------------------------------------------------------- epoch
+    def _run_epoch(self, e: int, frontier) -> dict:
+        import ray
+        import ray.data as rd
+
+        edir = self._epoch_dir(e)
+        os.makedirs(edir, exist_ok=True)
+
+        # 1. politeness selection (deterministic order)
+        selected = select_epoch(frontier, self.budget,
+                                force_salted=self.force_salted)
+        n_sel = len(selected)
+
+        # 2. fetch + extract: one block per part -> partition-aligned join
+        part_tables = []
+        sel_tbl = pa.Table.from_pandas(selected, preserve_index=False)
+        for p in sorted(selected["part"].unique()):
+            part_tables.append(sel_tbl.filter(pa.compute.equal(sel_tbl["part"], int(p))))
+        fetched = (
+            rd.from_arrow(part_tables)
+            .map_batches(
+                FetchWorker,
+                fn_constructor_args=(self.index_dir, self.robots),
+                batch_format="pyarrow",
+                batch_size=None,
+                concurrency=self.fetch_concurrency,
+                num_cpus=1,
+            )
+            .materialize()  # bounded by budget; consumed 3x below
+        )
+
+        # 3. crawl-order record. `selected` is already in the deterministic
+        # order (host, -priority, url); seq is a running global counter.
+        # Driver-side is fine: rows here are budget-bounded, not
+        # frontier-bounded (scale path: distributed sort + per-part prefix
+        # sums — the order KEY is pure data either way).
+        outcomes = fetched.select_columns(["canonical_url", "outcome"]).to_pandas()
+        outcome_map = dict(zip(outcomes["canonical_url"], outcomes["outcome"]))
+        order = pa.table(
+            {
+                "epoch": pa.array(np.full(n_sel, e, np.int32)),
+                "seq": pa.array(self._seq + np.arange(n_sel, dtype=np.int64)),
+                "canonical_url": pa.array(selected["canonical_url"], pa.string()),
+                "host": pa.array(selected["host"], pa.string()),
+                "priority": pa.array(selected["priority"], pa.float64()),
+                "outcome": pa.array(
+                    [outcome_map[u] for u in selected["canonical_url"]], pa.string()
+                ),
+            }
+        ).cast(_ORDER_SCHEMA)
+        self._seq += n_sel
+        pq.write_table(order, os.path.join(edir, "order.parquet"))
+
+        # 4. extracted text sink (ok pages only), partitioned parquet
+        texts = fetched.map_batches(
+            lambda t: t.filter(pa.compute.equal(t["outcome"], "ok"))
+                      .select(["canonical_url", "text"])
+                      .rename_columns(["url", "text"]),
+            batch_format="pyarrow",
+        )
+        texts.write_parquet(os.path.join(edir, "texts"), mode="overwrite")
+
+        # 5. link fan-out -> per-epoch dedup (max priority) -> seen filter
+        checker = self._checker
+        links = fetched.map_batches(
+            lambda t: explode_links(t, self.num_parts), batch_format="pyarrow"
+        )
+        n_links_raw = links.count()
+        counts = {"ok": 0, "miss": 0, "robots": 0}
+        for o in order["outcome"].to_pylist():
+            counts[o] += 1
+        n_unique_links = 0
+        if n_links_raw:
+            from ray.data.aggregate import Max
+
+            uniq = (
+                links.groupby("canonical_url")
+                .aggregate(Max("priority", alias_name="priority"))
+                .map_batches(lambda t: finalize_links(t, self.num_parts),
+                             batch_format="pyarrow")
+                .materialize()  # consumed twice: count + seen filter
+            )
+            n_unique_links = uniq.count()
+
+            def seen_filter(t: pa.Table) -> pa.Table:
+                mask = checker.check(np.asarray(t["url_hash"]))
+                return t.filter(pa.array(mask))
+
+            admitted = uniq.map_batches(seen_filter, batch_format="pyarrow").materialize()
+            n_admitted = admitted.count()
+        else:
+            admitted = None
+            n_admitted = 0
+
+        # 6. two-phase commit: admit into seen shards + checkpoint delta
+        adm_dir = os.path.join(edir, "admitted")
+        os.makedirs(adm_dir, exist_ok=True)
+        if admitted is not None and n_admitted:
+            admitted.map_batches(
+                lambda t: t.append_column(
+                    "first_epoch", pa.array([e + 1] * t.num_rows, pa.int32())
+                ),
+                batch_format="pyarrow",
+            ).write_parquet(adm_dir, mode="overwrite")
+            for batch in admitted.iter_batches(batch_size=65536, batch_format="pyarrow"):
+                checker.add(np.asarray(batch["url_hash"]))
+
+        # 7. next frontier = (frontier - selected) ∪ admitted
+        sel_hashes = ray.put(np.sort(selected["url_hash"].to_numpy()))
+
+        def drop_selected(t: pa.Table) -> pa.Table:
+            sel = ray.get(sel_hashes)
+            h = np.asarray(t["url_hash"])
+            keep = ~np.isin(h, sel, assume_unique=False)
+            return t.filter(pa.array(keep))
+
+        remaining = frontier.map_batches(drop_selected, batch_format="pyarrow")
+        nxt = remaining.union(admitted) if admitted is not None and n_admitted else remaining
+        # cast drops pandas-index metadata differences between branches
+        nxt = nxt.map_batches(lambda t: t.select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA),
+                              batch_format="pyarrow")
+        self._write_frontier(nxt, e)
+        ffiles = self._parquet_files(os.path.join(self._epoch_dir(e), "frontier"))
+        n_frontier_after = sum(pq.ParquetFile(f).metadata.num_rows for f in ffiles)
+
+        stats = {
+            "epoch": e, "selected": n_sel, **counts,
+            "links_found": int(n_unique_links),
+            "admitted": int(n_admitted), "frontier_after": int(n_frontier_after),
+        }
+        with open(os.path.join(edir, "metrics.json"), "w") as f:
+            json.dump(stats, f)
+        return stats
+
+    # ------------------------------------------------------------ results
+    def seen_table(self) -> pa.Table:
+        """Final seen set from checkpoint deltas (canonical_url, url_hash,
+        first_epoch) — sorted by url for comparison with the oracle."""
+        parts = []
+        for name in sorted(os.listdir(self.ckpt_dir)):
+            files = self._parquet_files(os.path.join(self.ckpt_dir, name, "admitted"))
+            if name.startswith("epoch_") and files:
+                parts.append(pq.read_table(
+                    files, columns=["canonical_url", "url_hash", "first_epoch"]))
+        if not parts:
+            return pa.table({"canonical_url": pa.array([], pa.string()),
+                             "url_hash": pa.array([], pa.int64()),
+                             "first_epoch": pa.array([], pa.int32())})
+        t = pa.concat_tables(parts, promote_options="default")
+        return t.sort_by("canonical_url").cast(pa.schema([
+            ("canonical_url", pa.string()), ("url_hash", pa.int64()),
+            ("first_epoch", pa.int32())]))
+
+    def order_table(self) -> pa.Table:
+        parts = []
+        for name in sorted(os.listdir(self.ckpt_dir)):
+            p = os.path.join(self.ckpt_dir, name, "order.parquet")
+            if name.startswith("epoch_") and os.path.exists(p):
+                parts.append(pq.read_table(p))
+        if not parts:
+            return pa.Table.from_pylist([], schema=_ORDER_SCHEMA)
+        return pa.concat_tables(parts).sort_by("seq")
+
+    def text_table(self) -> pa.Table:
+        parts = []
+        for name in sorted(os.listdir(self.ckpt_dir)):
+            files = self._parquet_files(os.path.join(self.ckpt_dir, name, "texts"))
+            if name.startswith("epoch_") and files:
+                parts.append(pq.read_table(files))
+        if not parts:
+            return pa.table({"url": pa.array([], pa.string()),
+                             "text": pa.array([], pa.string())})
+        return pa.concat_tables(parts, promote_options="default").sort_by("url")
+
+
+def crawl(pages_path: str, seeds: pa.Table, politeness: dict, ckpt_dir: str,
+          **kw) -> CrawlEngine:
+    """Convenience: fresh crawl, returns the engine for result access."""
+    eng = CrawlEngine(pages_path, politeness, ckpt_dir, **kw)
+    eng.run(seeds=seeds)
+    return eng

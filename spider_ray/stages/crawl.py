@@ -1,0 +1,243 @@
+"""Ray Data stages of the crawl pipeline.
+
+Every stage is a map_batches callable over Arrow batches; the only
+stateful stage (FetchWorker — robots cache, SURVEY.md §2 #13 analogue) is
+a callable CLASS run as an actor pool.  All URL/text semantics are
+imported from spider_ray.common — the same modules the oracle uses.
+
+Partitioning: the ONE key reused everywhere is part = url_hash % P
+(spider_ray.common.hashing.part_of): frontier storage, seen shards, and
+the pages fetch index are all aligned on it, so the per-epoch fetch is a
+partition-aligned join with NO shuffle.  Host skew cannot concentrate a
+partition because the key is the url hash (uniform), not the host — this
+is the structural half of the north rule's skew mitigation; the salted
+scheduling reduce (scheduler.py) is the other half.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..common.extract import extract_hrefs, extract_text
+from ..common.hashing import hash64_many
+from ..common.urlnorm import canonicalize, host_of, path_of, resolve
+
+FRONTIER_SCHEMA = pa.schema(
+    [
+        ("canonical_url", pa.string()),
+        ("host", pa.string()),
+        ("priority", pa.float64()),
+        ("url_hash", pa.int64()),
+        ("part", pa.int32()),
+    ]
+)
+
+
+def canon_table(urls: list[str], priorities: np.ndarray, num_parts: int) -> pa.Table:
+    """Canonicalize raw urls -> FRONTIER_SCHEMA rows (invalid urls dropped,
+    duplicates collapsed to MAX priority)."""
+    agg: dict[str, float] = {}
+    for u, p in zip(urls, priorities):
+        c = canonicalize(u)
+        if c is None:
+            continue
+        q = agg.get(c)
+        if q is None or p > q:
+            agg[c] = float(p)
+    cu = list(agg.keys())
+    h = hash64_many(cu) if cu else np.array([], dtype=np.int64)
+    return pa.table(
+        {
+            "canonical_url": pa.array(cu, pa.string()),
+            "host": pa.array([host_of(u) for u in cu], pa.string()),
+            "priority": pa.array([agg[u] for u in cu], pa.float64()),
+            "url_hash": pa.array(h, pa.int64()),
+            "part": pa.array((h % num_parts).astype(np.int32), pa.int32()),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# pages fetch index (built once per input; partition-aligned with frontier)
+# --------------------------------------------------------------------------
+
+def build_pages_index(pages_path: str, index_dir: str, num_parts: int) -> dict:
+    """One-time preprocessing: pages.parquet -> index_dir/part=J/ parquet
+    with (url_hash, canonical_url, html).  Idempotent via param marker.
+
+    Columns are pruned at the read (url + html only); canonicalization is
+    the only per-row Python and runs once per corpus, not per epoch.
+    """
+    import ray.data as rd
+
+    marker = os.path.join(index_dir, "_INDEX_DONE.json")
+    key = json.dumps({"pages": os.path.abspath(pages_path),
+                      "mtime": os.path.getmtime(pages_path),
+                      "parts": num_parts}, sort_keys=True)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == key:
+                return {"reused": True}
+    os.makedirs(index_dir, exist_ok=True)
+
+    def to_index(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        canon = [canonicalize(u) for u in urls]
+        keep = [i for i, c in enumerate(canon) if c is not None]
+        cu = [canon[i] for i in keep]
+        h = hash64_many(cu) if cu else np.array([], dtype=np.int64)
+        return pa.table(
+            {
+                "url_hash": pa.array(h, pa.int64()),
+                "canonical_url": pa.array(cu, pa.string()),
+                "html": pc.take(batch["html"], pa.array(keep, pa.int64())),
+                "part": pa.array((h % num_parts).astype(np.int32), pa.int32()),
+            }
+        )
+
+    (
+        rd.read_parquet(pages_path, columns=["url", "html"])
+        .map_batches(to_index, batch_format="pyarrow")
+        .write_parquet(index_dir, partition_cols=["part"], mode="overwrite")
+    )
+    with open(marker, "w") as f:
+        f.write(key)
+    return {"reused": False}
+
+
+# --------------------------------------------------------------------------
+# fetch + extract (stateful actor pool)
+# --------------------------------------------------------------------------
+
+class FetchWorker:
+    """Actor-pool stage: resolve selected urls against the pages index
+    shard, apply robots, extract text + links.
+
+    __init__ (once per actor): parse the robots config into prefix lists —
+    the reference's "worker loads its configs once" hook
+    (`pkg/spider/worker.go:82-91`).  __call__ (per batch): a
+    partition-aligned pyarrow hash join (selected ⋈ index part), then
+    per-row extraction.  Batches arrive one-part-per-block (the driver
+    builds one block per part), so each call touches exactly one index
+    shard file.
+
+    "Fetch" against a pages table stands in for live HTTP (no network in
+    this environment); outcome ports ok/miss/robots mirror the
+    reference's meta_output routing (`cmd/control-flow-worker/main.go:30-34`).
+    """
+
+    def __init__(self, index_dir: str, robots: dict[str, list[str]]):
+        self.index_dir = index_dir
+        self.robots = {h: sorted(p) for h, p in robots.items()}
+
+    def _denied(self, host: str, path: str) -> bool:
+        for prefix in self.robots.get(host, ()):
+            if path.startswith(prefix):
+                return True
+        return False
+
+    def _load_part(self, part: int) -> pa.Table:
+        part_dir = os.path.join(self.index_dir, f"part={part}")
+        if not os.path.isdir(part_dir):
+            return pa.table({"url_hash": pa.array([], pa.int64()),
+                             "html": pa.array([], pa.binary())})
+        return pq.read_table(part_dir, columns=["url_hash", "html"])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_fetch_table()
+        parts = pc.unique(batch["part"]).to_pylist()
+        joined_chunks = []
+        for p in sorted(parts):
+            sel = batch.filter(pc.equal(batch["part"], p))
+            idx = self._load_part(int(p))
+            joined_chunks.append(
+                sel.join(idx, keys="url_hash", join_type="left outer")
+            )
+        j = pa.concat_tables(joined_chunks, promote_options="default")
+        urls = j["canonical_url"].to_pylist()
+        hosts = j["host"].to_pylist()
+        prios = j["priority"].to_pylist()
+        htmls = j["html"].to_pylist()
+        out_url, out_host, out_prio = [], [], []
+        out_outcome, out_text, out_links = [], [], []
+        for u, h, p, html in zip(urls, hosts, prios, htmls):
+            if self._denied(h, path_of(u)):
+                outcome, text, links = "robots", None, []
+            elif html is None:
+                outcome, text, links = "miss", None, []
+            else:
+                outcome = "ok"
+                text = extract_text(html)
+                links = []
+                for href in extract_hrefs(html):
+                    child = resolve(u, href)
+                    if child is not None:
+                        links.append(child)
+            out_url.append(u)
+            out_host.append(h)
+            out_prio.append(p)
+            out_outcome.append(outcome)
+            out_text.append(text)
+            out_links.append(links)
+        return pa.table(
+            {
+                "canonical_url": pa.array(out_url, pa.string()),
+                "host": pa.array(out_host, pa.string()),
+                "priority": pa.array(out_prio, pa.float64()),
+                "outcome": pa.array(out_outcome, pa.string()),
+                "text": pa.array(out_text, pa.string()),
+                "links": pa.array(out_links, pa.list_(pa.string())),
+            }
+        )
+
+
+def _empty_fetch_table() -> pa.Table:
+    return pa.table(
+        {
+            "canonical_url": pa.array([], pa.string()),
+            "host": pa.array([], pa.string()),
+            "priority": pa.array([], pa.float64()),
+            "outcome": pa.array([], pa.string()),
+            "text": pa.array([], pa.string()),
+            "links": pa.array([], pa.list_(pa.string())),
+        }
+    )
+
+
+def explode_links(batch: pa.Table, num_parts: int) -> pa.Table:
+    """1 fetched page -> k child rows (the reference's fan-out operator,
+    `cmd/fd-order-worker/main.go:29-52`).  Child priority = parent - 1.0.
+    Vectorized via Arrow list kernels (no Python loop)."""
+    links = batch["links"]
+    if isinstance(links, pa.ChunkedArray):
+        links = links.combine_chunks()
+    flat = links.flatten()
+    if len(flat) == 0:
+        return pa.table({"canonical_url": pa.array([], pa.string()),
+                         "priority": pa.array([], pa.float64())})
+    parent_idx = pc.list_parent_indices(links)
+    child_prio = pc.subtract(pc.take(batch["priority"], parent_idx), 1.0)
+    return pa.table({"canonical_url": flat, "priority": child_prio})
+
+
+def finalize_links(batch: pa.Table, num_parts: int) -> pa.Table:
+    """Add host / url_hash / part to deduplicated link rows (urls are
+    already canonical — resolve() canonicalizes)."""
+    urls = batch["canonical_url"].to_pylist()
+    h = hash64_many(urls) if urls else np.array([], dtype=np.int64)
+    return pa.table(
+        {
+            "canonical_url": batch["canonical_url"],
+            "host": pa.array([host_of(u) for u in urls], pa.string()),
+            "priority": batch["priority"],
+            "url_hash": pa.array(h, pa.int64()),
+            "part": pa.array((h % num_parts).astype(np.int32), pa.int32()),
+        }
+    )

@@ -1,0 +1,72 @@
+"""End-to-end conformance: Ray engine vs the single-threaded oracle
+(SURVEY.md §5 layer 3) — seen-set equality, crawl-order equality,
+byte-identical extracted text, at two parallelism configs."""
+
+import json
+
+import pyarrow.parquet as pq
+import pytest
+
+from spider_ray.oracle import crawl_oracle
+
+
+def _assert_matches_oracle(eng, oracle_res):
+    seen_e = eng.seen_table()
+    seen_o = oracle_res.seen_table()
+    assert seen_e.num_rows == seen_o.num_rows, (
+        f"seen size {seen_e.num_rows} != oracle {seen_o.num_rows}"
+    )
+    assert seen_e.equals(seen_o), "seen set mismatch"
+
+    order_e = eng.order_table()
+    order_o = oracle_res.order_table()
+    assert order_e.num_rows == order_o.num_rows
+    assert order_e.equals(order_o), "crawl order mismatch"
+
+    text_e = eng.text_table()
+    text_o = oracle_res.text_table()
+    assert text_e.equals(text_o), "extracted text mismatch (byte-identical required)"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_engine_matches_oracle(smoke_fixture, tmp_path):
+    pages = pq.read_table(smoke_fixture["pages"])
+    seeds = pq.read_table(smoke_fixture["seeds"])
+    pol = json.load(open(smoke_fixture["politeness"]))
+
+    oracle_res = crawl_oracle(pages, seeds, pol)
+
+    from spider_ray.engine import CrawlEngine
+
+    eng = CrawlEngine(smoke_fixture["pages"], pol, str(tmp_path / "ckpt"),
+                      num_parts=8, seen_shards=4, fetch_concurrency=2)
+    manifest = eng.run(seeds=seeds)
+    assert manifest["done"]
+    _assert_matches_oracle(eng, oracle_res)
+    # metrics parity with the oracle's per-epoch counters
+    for m_e, m_o in zip(manifest["epochs"], oracle_res.metrics):
+        for k in ("selected", "ok", "miss", "robots", "admitted", "frontier_after"):
+            assert m_e[k] == m_o[k], f"epoch {m_e['epoch']} metric {k}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_parallelism_invariance(smoke_fixture, tmp_path):
+    """Different partition/shard/pool sizes + forced salted scheduler
+    must produce the identical crawl (SURVEY.md §7.4)."""
+    pages = pq.read_table(smoke_fixture["pages"])
+    seeds = pq.read_table(smoke_fixture["seeds"])
+    pol = json.load(open(smoke_fixture["politeness"]))
+    pol = {**pol, "max_epochs": 3}
+    oracle_res = crawl_oracle(pages, seeds, pol)
+
+    from spider_ray.engine import CrawlEngine
+
+    for i, kw in enumerate([
+        dict(num_parts=2, seen_shards=1, fetch_concurrency=1),
+        dict(num_parts=16, seen_shards=8, fetch_concurrency=4,
+             force_salted_scheduler=True),
+    ]):
+        eng = CrawlEngine(smoke_fixture["pages"], pol,
+                          str(tmp_path / f"ckpt{i}"), **kw)
+        eng.run(seeds=seeds)
+        _assert_matches_oracle(eng, oracle_res)
