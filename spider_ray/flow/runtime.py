@@ -1,0 +1,260 @@
+"""Flow runtime: the reference's trigger→dispatch→worker→output BFS loop
+(`pkg/spider/workflow.go:83-328`) executed as Ray Data hops.
+
+One "hop" = one map_batches pass that, per in-flight input row:
+  1. runs the worker UDF for the row's action_id (registry below — the
+     user-extension surface, rebuilding `pkg/spider/worker.go:39-67`),
+  2. merges the worker outputs into the session context
+     (`workflow.go:242-243` — carried IN-BAND as a JSON column instead of
+     a Mongo round-trip per hop),
+  3. dispatch-joins each output's (key, meta_output) against the
+     broadcast edge map and projects the child's input with the
+     compiled mappers (`workflow.go:129-191`), emitting next-hop rows;
+     outputs with no outgoing edges become leaf rows.
+
+Determinism: session ids are derived from the trigger index, task ids
+from the (session, parent-task, child, output-index) lineage — pure
+functions of data, replacing the reference's wall-clock UUIDv7s
+(`workflow.go:113-119,143-149`) while preserving their
+ordered-by-creation property (SURVEY.md §1.3).
+
+Scale note: flow control traffic is message-shaped (small JSON rows);
+the 100-TB data path lives in the crawl engine / pipelines modules.
+Rows here still move as Arrow batches so a wide fan-out (N thousand
+sessions) parallelizes across the cluster.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Callable
+
+import pyarrow as pa
+
+from ..common.hashing import hash64
+from .expr import ExprError
+from .spec import FlowSpec
+
+# ---------------------------------------------------------------------------
+# worker UDF registry (action_id -> handler)
+# handler(values: dict, config: dict[str,str]) -> list[(meta_output, values)]
+# ---------------------------------------------------------------------------
+
+WORKER_REGISTRY: dict[str, Callable[[dict, dict], list[tuple[str, dict]]]] = {}
+
+
+def register_worker(action_id: str):
+    def deco(fn):
+        WORKER_REGISTRY[action_id] = fn
+        return fn
+    return deco
+
+
+@register_worker("test-action-a")
+def _worker_a(values, config):
+    """Pass-through trigger-style worker (examples/basic worker-a)."""
+    return [("triggered", values)]
+
+
+@register_worker("test-action-b")
+def _worker_b(values, config):
+    """Echo worker — side-effect sink + pass-through on port "success"
+    (`cmd/slack-worker/main.go:31-84`, examples/basic worker-b; the Slack
+    POST is replaced by a no-op sink: no network in this environment)."""
+    return [("success", values)]
+
+
+@register_worker("condition-action")
+def _worker_condition(values, config):
+    """Port-labeled branch (`cmd/control-flow-worker/main.go:15-46`)."""
+    cond = bool(values.get("condition", False))
+    return [("yes" if cond else "no", {})]
+
+
+@register_worker("fd-order-action")
+def _worker_fd_order(values, config):
+    """1 -> 10 ordered fan-out (`cmd/fd-order-worker/main.go:29-52`)."""
+    return [("success", {"order_id": f"order@{i + 1}"}) for i in range(10)]
+
+
+# ---------------------------------------------------------------------------
+
+
+def _to_string(v: Any) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"  # Go fmt.Sprint
+    return str(v)
+
+
+def _apply_mapper(compiled: dict[str, tuple[str, object]], env: dict) -> dict:
+    """The reference's ex() (`workflow.go:347-398`): empty -> "", fixed ->
+    literal, key/expression -> compiled program over the context env."""
+    out = {}
+    for field, (mode, prog) in compiled.items():
+        if mode == "fixed":
+            out[field] = prog
+        else:
+            out[field] = prog(env)
+    return out
+
+
+_ROW_FIELDS = ["kind", "tenant_id", "workflow_id", "session_id", "task_id",
+               "key", "action_id", "meta_output", "values", "context"]
+
+_ROW_SCHEMA = pa.schema([(f, pa.string()) for f in _ROW_FIELDS])
+
+
+class FlowRuntime:
+    """Executes one FlowSpec over a batch of trigger events."""
+
+    def __init__(self, spec: FlowSpec, max_hops: int = 32,
+                 registry: dict | None = None):
+        self.spec = spec
+        self.max_hops = max_hops
+        self.registry = dict(WORKER_REGISTRY if registry is None else registry)
+
+    # -- driver-side trigger path (workflow.go:83-203) ---------------------
+    def _seed_rows(self, triggers: list[dict]) -> list[dict]:
+        spec = self.spec
+        edges = self.spec.edge_map()
+        mappers = self.spec.compiled_mappers()
+        rows = []
+        for idx, trig in enumerate(triggers):
+            key = trig["key"]
+            action = spec.actions.get(key)
+            if action is None or action.disabled:   # disabled-node filter
+                continue
+            values = json.loads(trig.get("values", "{}") or "{}")
+            session_id = f"s{idx:06d}"
+            ctx = {key: {"output": values}, "$trigger": {"output": values}}
+            meta_output = trig.get("meta_output", "triggered")
+            rows += self._fan_out(edges, mappers, spec, session_id,
+                                  parent_task="root", key=key,
+                                  meta_output=meta_output, ctx=ctx)
+        return rows
+
+    def _fan_out(self, edges, mappers, spec, session_id, parent_task,
+                 key, meta_output, ctx) -> list[dict]:
+        """One output event -> N child input rows (workflow.go:136-191)."""
+        children = edges.get((key, meta_output), [])
+        out = []
+        for child_key in children:
+            child = spec.actions.get(child_key)
+            # missing children are skipped (errors swallowed in the child
+            # fetch loop, storage_workflow_mongodb.go:283-291); DISABLED
+            # children still receive input — the disabled check applies when
+            # the disabled node's own event is processed (workflow.go:100-102,
+            # :222-224), handled in the hop below
+            if child is None:
+                continue
+            env = dict(ctx)
+            env["builtin"] = {"string": _to_string}
+            env["len"] = len
+            env["string"] = _to_string
+            env["uuidv7"] = lambda s=session_id, p=parent_task, c=child_key: (
+                f"uuid-{hash64(f'{s}/{p}/{c}'):016x}"
+            )
+            try:
+                child_input = _apply_mapper(mappers[child_key], env)
+            except ExprError as ex:
+                # reference logs & drops on mapper failure (workflow.go:158-170)
+                child_input = {"$error": str(ex)}
+            task_id = f"t{hash64(f'{session_id}/{parent_task}/{child_key}/{meta_output}'):016x}"
+            out.append({
+                "kind": "input",
+                "tenant_id": spec.tenant_id,
+                "workflow_id": spec.workflow_id,
+                "session_id": session_id,
+                "task_id": task_id,
+                "key": child_key,
+                "action_id": child.action_id,
+                "meta_output": meta_output,
+                "values": json.dumps(child_input, sort_keys=True),
+                "context": json.dumps(ctx, sort_keys=True),
+            })
+        return out
+
+    # -- worker + output path as one Ray hop (workflow.go:205-328) ---------
+    def _hop_fn(self):
+        spec = self.spec
+        registry = self.registry
+        edges = spec.edge_map()
+        fan_out = self._fan_out
+
+        def hop(batch: pa.Table) -> pa.Table:
+            # compiled expression closures don't pickle -> compile inside
+            # the task, once per batch (reference recompiles per RECORD)
+            compiled = spec.compiled_mappers()
+            out_rows: list[dict] = []
+            for row in batch.to_pylist():
+                if row["kind"] != "input":
+                    out_rows.append(row)
+                    continue
+                action = spec.actions.get(row["key"])
+                # disabled-node filter: the node's worker may run in the
+                # reference, but every event it emits is dropped by the
+                # orchestrator (workflow.go:222-224) — observably equivalent
+                # to dropping the input here
+                if action is None or action.disabled:
+                    continue
+                handler = registry.get(row["action_id"])
+                if handler is None:
+                    continue  # no worker for this action (ref: msg dropped)
+                values = json.loads(row["values"])
+                ctx = json.loads(row["context"])
+                try:
+                    outputs = handler(values, dict(action.config))
+                except Exception as ex:  # handler errors logged-and-lost
+                    out_rows.append({**row, "kind": "error",
+                                     "values": json.dumps({"error": str(ex)})})
+                    continue
+                for out_idx, (meta_output, out_values) in enumerate(outputs):
+                    new_ctx = dict(ctx)
+                    new_ctx[row["key"]] = {"output": out_values}
+                    log_row = {
+                        **row,
+                        "kind": "output",
+                        "task_id": f"{row['task_id']}.o{out_idx}",
+                        "meta_output": meta_output,
+                        "values": json.dumps(out_values, sort_keys=True),
+                        "context": json.dumps(new_ctx, sort_keys=True),
+                    }
+                    out_rows.append(log_row)
+                    nxt = fan_out(edges, compiled, spec, row["session_id"],
+                                  parent_task=f"{row['task_id']}.o{out_idx}",
+                                  key=row["key"], meta_output=meta_output,
+                                  ctx=new_ctx)
+                    if not nxt:
+                        out_rows.append({**log_row, "kind": "leaf"})
+                    out_rows += nxt
+            if not out_rows:
+                return pa.Table.from_pylist([], schema=_ROW_SCHEMA)
+            return pa.Table.from_pylist(
+                [{f: r.get(f) for f in _ROW_FIELDS} for r in out_rows],
+                schema=_ROW_SCHEMA)
+
+        return hop
+
+    def run(self, triggers: list[dict]) -> dict[str, list[dict]]:
+        """BFS to fixpoint; returns {"outputs": [...], "leaves": [...],
+        "errors": [...]} sorted deterministically."""
+        import ray.data as rd
+
+        rows = self._seed_rows(triggers)
+        done: list[dict] = []
+        hop = self._hop_fn()
+        hops = 0
+        while rows:
+            if hops >= self.max_hops:
+                raise RuntimeError(f"flow exceeded max_hops={self.max_hops} (cycle?)")
+            ds = rd.from_arrow(pa.Table.from_pylist(rows, schema=_ROW_SCHEMA))
+            result = ds.map_batches(hop, batch_format="pyarrow").take_all()
+            rows = [r for r in result if r["kind"] == "input"]
+            done += [r for r in result if r["kind"] != "input"]
+            hops += 1
+        key_fn = lambda r: (r["session_id"], r["task_id"])
+        return {
+            "outputs": sorted((r for r in done if r["kind"] == "output"), key=key_fn),
+            "leaves": sorted((r for r in done if r["kind"] == "leaf"), key=key_fn),
+            "errors": sorted((r for r in done if r["kind"] == "error"), key=key_fn),
+        }
