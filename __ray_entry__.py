@@ -3,14 +3,17 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in spider_ray) calls ray.init()/ray.shutdown().
+
+Query naming == SURVEY.md §2 / build-brief coverage:
+  crawl_*          the flagship URL-frontier engine (rows-only checks
+                   here; the hard gate is tests/ vs the Python oracle)
+  q1/filter/topk/distinct/*join*/union/flatmap/window/sessionize
+                   relational operator coverage with DuckDB oracles
+  text_*, dedup_*, ann_*, multimodal_*  training-data pipeline suite
 """
 
 from __future__ import annotations
@@ -20,25 +23,189 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: the Ray Data crawl engine at sf0.001 scale (2k-page
+    deterministic Common-Crawl-style fixture per BASELINE.json
+    input_hint) — returns the crawl-order table."""
+    from spider_ray.pipelines.crawl_queries import run_crawl_cached
+
+    eng = run_crawl_cached("sf0.001")
+    return eng.order_table()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from spider_ray.pipelines import ann
+    from spider_ray.pipelines import crawl_queries as cq
+    from spider_ray.pipelines import dedup
+    from spider_ray.pipelines import multimodal as mm
+    from spider_ray.pipelines import relational as rel
+    from spider_ray.pipelines import textstats as ts
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # -- crawl engine (rows-only; pytest oracle is the hard gate) -----
+        "crawl_seen": cq.crawl_seen,
+        "crawl_order": cq.crawl_order,
+        "crawl_text": cq.crawl_text,
+        # -- relational coverage (DuckDB-checked) -------------------------
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "filter_project_revenue": rel.filter_project_revenue,
+        "topk_orders": rel.topk_orders,
+        "distinct_flag_status": rel.distinct_flag_status,
+        "broadcast_join_segment_revenue": rel.broadcast_join_segment_revenue,
+        "hash_join_priority_revenue": rel.hash_join_priority_revenue,
+        "semi_join_customers_with_orders": rel.semi_join_customers_with_orders,
+        "anti_join_customers_without_big_orders": rel.anti_join_customers_without_big_orders,
+        "union_all_names": rel.union_all_names,
+        "flat_map_top_tokens": rel.flat_map_top_tokens,
+        "window_hourly_user_value": rel.window_hourly_user_value,
+        "sessionize_users": rel.sessionize_users,
+        # -- text analysis -------------------------------------------------
+        "text_doc_stats_by_lang": ts.doc_stats_by_lang,
+        "text_token_count": ts.token_count,
+        "text_quality_score": ts.quality_score,
+        "text_lang_id": ts.lang_id,
+        "text_fingerprints": ts.fingerprints,
+        # -- deduplication -------------------------------------------------
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_minhash": dedup.dedup_minhash,
+        "dedup_simhash": dedup.dedup_simhash,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_embedding": dedup.dedup_embedding,
+        # -- similarity search ---------------------------------------------
+        "ann_topk_bruteforce": ann.ann_topk_bruteforce,
+        "ann_lsh_topk": ann.ann_lsh_topk,
+        # -- multimodal plumbing (deterministic fake codec) ----------------
+        "multimodal_features": mm.multimodal_features,
+        "multimodal_feature_stats": mm.multimodal_feature_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2)                                AS sum_qty,
+                   round(sum(l_extendedprice), 2)                           AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)        AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 4)                                AS avg_qty,
+                   round(avg(l_discount), 4)                                AS avg_disc,
+                   count(*)                                                 AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "filter_project_revenue": """
+            SELECT l_orderkey, l_linenumber,
+                   round(l_extendedprice * (1 - l_discount), 2) AS revenue
+            FROM lineitem WHERE l_quantity > 45
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "distinct_flag_status": """
+            SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        """,
+        "broadcast_join_segment_revenue": """
+            SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "hash_join_priority_revenue": """
+            SELECT o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "semi_join_customers_with_orders": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        """,
+        "anti_join_customers_without_big_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN
+                  (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        """,
+        "union_all_names": """
+            SELECT n_name AS name, 'nation' AS src FROM nation
+            UNION ALL
+            SELECT r_name AS name, 'region' AS src FROM region
+        """,
+        "flat_map_top_tokens": """
+            SELECT token, count(*) AS n
+            FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS token
+                  FROM documents) t
+            GROUP BY token ORDER BY n DESC, token LIMIT 50
+        """,
+        "window_hourly_user_value": """
+            SELECT user_id, date_trunc('hour', ts) AS hour,
+                   round(sum(value), 2) AS sum_value, count(*) AS n_events
+            FROM events GROUP BY user_id, date_trunc('hour', ts)
+        """,
+        "sessionize_users": """
+            SELECT user_id,
+                   count(*) FILTER (WHERE new_s) AS n_sessions,
+                   count(*) AS n_events
+            FROM (
+                SELECT user_id,
+                       (ts - lag(ts) OVER w > INTERVAL 30 MINUTE)
+                       OR (lag(ts) OVER w IS NULL) AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ) s
+            GROUP BY user_id
+        """,
+        "text_doc_stats_by_lang": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   round(avg(n_chars), 4) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "text_token_count": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens
+            FROM documents
+        """,
+        "text_quality_score": """
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                         / greatest(length(text), 1), 4) AS alpha_ratio,
+                   round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                         / greatest(length(text), 1), 4) AS digit_ratio,
+                   round(length(regexp_replace(text, '[^ ]', '', 'g'))
+                         / greatest(length(text), 1), 4) AS ws_ratio,
+                   round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                         / greatest(length(text), 1)
+                         - length(regexp_replace(text, '[^0-9]', '', 'g'))
+                         / greatest(length(text), 1), 4) AS quality
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+            FROM documents GROUP BY text
+        """,
+        "dedup_embedding": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                              CAST(b.embedding AS DOUBLE[])), 4)
+                       AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.40
+        """,
+        "ann_topk_bruteforce": """
+            SELECT query_id, neighbor_id, round(cosine, 4) AS cosine
+            FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])) AS cosine
+                FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 10) q
+                JOIN embeddings c ON c.vec_id <> q.vec_id
+                QUALIFY row_number() OVER (
+                    PARTITION BY q.vec_id ORDER BY cosine DESC, c.vec_id) <= 5
+            ) t
+        """,
+    }

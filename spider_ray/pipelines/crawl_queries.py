@@ -1,0 +1,69 @@
+"""Crawl-engine queries for the driver contract.
+
+The crawl operates on self-generated Common-Crawl-style fixtures (the
+driver's pre-registered DuckDB views cover only the TPC-H-ish testdata
+tables, and BASELINE.json's input_hint table is synthesized per the
+FIXTURES.md spec) — so these entries are rows-only checks for the
+driver, while the REAL correctness gate is tests/test_engine_conformance
+.py: engine outputs equal the single-threaded oracle exactly.
+
+Fixtures and crawl results are cached under /tmp keyed by scale so the
+three queries (seen/order/text) share one run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import pyarrow.parquet as pq
+
+_CACHE: dict[tuple, object] = {}
+
+
+def _scale_pages(sf_dir: str) -> int:
+    m = re.search(r"sf([0-9.]+)", sf_dir or "")
+    sf = float(m.group(1)) if m else 0.001
+    return max(1000, int(2_000_000 * sf))  # sf0.001 -> 2k, sf0.01 -> 20k pages
+
+
+def run_crawl_cached(sf_dir: str, n_pages: int | None = None,
+                     budget: int = 8, max_epochs: int = 6):
+    """Generate fixture + run the crawl once per (n_pages, budget, epochs)."""
+    from ..datagen import default_politeness, write_fixture
+    from ..engine import CrawlEngine
+
+    n = n_pages or _scale_pages(sf_dir)
+    key = (n, budget, max_epochs)
+    if key in _CACHE:
+        return _CACHE[key]
+    root = f"/tmp/spider_ray_cache/n{n}_b{budget}_e{max_epochs}"
+    pol = default_politeness(max_per_host_per_epoch=budget, max_epochs=max_epochs)
+    paths = write_fixture(os.path.join(root, "fixture"), n_pages=n, seed=42,
+                          politeness=pol)
+    eng = CrawlEngine(paths["pages"], pol, os.path.join(root, "ckpt"),
+                      num_parts=16, seen_shards=8, fetch_concurrency=4)
+    manifest_p = os.path.join(root, "ckpt", "manifest.json")
+    done = False
+    if os.path.exists(manifest_p):
+        with open(manifest_p) as f:
+            done = json.load(f).get("done", False)
+    if not done:
+        eng.run(seeds=pq.read_table(paths["seeds"]))
+    # (when done, the result accessors read straight from the checkpoint
+    # tree — no Ray work needed)
+    _CACHE[key] = eng
+    return eng
+
+
+def crawl_seen(sf_dir: str):
+    return run_crawl_cached(sf_dir).seen_table()
+
+
+def crawl_order(sf_dir: str):
+    return run_crawl_cached(sf_dir).order_table()
+
+
+def crawl_text(sf_dir: str):
+    return run_crawl_cached(sf_dir).text_table()

@@ -1,0 +1,292 @@
+"""Relational operator coverage over the driver testdata tables — each
+function is a queries() entry with a matching DuckDB oracle in
+__ray_entry__.oracle_sql().
+
+These rebuild, Ray-Data-first, the operator categories the reference
+engine lacks entirely (SURVEY.md §2 "negative results": no sources/sinks,
+no joins, no aggregations, no sorts/limits, no set ops / windows) and
+that the graft adds as first-class capabilities.
+
+Conventions shared with the SQL oracles:
+  * every computed/aggregate column is explicitly named, identically in
+    both systems;
+  * float aggregates are rounded (2-6 dp) at the END in both systems so
+    distributed summation order cannot flip low-order bits;
+  * top-k queries carry a unique tie-break key.
+
+Scale notes per operator are in the docstrings; the common rules:
+column-pruned reads, vectorized pyarrow/pandas batch kernels, broadcast
+small sides, pre-aggregate before shuffles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _rp(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round_cols(round_spec: dict[str, int]):
+    def fn(t: pa.Table) -> pa.Table:
+        for col, nd in round_spec.items():
+            t = t.set_column(
+                t.schema.get_field_index(col), col,
+                # DuckDB's round() is half-away-from-zero; pyarrow defaults
+                # to half-to-even — must match or .xx5 values diverge
+                pc.round(t[col], ndigits=nd, round_mode="half_towards_infinity"))
+        return t
+    return fn
+
+
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: filter + groupby aggregate with pre-aggregation
+    done by Ray's hash aggregate; the only shuffle is on the tiny
+    (returnflag, linestatus) key space."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _rp(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+              "l_discount", "l_tax", "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"))))
+        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), t["l_tax"]))
+        return (t.append_column("disc_price", disc_price)
+                 .append_column("charge", charge)
+                 .drop_columns(["l_shipdate", "l_tax"]))
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Sum("charge", alias_name="sum_charge"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="count_order"),
+        )
+    )
+    return out.map_batches(_round_cols({
+        "sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2,
+        "sum_charge": 2, "avg_qty": 4, "avg_disc": 4}), batch_format="pyarrow")
+
+
+def filter_project_revenue(sf_dir: str):
+    """Vectorized filter + projection + computed column (no shuffle)."""
+    ds = _rp(sf_dir, "lineitem",
+             ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_quantity"], 45.0))
+        rev = pc.round(pc.multiply(t["l_extendedprice"],
+                                   pc.subtract(pa.scalar(1.0), t["l_discount"])),
+                       ndigits=2, round_mode="half_towards_infinity")
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_linenumber": t["l_linenumber"],
+            "revenue": rev,
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def topk_orders(sf_dir: str):
+    """Global top-k = per-block top-k combiner + tiny final sort — the
+    full table is never globally sorted (same pattern as the crawl
+    scheduler's budget selection)."""
+    ds = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    k = 10
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            t, k, [("o_totalprice", "descending"), ("o_orderkey", "ascending")])
+        return t.take(idx)
+
+    return (ds.map_batches(local_topk, batch_format="pyarrow")
+              .sort([("o_totalprice"), ("o_orderkey")], descending=[True, False])
+              .limit(k))
+
+
+def distinct_flag_status(sf_dir: str):
+    """DISTINCT via groupby on the composite key."""
+    ds = _rp(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).count()
+    return out.drop_columns(["count()"])
+
+
+def broadcast_join_segment_revenue(sf_dir: str):
+    """Broadcast hash join: customer (small side) shipped via ray.put
+    once, mapped into orders batches — no shuffle join.  This is the
+    scale-correct rebuild of the reference's dispatch join (SURVEY.md
+    §2 #4: broadcast, never distributed)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    class JoinSegment:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df["c_mktsegment"] = df["o_custkey"].map(self.lookup)
+            return df[["c_mktsegment", "o_totalprice"]]
+
+    out = (
+        _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(JoinSegment, batch_format="pandas", concurrency=2)
+        .groupby("c_mktsegment")
+        .aggregate(Sum("o_totalprice", alias_name="revenue"),
+                   Count(alias_name="n_orders"))
+    )
+    return out.map_batches(_round_cols({"revenue": 2}), batch_format="pyarrow")
+
+
+def hash_join_priority_revenue(sf_dir: str):
+    """Large-large hash join (lineitem ⋈ orders on orderkey) using
+    Dataset.join (hash-partitioned on the key), then aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "revenue": pc.multiply(t["l_extendedprice"],
+                                   pc.subtract(pa.scalar(1.0), t["l_discount"])),
+        })
+
+    li = li.map_batches(rev, batch_format="pyarrow")
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = li.join(orders, join_type="inner", num_partitions=16,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    out = joined.groupby("o_orderpriority").aggregate(
+        Sum("revenue", alias_name="revenue"),
+        Count(alias_name="n_items"),
+    )
+    return out.map_batches(_round_cols({"revenue": 2}), batch_format="pyarrow")
+
+
+def semi_join_customers_with_orders(sf_dir: str):
+    """Semi join via broadcast key set + vectorized membership filter."""
+    import ray
+
+    keys = _rp(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
+    keys_ref = ray.put(np.sort(np.asarray(keys, dtype=np.int64)))
+
+    def fn(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        mask = np.isin(np.asarray(t["c_custkey"]), ks)
+        return t.filter(pa.array(mask))
+
+    return (_rp(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+            .map_batches(fn, batch_format="pyarrow"))
+
+
+def anti_join_customers_without_big_orders(sf_dir: str):
+    """Anti join: customers with no order above 400k — broadcast key set,
+    negated membership mask (threshold keeps the result non-empty at
+    every sf; all customers have SOME order in this data)."""
+    import ray
+
+    big = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 400000.0))
+                   .select(["o_custkey"]),
+        batch_format="pyarrow")
+    keys_ref = ray.put(np.sort(np.unique(
+        np.asarray(big.unique("o_custkey"), dtype=np.int64))))
+
+    def fn(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        mask = ~np.isin(np.asarray(t["c_custkey"]), ks)
+        return t.filter(pa.array(mask))
+
+    return (_rp(sf_dir, "customer", ["c_custkey", "c_name"])
+            .map_batches(fn, batch_format="pyarrow"))
+
+
+def union_all_names(sf_dir: str):
+    """UNION ALL of two projected sources."""
+    n = _rp(sf_dir, "nation", ["n_name"]).map_batches(
+        lambda t: pa.table({"name": t["n_name"],
+                            "src": pa.array(["nation"] * t.num_rows)}),
+        batch_format="pyarrow")
+    r = _rp(sf_dir, "region", ["r_name"]).map_batches(
+        lambda t: pa.table({"name": t["r_name"],
+                            "src": pa.array(["region"] * t.num_rows)}),
+        batch_format="pyarrow")
+    return n.union(r)
+
+
+def flat_map_top_tokens(sf_dir: str):
+    """1 row -> N rows fan-out (vectorized explode) + count + top-k:
+    the relational cousin of the crawl link explode."""
+    from ray.data.aggregate import Count
+
+    import re
+
+    ds = _rp(sf_dir, "documents", ["text"])
+    pat = re.compile(r"[A-Za-z0-9_]+")
+
+    def tokens(t: pa.Table) -> pa.Table:
+        # same pattern string as the DuckDB oracle's regexp_extract_all
+        # (RE2) — [A-Za-z0-9_]+ has identical semantics in both engines
+        out = []
+        for s in t["text"].to_pylist():
+            out += pat.findall(s)
+        return pa.table({"token": pa.array(out, pa.string())})
+
+    out = (ds.map_batches(tokens, batch_format="pyarrow")
+             .groupby("token").aggregate(Count(alias_name="n")))
+    return (out.sort([("n"), ("token")], descending=[True, False]).limit(50))
+
+
+def window_hourly_user_value(sf_dir: str):
+    """Tumbling event-time window as a derived bucket column + groupby
+    (Ray Data has no watermarks; windows are data, SURVEY.md guide)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _rp(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table({"user_id": t["user_id"], "hour": hour, "value": t["value"]})
+
+    out = (ds.map_batches(bucket, batch_format="pyarrow")
+             .groupby(["user_id", "hour"])
+             .aggregate(Sum("value", alias_name="sum_value"),
+                        Count(alias_name="n_events")))
+    return out.map_batches(_round_cols({"sum_value": 2}), batch_format="pyarrow")
+
+
+def sessionize_users(sf_dir: str):
+    """Session windows (30-min gap) per user: groupby(user).map_groups
+    over ts-sorted groups — keyed, ordered, stateful-within-group.
+    Scale: state never crosses group boundaries, so partitioning by
+    user_id hash is the whole story."""
+    ds = _rp(sf_dir, "events", ["user_id", "ts", "event_id"])
+    gap = pd.Timedelta(minutes=30)
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        new_s = (g["ts"].diff() > gap) | g["ts"].diff().isna()
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_sessions": [int(new_s.sum())],
+            "n_events": [len(g)],
+        })
+
+    return ds.groupby("user_id").map_groups(sess, batch_format="pandas")

@@ -1,0 +1,178 @@
+"""Text-analysis operators over the `documents` table: token counting,
+quality scoring, language-ID, document fingerprinting — the per-document
+stages a large-scale training-data pipeline runs before dedup/filtering.
+
+All stages are map_batches over Arrow/pandas batches; the stateful ones
+(compiled regexes, stopword tables) are actor-pool classes with setup in
+__init__.  Everything is deterministic; where a DuckDB oracle exists the
+kernels use RE2-compatible regex semantics shared with the SQL string.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..common.hashing import hash64
+
+_TOKEN_PAT = r"[A-Za-z0-9_]+"  # shared with oracle SQL regexp_extract_all
+
+
+def _rp(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def doc_stats_by_lang(sf_dir: str):
+    """Per-language corpus stats (groupby aggregate)."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    out = (
+        _rp(sf_dir, "documents", ["lang", "n_chars"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"),
+                   Sum("n_chars", alias_name="total_chars"),
+                   Mean("n_chars", alias_name="avg_chars"))
+    )
+
+    def rnd(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("avg_chars")
+        return t.set_column(i, "avg_chars",
+                            pc.round(t["avg_chars"], ndigits=4,
+                                     round_mode="half_towards_infinity"))
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+def token_count(sf_dir: str):
+    """Whitespace/word token count per document — vectorized via pyarrow's
+    RE2 count_substring_regex (identical semantics to the DuckDB oracle)."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t["text"], pattern=_TOKEN_PAT)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_tokens": pc.cast(n, pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def quality_score(sf_dir: str):
+    """Heuristic quality features: alpha/digit/whitespace ratios + mean
+    token length, and a combined score — all vectorized Arrow kernels.
+    The exact formulas are mirrored in the oracle SQL."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        n = pc.cast(pc.utf8_length(text), pa.float64())
+        n_safe = pc.max_element_wise(n, pa.scalar(1.0))
+        n_alpha = pc.cast(pc.utf8_length(
+            pc.replace_substring_regex(text, pattern="[^A-Za-z]", replacement="")),
+            pa.float64())
+        n_digit = pc.cast(pc.utf8_length(
+            pc.replace_substring_regex(text, pattern="[^0-9]", replacement="")),
+            pa.float64())
+        n_ws = pc.cast(pc.utf8_length(
+            pc.replace_substring_regex(text, pattern="[^ ]", replacement="")),
+            pa.float64())
+        rnd = lambda x: pc.round(x, ndigits=4, round_mode="half_towards_infinity")
+        alpha_ratio = pc.divide(n_alpha, n_safe)
+        digit_ratio = pc.divide(n_digit, n_safe)
+        ws_ratio = pc.divide(n_ws, n_safe)
+        score = pc.subtract(alpha_ratio, digit_ratio)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars": pc.cast(n, pa.int64()),
+            "alpha_ratio": rnd(alpha_ratio),
+            "digit_ratio": rnd(digit_ratio),
+            "ws_ratio": rnd(ws_ratio),
+            "quality": rnd(score),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+class LangId:
+    """n-gram/stopword heuristic language ID — an actor-pool stage: the
+    stopword tables and compiled regexes are built ONCE per actor
+    (SURVEY.md §2 #13: config loaded at worker start, not per message)."""
+
+    STOPWORDS = {
+        "en": {"the", "and", "of", "to", "a", "in", "is", "it", "for", "with"},
+        "de": {"der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"},
+        "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "du", "que"},
+        "es": {"el", "la", "los", "las", "y", "es", "un", "una", "de", "que"},
+    }
+    PRIORITY = ["en", "de", "fr", "es"]  # deterministic tie-break order
+
+    def __init__(self):
+        self.word = re.compile(r"[a-zA-Z]+")
+        self.cjk = re.compile(r"[一-鿿぀-ヿ]")
+
+    def classify(self, text: str) -> str:
+        if self.cjk.search(text):
+            return "zh"
+        words = [w.lower() for w in self.word.findall(text)]
+        if not words:
+            return "und"
+        best, best_hits = "und", 0
+        for lang in self.PRIORITY:
+            hits = sum(1 for w in words if w in self.STOPWORDS[lang])
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        return best
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df["lang_pred"] = [self.classify(t) for t in df["text"]]
+        return df[["doc_id", "lang_pred"]]
+
+
+def lang_id(sf_dir: str):
+    """Language-ID over documents (rows-only: the heuristic isn't SQL).
+    Accuracy against the table's `lang` labels is asserted in tests."""
+    return _rp(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        LangId, batch_format="pandas", concurrency=2, num_cpus=1)
+
+
+class Fingerprinter:
+    """Winnowing document fingerprint (Schleimer et al., SIGMOD'03 —
+    public algorithm): rolling window over token hashes, keep the min
+    hash per window; the fingerprint is the min over the document plus
+    a count of distinct window minima.  Deterministic; actor-pool stage."""
+
+    def __init__(self, window: int = 4):
+        self.window = window
+        self.word = re.compile(_TOKEN_PAT)
+
+    def fingerprint(self, text: str) -> tuple[int, int]:
+        toks = self.word.findall(text.lower())
+        if not toks:
+            return 0, 0
+        hs = np.fromiter((hash64(t) for t in toks), dtype=np.int64, count=len(toks))
+        w = self.window
+        if len(hs) <= w:
+            return int(hs.min()), 1
+        # rolling min via stride trick
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        mins = sliding_window_view(hs, w).min(axis=1)
+        return int(mins.min()), int(len(np.unique(mins)))
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        fps = [self.fingerprint(t) for t in df["text"]]
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "fingerprint": np.array([f[0] for f in fps], dtype=np.int64),
+            "n_distinct_windows": np.array([f[1] for f in fps], dtype=np.int64),
+        })
+
+
+def fingerprints(sf_dir: str):
+    """Rolling-hash winnowing fingerprints (rows-only)."""
+    return _rp(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        Fingerprinter, batch_format="pandas", concurrency=2, num_cpus=1)

@@ -1,0 +1,227 @@
+"""Training-data pipeline tests: dedup recall on constructed near-dups,
+ANN recall vs brute force, lang-id accuracy, multimodal determinism."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(tmp_path_factory):
+    """documents + constructed near-duplicates with known ground truth."""
+    d = str(tmp_path_factory.mktemp("dups"))
+    base = pq.read_table(f"{SF}/documents.parquet")
+    texts = base["text"].to_pylist()[:200]
+    ids = list(range(200))
+    # exact dup of every 10th doc, near-dup (one word changed) of every 7th
+    extra_texts, extra_ids, truth_exact, truth_near = [], [], [], []
+    nid = 1000
+    for i in range(0, 200, 10):
+        extra_texts.append(texts[i])
+        extra_ids.append(nid)
+        truth_exact.append((i, nid))
+        nid += 1
+    for i in range(0, 200, 7):
+        words = texts[i].split()
+        if len(words) > 10:
+            words[5] = "zzzqqq"
+            extra_texts.append(" ".join(words))
+            extra_ids.append(nid)
+            truth_near.append((i, nid))
+            nid += 1
+    t = pa.table({
+        "doc_id": pa.array(ids + extra_ids, pa.int64()),
+        "text": pa.array(texts + extra_texts, pa.string()),
+    })
+    pq.write_table(t, f"{d}/documents.parquet")
+    return d, truth_exact, truth_near
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedup:
+    def test_exact_finds_all_planted_dups(self, dup_corpus):
+        from spider_ray.pipelines.dedup import dedup_exact
+
+        d, truth_exact, _ = dup_corpus
+        out = dedup_exact(d).to_pandas()
+        dup_rows = out[out["dup_count"] > 1]
+        assert len(dup_rows) == len(truth_exact)
+        # keeper is the min doc_id of each pair
+        assert sorted(dup_rows["doc_id"]) == sorted(a for a, _ in truth_exact)
+        # total rows = distinct texts (exact dups collapse, near-dups don't)
+        _, _, truth_near = dup_corpus
+        assert len(out) == 200 + len(truth_near)
+
+    def test_minhash_recall_on_planted_neardups(self, dup_corpus):
+        from spider_ray.pipelines.dedup import dedup_minhash
+
+        d, truth_exact, truth_near = dup_corpus
+        out = dedup_minhash(d, threshold=0.5).to_pandas()
+        found = set(zip(out["doc_a"], out["doc_b"]))
+        expected = {(min(a, b), max(a, b)) for a, b in truth_exact + truth_near}
+        missing = expected - found
+        assert len(missing) <= max(1, len(expected) // 10), f"missing {missing}"
+        assert (out["jaccard"] >= 0.5).all()
+
+    def test_simhash_finds_exact_dups(self, dup_corpus):
+        from spider_ray.pipelines.dedup import dedup_simhash
+
+        d, truth_exact, _ = dup_corpus
+        out = dedup_simhash(d).to_pandas()
+        found = set(zip(out["doc_a"], out["doc_b"]))
+        for a, b in truth_exact:
+            assert (min(a, b), max(a, b)) in found
+        assert (out["hamming"] <= 3).all()
+
+    def test_ngram_jaccard_runs(self, dup_corpus):
+        from spider_ray.pipelines.dedup import dedup_ngram_jaccard
+
+        d, truth_exact, _ = dup_corpus
+        out = dedup_ngram_jaccard(d, threshold=0.8).to_pandas()
+        found = set(zip(out["doc_a"], out["doc_b"]))
+        for a, b in truth_exact:
+            assert (min(a, b), max(a, b)) in found
+
+    def test_embedding_pairs_match_bruteforce(self):
+        from spider_ray.pipelines.dedup import dedup_embedding
+
+        out = dedup_embedding(SF, threshold=0.4).to_pandas()
+        emb = pq.read_table(f"{SF}/embeddings.parquet")
+        ids = np.asarray(emb["vec_id"], dtype=np.int64)
+        m = np.stack(emb["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        iu = np.triu_indices(len(ids), k=1)
+        want = {(int(ids[a]), int(ids[b]))
+                for a, b in zip(*iu) if sims[a, b] >= 0.4}
+        got = {(int(a), int(b)) for a, b in zip(out["vec_a"], out["vec_b"])}
+        assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAnn:
+    def test_lsh_recall_vs_bruteforce(self):
+        from spider_ray.pipelines.ann import ann_lsh_topk, ann_topk_bruteforce
+
+        bf = ann_topk_bruteforce(SF, n_queries=10, k=5).to_pandas()
+        lsh = ann_lsh_topk(SF, n_queries=10, k=5).to_pandas()
+        recall_num, recall_den = 0, 0
+        for q in bf["query_id"].unique():
+            truth = set(bf[bf["query_id"] == q]["neighbor_id"])
+            approx = set(lsh[lsh["query_id"] == q]["neighbor_id"])
+            recall_num += len(truth & approx)
+            recall_den += len(truth)
+        recall = recall_num / recall_den
+        # weak-similarity corpus (top cosines ~0.45): see ann_lsh_topk
+        # docstring for the parameter regime; near-dup regimes test >0.99
+        assert recall >= 0.3, f"LSH recall {recall:.2f} too low"
+
+    def test_lsh_high_similarity_regime(self, tmp_path):
+        """With REAL near-dups (cos >= 0.95) the 12-bit x 4-table regime
+        must reach high recall — the production configuration."""
+        from spider_ray.pipelines.ann import ann_lsh_topk, ann_topk_bruteforce
+
+        rng = np.random.default_rng(5)
+        base = rng.normal(size=(50, 64))
+        rows = []
+        for i, v in enumerate(base):
+            rows.append(v)
+            for j in range(4):  # 4 tight near-dups per base vector
+                rows.append(v + rng.normal(scale=0.02, size=64))
+        m = np.stack(rows).astype(np.float32)
+        t = pa.table({
+            "vec_id": pa.array(np.arange(len(m)), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in m],
+                                  pa.list_(pa.float32())),
+        })
+        d = str(tmp_path)
+        pq.write_table(t, f"{d}/embeddings.parquet")
+        bf = ann_topk_bruteforce(d, n_queries=20, k=4).to_pandas()
+        lsh = ann_lsh_topk(d, n_queries=20, k=4, n_bits=12, n_tables=4).to_pandas()
+        num = den = 0
+        for q in bf["query_id"].unique():
+            truth = set(bf[bf["query_id"] == q]["neighbor_id"])
+            approx = set(lsh[lsh["query_id"] == q]["neighbor_id"])
+            num += len(truth & approx)
+            den += len(truth)
+        assert num / den >= 0.9, f"high-sim LSH recall {num/den:.2f}"
+
+    def test_bruteforce_is_exact(self):
+        from spider_ray.pipelines.ann import ann_topk_bruteforce
+
+        out = ann_topk_bruteforce(SF, n_queries=3, k=4).to_pandas()
+        emb = pq.read_table(f"{SF}/embeddings.parquet")
+        ids = np.asarray(emb["vec_id"], dtype=np.int64)
+        m = np.stack(emb["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        order = np.argsort(ids)
+        for qi in order[:3]:
+            sims = m[qi] @ m.T
+            cand = [(float(-sims[j]), int(ids[j])) for j in range(len(ids))
+                    if ids[j] != ids[qi]]
+            cand.sort()
+            want = [c[1] for c in cand[:4]]
+            got = out[out["query_id"] == ids[qi]]["neighbor_id"].tolist()
+            assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTextstats:
+    def test_lang_id_classifier(self):
+        # the testdata's lang column is random w.r.t. its (English-ish)
+        # text, so accuracy is asserted on constructed texts instead
+        from spider_ray.pipelines.textstats import LangId
+
+        c = LangId()
+        assert c.classify("the cat and the dog sat in a box for a while") == "en"
+        assert c.classify("der Hund und die Katze sind nicht mit dem Zug") == "de"
+        assert c.classify("le chat est dans la maison et les chiens du parc") == "fr"
+        assert c.classify("el perro y la casa es una de las cosas que vi") == "es"
+        assert c.classify("这是一个中文句子") == "zh"
+        assert c.classify("12345 67890 !!!") == "und"
+        assert c.classify("") == "und"
+
+    def test_lang_id_pipeline_runs(self):
+        from spider_ray.pipelines.textstats import lang_id
+
+        out = lang_id(SF).to_pandas()
+        assert set(out.columns) == {"doc_id", "lang_pred"}
+        assert len(out) == 500
+        # mostly-English word salad -> dominant prediction must be en
+        assert out["lang_pred"].value_counts().idxmax() == "en"
+
+    def test_fingerprints_deterministic_and_dup_sensitive(self):
+        from spider_ray.pipelines.textstats import Fingerprinter
+
+        fp = Fingerprinter()
+        a = fp.fingerprint("the quick brown fox jumps over the lazy dog again")
+        b = fp.fingerprint("the quick brown fox jumps over the lazy dog again")
+        c = fp.fingerprint("completely different words entirely here now")
+        assert a == b and a != c
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMultimodal:
+    def test_roundtrip_and_determinism(self):
+        from spider_ray.pipelines.multimodal import (
+            FakeCodec, decode_image_real, multimodal_features, synth_payload)
+
+        with pytest.raises(NotImplementedError):
+            decode_image_real(b"anything")
+
+        p = synth_payload(7, 123)
+        img = FakeCodec().decode(p)
+        assert img.shape == (8 + 7 % 8, 8 + 123 % 16)
+        assert synth_payload(7, 123) == p
+
+        out1 = multimodal_features(SF).to_pandas().sort_values("doc_id")
+        out2 = multimodal_features(SF).to_pandas().sort_values("doc_id")
+        assert (out1["height"].to_numpy() == out2["height"].to_numpy()).all()
+        f1 = np.stack(out1["features"].to_numpy())
+        f2 = np.stack(out2["features"].to_numpy())
+        assert np.array_equal(f1, f2)
+        assert f1.shape[1] == 16  # 4x4 resize

@@ -1,0 +1,109 @@
+"""Driver-style self-check: run each __ray_entry__.queries() entry and
+compare against oracle_sql() via DuckDB (row count + schema + order-
+insensitive value comparison), the way CORRECTNESS_r{N}.json is built.
+
+Usage: python tools/selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(df_ray: pd.DataFrame, df_sql: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(df_ray) != len(df_sql):
+        problems.append(f"rows {len(df_ray)} != {len(df_sql)}")
+    if sorted(df_ray.columns) != sorted(df_sql.columns):
+        problems.append(f"columns {sorted(df_ray.columns)} != {sorted(df_sql.columns)}")
+        return problems
+    a, b = _norm(df_ray), _norm(df_sql)
+    if len(a) == len(b):
+        for col in a.columns:
+            x, y = a[col], b[col]
+            if x.dtype.kind == "f" or y.dtype.kind == "f":
+                import numpy as np
+                ok = np.allclose(x.astype(float), y.astype(float),
+                                 rtol=1e-9, atol=1e-9, equal_nan=True)
+            else:
+                ok = x.astype(str).equals(y.astype(str))
+            if not ok:
+                diff = (x != y)
+                problems.append(f"col {col}: {int(getattr(diff, 'sum', lambda: 1)())} diffs "
+                                f"e.g. ray={x[diff].head(3).tolist() if diff.any() else '?'} "
+                                f"sql={y[diff].head(3).tolist() if diff.any() else '?'}")
+    return problems
+
+
+def main():
+    sys.path.insert(0, "/root/repo")
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df_ray = _to_pandas(fn(sf_dir))
+        except Exception as ex:
+            print(f"FAIL  {name}: query raised {type(ex).__name__}: {ex}")
+            failures += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"ok    {name}: rows={len(df_ray)} ({dt:.1f}s) [rows-only]")
+            continue
+        df_sql = con.execute(oracles[name]).fetchdf()
+        problems = compare(df_ray, df_sql)
+        if problems:
+            failures += 1
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+        else:
+            print(f"ok    {name}: rows={len(df_ray)} ({dt:.1f}s) [sql-matched]")
+    print("failures:", failures)
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
