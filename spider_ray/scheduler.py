@@ -36,7 +36,6 @@ def _topb_pandas(df: pd.DataFrame, budget: int) -> pd.DataFrame:
 
 
 def select_epoch(frontier_ds, budget: int, salt_groups: int = 16,
-                 salted_reduce_threshold: int = 200_000,
                  force_salted: bool = False) -> pd.DataFrame:
     """Run the selection; returns selected rows as pandas ordered by
     (host, -priority, canonical_url): canonical_url, host, priority,
@@ -46,12 +45,13 @@ def select_epoch(frontier_ds, budget: int, salt_groups: int = 16,
         batch = batch.assign(neg_priority=-batch["priority"])
         return _topb_pandas(batch, budget)
 
-    # materialize: partials are combiner-bounded (small) and consumed twice
-    # (count + reduce) — avoids re-running the combiner pass
     partials = frontier_ds.map_batches(local_topb, batch_format="pandas",
-                                       zero_copy_batch=True).materialize()
+                                       zero_copy_batch=True)
 
-    if force_salted or partials.count() > salted_reduce_threshold:
+    if force_salted:
+        # (at scale: trigger when combiner output stays large — e.g. by
+        # tracking the previous epoch's partial count; a count() here
+        # would cost an extra execution per epoch)
         def add_salt(df: pd.DataFrame) -> pd.DataFrame:
             salt = (df["url_hash"].to_numpy() % salt_groups).astype(np.int32)
             return df.assign(

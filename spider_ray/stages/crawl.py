@@ -116,25 +116,40 @@ def build_pages_index(pages_path: str, index_dir: str, num_parts: int) -> dict:
 # --------------------------------------------------------------------------
 
 class FetchWorker:
-    """Actor-pool stage: resolve selected urls against the pages index
-    shard, apply robots, extract text + links.
+    """Stateful fetch stage: resolve selected urls against the pages
+    index shard, apply robots, extract text + links.
 
     __init__ (once per actor): parse the robots config into prefix lists —
     the reference's "worker loads its configs once" hook
-    (`pkg/spider/worker.go:82-91`).  __call__ (per batch): a
-    partition-aligned pyarrow hash join (selected ⋈ index part), then
-    per-row extraction.  Batches arrive one-part-per-block (the driver
-    builds one block per part), so each call touches exactly one index
-    shard file.
+    (`pkg/spider/worker.go:82-91`) — and set up the per-actor part-table
+    cache.  __call__ (per batch): a partition-aligned pyarrow hash join
+    (selected ⋈ index part), then per-row extraction.
+
+    Deployment: the engine runs a PERSISTENT pool of these as raw Ray
+    actors (engine._init_fetch_pool) — the one place the Dataset API
+    can't express the semantics we need: robots + hot index shards are
+    cross-EPOCH state, and a map_batches actor pool is torn down after
+    each execution.  Each actor owns parts where part % pool == rank, so
+    its cache holds only its own shards (at 10^10 scale the cache is an
+    LRU over row-group reads; here whole shard files — max_cached_parts
+    bounds memory either way).
 
     "Fetch" against a pages table stands in for live HTTP (no network in
     this environment); outcome ports ok/miss/robots mirror the
     reference's meta_output routing (`cmd/control-flow-worker/main.go:30-34`).
     """
 
-    def __init__(self, index_dir: str, robots: dict[str, list[str]]):
+    def __init__(self, index_dir: str, robots: dict[str, list[str]],
+                 max_cached_parts: int = 64):
+        # one Arrow thread per actor: the POOL is the parallelism unit;
+        # letting every actor spawn a machine-wide Arrow thread pool
+        # (join/parquet default) makes N actors thrash N*cores threads
+        pa.set_cpu_count(1)
         self.index_dir = index_dir
         self.robots = {h: sorted(p) for h, p in robots.items()}
+        # part cache: (sorted url hashes, argsort order, html column)
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray, pa.Array]] = {}
+        self._max_cached = max_cached_parts
 
     def _denied(self, host: str, path: str) -> bool:
         for prefix in self.robots.get(host, ()):
@@ -142,29 +157,56 @@ class FetchWorker:
                 return True
         return False
 
-    def _load_part(self, part: int) -> pa.Table:
+    def warm(self, part: int) -> int:
+        """Populate the cache for one shard; returns its row count (small
+        return only — never ship the shard back to the caller)."""
+        sorted_h, _, _ = self._load_part(part)
+        return len(sorted_h)
+
+    def _load_part(self, part: int):
+        """Sorted-hash lookup index for one pages shard: O(log n)
+        membership + one vectorized gather per batch — cheaper and
+        single-threaded vs an Arrow hash join per call."""
+        if part in self._cache:
+            return self._cache[part]
         part_dir = os.path.join(self.index_dir, f"part={part}")
         if not os.path.isdir(part_dir):
-            return pa.table({"url_hash": pa.array([], pa.int64()),
-                             "html": pa.array([], pa.binary())})
-        return pq.read_table(part_dir, columns=["url_hash", "html"])
+            entry = (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                     pa.array([], pa.binary()))
+        else:
+            t = pq.read_table(part_dir, columns=["url_hash", "html"],
+                              use_threads=False)
+            h = np.asarray(t["url_hash"])
+            order = np.argsort(h, kind="stable")
+            html = t["html"].combine_chunks()
+            entry = (h[order], order.astype(np.int64), html)
+        if len(self._cache) >= self._max_cached:
+            self._cache.pop(next(iter(self._cache)))  # FIFO eviction
+        self._cache[part] = entry
+        return entry
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return _empty_fetch_table()
         parts = pc.unique(batch["part"]).to_pylist()
-        joined_chunks = []
+        urls, hosts, prios, htmls = [], [], [], []
         for p in sorted(parts):
             sel = batch.filter(pc.equal(batch["part"], p))
-            idx = self._load_part(int(p))
-            joined_chunks.append(
-                sel.join(idx, keys="url_hash", join_type="left outer")
-            )
-        j = pa.concat_tables(joined_chunks, promote_options="default")
-        urls = j["canonical_url"].to_pylist()
-        hosts = j["host"].to_pylist()
-        prios = j["priority"].to_pylist()
-        htmls = j["html"].to_pylist()
+            sorted_h, order, html_col = self._load_part(int(p))
+            h = np.asarray(sel["url_hash"])
+            pos = np.searchsorted(sorted_h, h)
+            pos_c = np.clip(pos, 0, max(0, len(sorted_h) - 1))
+            found = (len(sorted_h) > 0) & (sorted_h[pos_c] == h)
+            urls += sel["canonical_url"].to_pylist()
+            hosts += sel["host"].to_pylist()
+            prios += sel["priority"].to_pylist()
+            if len(sorted_h):
+                gathered = html_col.take(
+                    pa.array(order[pos_c], pa.int64())).to_pylist()
+                htmls += [g if f else None
+                          for g, f in zip(gathered, found.tolist())]
+            else:
+                htmls += [None] * sel.num_rows
         out_url, out_host, out_prio = [], [], []
         out_outcome, out_text, out_links = [], [], []
         for u, h, p, html in zip(urls, hosts, prios, htmls):
@@ -196,6 +238,37 @@ class FetchWorker:
                 "links": pa.array(out_links, pa.list_(pa.string())),
             }
         )
+
+    def fetch(self, batch: pa.Table) -> tuple[pa.Table, pa.Table]:
+        """Persistent-pool entry point: returns (fetched, outcomes) where
+        outcomes is the tiny (canonical_url, outcome) projection the
+        driver needs for the crawl-order record — called with
+        num_returns=2 so the big table never moves to the driver."""
+        fetched = self(batch)
+        return fetched, fetched.select(["canonical_url", "outcome"])
+
+    def fetch_and_sink(self, batch: pa.Table, texts_path: str,
+                       num_parts: int) -> tuple[pa.Table, pa.Table]:
+        """Fused fetch + text sink + link fan-out: the actor writes its
+        own texts shard (one parquet file per actor per epoch — the
+        resumable-output layout) so the wide `text` payload never crosses
+        the object store, and returns only
+          (outcomes: url/outcome, links: canonical_url/priority exploded).
+        This is the hot path; the un-fused methods above remain for the
+        map_batches deployment mode."""
+        fetched = self(batch)
+        texts = fetched.filter(pc.equal(fetched["outcome"], "ok")) \
+                       .select(["canonical_url", "text"]) \
+                       .rename_columns(["url", "text"])
+        os.makedirs(os.path.dirname(texts_path), exist_ok=True)
+        tmp = texts_path + ".tmp"
+        # zstd: ~3x fewer bytes than snappy on extracted text — disk
+        # bandwidth is the shared serial resource on a single node, CPU
+        # (the compressor) is the parallel one
+        pq.write_table(texts, tmp, compression="zstd")
+        os.replace(tmp, texts_path)  # atomic: replay-safe on retry
+        links = explode_links(fetched, num_parts)
+        return fetched.select(["canonical_url", "outcome"]), links
 
 
 def _empty_fetch_table() -> pa.Table:

@@ -91,7 +91,10 @@ def make_seen_shards(num_shards: int, capacity_per_shard: int = 1 << 16):
     """Create the shard actors. Caller owns the handles (and their lifetime)."""
     import ray
 
-    shard_cls = ray.remote(num_cpus=0.25)(SeenShardState)
+    # num_cpus=0: shard ops are sub-millisecond vectorized membership
+    # checks; reserving CPU slices for them starves the data-plane tasks
+    # on small clusters (the shard COUNT bounds concurrency, not CPUs)
+    shard_cls = ray.remote(num_cpus=0)(SeenShardState)
     return [shard_cls.remote(capacity_per_shard) for _ in range(num_shards)]
 
 

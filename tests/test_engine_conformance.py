@@ -64,7 +64,9 @@ def test_parallelism_invariance(smoke_fixture, tmp_path):
     for i, kw in enumerate([
         dict(num_parts=2, seen_shards=1, fetch_concurrency=1),
         dict(num_parts=16, seen_shards=8, fetch_concurrency=4,
-             force_salted_scheduler=True),
+             force_salted_scheduler=True, force_distributed=True),
+        dict(num_parts=8, seen_shards=4, fetch_concurrency=2,
+             driver_threshold=0),  # distributed via threshold
     ]):
         eng = CrawlEngine(smoke_fixture["pages"], pol,
                           str(tmp_path / f"ckpt{i}"), **kw)
