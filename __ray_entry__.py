@@ -35,6 +35,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from spider_ray.pipelines import ann
     from spider_ray.pipelines import crawl_queries as cq
+    from spider_ray.pipelines import flow_queries as fq
     from spider_ray.pipelines import dedup
     from spider_ray.pipelines import multimodal as mm
     from spider_ray.pipelines import relational as rel
@@ -45,6 +46,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_seen": cq.crawl_seen,
         "crawl_order": cq.crawl_order,
         "crawl_text": cq.crawl_text,
+        # -- engine-conformance layer (flow DAG + expression mappers) ------
+        "flow_basic_leaves": fq.flow_basic_leaves,
         # -- relational coverage (DuckDB-checked) -------------------------
         "q1_pricing_summary": rel.q1_pricing_summary,
         "filter_project_revenue": rel.filter_project_revenue,
@@ -156,6 +159,10 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ) s
             GROUP BY user_id
+        """,
+        "flow_basic_leaves": """
+            SELECT CAST(o_orderkey AS VARCHAR) || '_updatedx1_updatedx2' AS value
+            FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 200) t
         """,
         "text_doc_stats_by_lang": """
             SELECT lang, count(*) AS n_docs,

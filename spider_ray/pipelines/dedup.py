@@ -28,7 +28,6 @@ from ..common.hashing import hash64
 from ..state.bloom import _splitmix64
 
 _WORD = re.compile(r"[A-Za-z0-9_]+")
-_P61 = np.int64((1 << 61) - 1)  # Mersenne prime for minhash permutations
 
 
 def _rp(sf_dir: str, table: str, columns=None):
@@ -65,48 +64,75 @@ def dedup_exact(sf_dir: str):
 # sketches (vectorized per batch)
 # ---------------------------------------------------------------------------
 
+_MASK63 = np.uint64((1 << 63) - 1)
+
+
 def _word_shingles(text: str, k: int = 3) -> np.ndarray:
+    """Distinct word-k-gram hashes.  Per-word blake2b (few per doc), then
+    a vectorized splitmix64 chain combines each window of k word hashes —
+    no per-gram Python."""
     toks = _WORD.findall(text.lower())
-    if len(toks) < k:
-        grams = [" ".join(toks)] if toks else []
-    else:
-        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-    if not grams:
+    if not toks:
         return np.zeros(0, dtype=np.int64)
-    return np.unique(np.fromiter((hash64(g) for g in grams),
-                                 dtype=np.int64, count=len(grams)))
+    wh = np.fromiter((hash64(t) for t in toks), dtype=np.uint64, count=len(toks))
+    if len(wh) < k:
+        comb = wh[:1]
+        for w in wh[1:]:
+            comb = _splitmix64(comb ^ w)
+        return np.unique((comb & _MASK63).astype(np.int64))
+    acc = _splitmix64(wh[: len(wh) - k + 1])
+    for j in range(1, k):
+        acc = _splitmix64(acc ^ wh[j : len(wh) - k + 1 + j])
+    return np.unique((acc & _MASK63).astype(np.int64))
+
+
+_NGRAM_POWS = {}
 
 
 def _char_ngrams(text: str, n: int = 4) -> np.ndarray:
-    s = text.lower()
-    if len(s) < n:
-        grams = [s] if s else []
-    else:
-        grams = [s[i:i + n] for i in range(len(s) - n + 1)]
-    if not grams:
+    """Distinct char-n-gram hashes via a fully vectorized polynomial
+    window hash over the utf-8 bytes (FNV prime base) + splitmix64 mix."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    b = np.frombuffer(text.lower().encode("utf-8", "replace"), dtype=np.uint8)
+    if len(b) == 0:
         return np.zeros(0, dtype=np.int64)
-    return np.unique(np.fromiter((hash64(g) for g in grams),
-                                 dtype=np.int64, count=len(grams)))
+    if len(b) < n:
+        return np.array([hash64(text.lower())], dtype=np.int64)
+    if n not in _NGRAM_POWS:
+        base = np.uint64(1099511628211)
+        p = np.ones(n, dtype=np.uint64)
+        for i in range(n - 2, -1, -1):
+            p[i] = p[i + 1] * base
+        _NGRAM_POWS[n] = p
+    pows = _NGRAM_POWS[n]
+    with np.errstate(over="ignore"):
+        h = (sliding_window_view(b, n).astype(np.uint64) * pows[None, :]).sum(axis=1)
+        h = _splitmix64(h)
+    return np.unique((h & _MASK63).astype(np.int64))
 
 
 class MinHasher:
-    """num_perms universal-hash permutations (a*x+b mod p), vectorized:
-    one (n_shingles × n_perms) broadcast min per doc.  Permutation
-    parameters derive from splitmix64(seed) — deterministic."""
+    """num_perms multiply-add permutations in uint64 wraparound
+    arithmetic (h_i(x) = a_i*x + b_i mod 2^64, odd a_i) — the standard
+    multiply-shift universal-hash family, fully vectorized: one
+    (n_shingles × n_perms) broadcast min per doc.  Parameters derive from
+    splitmix64(seed) — deterministic."""
 
     def __init__(self, num_perms: int = 64, seed: int = 1234):
         idx = np.arange(2 * num_perms, dtype=np.uint64) + np.uint64(seed)
-        mixed = _splitmix64(idx).astype(np.int64) & ((1 << 61) - 1)
-        self.a = (mixed[:num_perms] | 1).astype(np.int64)
-        self.b = mixed[num_perms:].astype(np.int64)
+        mixed = _splitmix64(idx)
+        self.a = mixed[:num_perms] | np.uint64(1)
+        self.b = mixed[num_perms:]
         self.num_perms = num_perms
 
     def signature(self, shingles: np.ndarray) -> np.ndarray:
         if len(shingles) == 0:
             return np.full(self.num_perms, np.iinfo(np.int64).max, dtype=np.int64)
-        x = shingles.astype(object)[:, None]  # object -> exact python-int mod
-        vals = (x * self.a[None, :] + self.b[None, :]) % int(_P61)
-        return vals.min(axis=0).astype(np.int64)
+        x = shingles.astype(np.uint64)[:, None]
+        with np.errstate(over="ignore"):
+            vals = x * self.a[None, :] + self.b[None, :]  # mod 2^64 wraps
+        return (vals.min(axis=0) >> np.uint64(1)).astype(np.int64)
 
 
 def _band_rows(ids: np.ndarray, sigs: np.ndarray, bands: int) -> pa.Table:
@@ -129,22 +155,45 @@ def _band_rows(ids: np.ndarray, sigs: np.ndarray, bands: int) -> pa.Table:
     })
 
 
-def _candidate_pairs(band_ds):
-    """groupby(band) -> within-bucket pairs -> global pair dedup."""
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(df["doc_id"].to_numpy())
-        if len(ids) < 2 or len(ids) > 2000:  # guard degenerate mega-buckets
-            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(np.int64)
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+def _candidate_pairs(band_ds, coarse_buckets: int = 64) -> pd.DataFrame:
+    """(band_id, band_hash) buckets -> within-bucket pairs.
 
-    from ray.data.aggregate import Count
+    One groupby over COARSE buckets (band_hash % coarse_buckets), with the
+    fine per-band grouping vectorized in pandas inside each coarse group —
+    a groupby per *fine* bucket would pay Ray per-group overhead on
+    millions of (mostly singleton) buckets.  Coarse bucket count scales
+    with data volume; the emitted pair set is collision-sized (small),
+    deduped in pandas (scale path: one more groupby when pairs outgrow
+    the driver)."""
 
-    cand = (band_ds.groupby(["band_id", "band_hash"])
-            .map_groups(pairs, batch_format="pandas"))
-    uniq = (cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="nb"))
-            .drop_columns(["nb"]))
-    return uniq
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket",
+            pc.cast(pc.bit_wise_and(t["band_hash"],
+                                    coarse_buckets - 1), pa.int32()))
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df.groupby(["band_id", "band_hash"])["doc_id"].transform("size")
+        sub = df[sizes >= 2]
+        out_a, out_b = [], []
+        for _, g in sub.groupby(["band_id", "band_hash"]):
+            ids = np.sort(g["doc_id"].to_numpy())
+            if len(ids) > 2000:  # guard degenerate mega-buckets
+                continue
+            a, b = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[a])
+            out_b.append(ids[b])
+        if not out_a:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                             "doc_b": np.concatenate(out_b)})
+
+    cand = (band_ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(pairs_in_bucket, batch_format="pandas")
+            .to_pandas())
+    return cand.drop_duplicates(ignore_index=True)
 
 
 def _gather_texts(sf_dir: str, ids: np.ndarray) -> dict[int, str]:
@@ -206,8 +255,7 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, num_perms: int = 64,
         return _band_rows(ids, sigs, bands)
 
     cand = _candidate_pairs(ds.map_batches(sketch, batch_format="pyarrow"))
-    return _verify_pairs(sf_dir, cand.to_pandas(), _word_shingles,
-                         "jaccard", threshold)
+    return _verify_pairs(sf_dir, cand, _word_shingles, "jaccard", threshold)
 
 
 def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.8):
@@ -223,8 +271,7 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.8):
         return _band_rows(ids, sigs, 16)
 
     cand = _candidate_pairs(ds.map_batches(sketch, batch_format="pyarrow"))
-    return _verify_pairs(sf_dir, cand.to_pandas(), _char_ngrams,
-                         "jaccard", threshold)
+    return _verify_pairs(sf_dir, cand, _char_ngrams, "jaccard", threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -266,28 +313,42 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3):
 
     band_ds = ds.map_batches(sketch, batch_format="pyarrow")
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("doc_id")
-        ids = df["doc_id"].to_numpy()
-        sigs = df["sig"].to_numpy()
-        if len(ids) < 2 or len(ids) > 2000:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                                 "doc_b": pd.Series([], dtype=np.int64),
-                                 "hamming": pd.Series([], dtype=np.int64)})
-        a, b = np.triu_indices(len(ids), k=1)
-        x = np.bitwise_xor(sigs[a].astype(np.uint64), sigs[b].astype(np.uint64))
-        ham = np.array([bin(v).count("1") for v in x], dtype=np.int64)
-        keep = ham <= 3
-        return pd.DataFrame({"doc_a": ids[a][keep], "doc_b": ids[b][keep],
-                             "hamming": ham[keep]})
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(t["band_hash"], 63), pa.int32()))
 
-    from ray.data.aggregate import Min
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                              "doc_b": pd.Series([], dtype=np.int64),
+                              "hamming": pd.Series([], dtype=np.int64)})
+        sizes = df.groupby(["band_id", "band_hash"])["doc_id"].transform("size")
+        sub = df[sizes >= 2]
+        outs = []
+        for _, g in sub.groupby(["band_id", "band_hash"]):
+            g = g.sort_values("doc_id")
+            ids = g["doc_id"].to_numpy()
+            sigs = g["sig"].to_numpy()
+            if len(ids) > 2000:
+                continue
+            a, b = np.triu_indices(len(ids), k=1)
+            x = np.bitwise_xor(sigs[a].astype(np.uint64), sigs[b].astype(np.uint64))
+            ham = np.array([bin(v).count("1") for v in x], dtype=np.int64)
+            keep = ham <= max_hamming
+            if keep.any():
+                outs.append(pd.DataFrame({"doc_a": ids[a][keep],
+                                          "doc_b": ids[b][keep],
+                                          "hamming": ham[keep]}))
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
-    out = (band_ds.groupby(["band_id", "band_hash"])
-           .map_groups(pairs, batch_format="pandas")
-           .groupby(["doc_a", "doc_b"])
-           .aggregate(Min("hamming", alias_name="hamming")))
-    return out
+    pairs = (band_ds.map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("bucket")
+             .map_groups(pairs_in_bucket, batch_format="pandas")
+             .to_pandas())
+    # a pair can surface from several bands -> keep one row (hamming is
+    # identical either way: it is a function of the two signatures)
+    pairs = pairs.drop_duplicates(subset=["doc_a", "doc_b"],
+                                  ignore_index=True)
+    return pa.Table.from_pandas(pairs, preserve_index=False)
 
 
 # ---------------------------------------------------------------------------
