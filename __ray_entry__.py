@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from spider_ray.pipelines import dedup
     from spider_ray.pipelines import multimodal as mm
     from spider_ray.pipelines import relational as rel
+    from spider_ray.pipelines import sketches as sk
     from spider_ray.pipelines import textstats as ts
 
     return {
@@ -61,6 +62,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flat_map_top_tokens": rel.flat_map_top_tokens,
         "window_hourly_user_value": rel.window_hourly_user_value,
         "sessionize_users": rel.sessionize_users,
+        "asof_join_purchase_click": rel.asof_join_purchase_click,
+        "sliding_avg_user_value": rel.sliding_avg_user_value,
+        "sample_deterministic": rel.sample_deterministic,
+        "approx_distinct_tokens": sk.approx_distinct_tokens,
         # -- text analysis -------------------------------------------------
         "text_doc_stats_by_lang": ts.doc_stats_by_lang,
         "text_token_count": ts.token_count,
@@ -163,6 +168,28 @@ def oracle_sql() -> dict[str, str]:
         "flow_basic_leaves": """
             SELECT CAST(o_orderkey AS VARCHAR) || '_updatedx1_updatedx2' AS value
             FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 200) t
+        """,
+        "asof_join_purchase_click": """
+            WITH p AS (SELECT event_id, ts, user_id FROM events
+                       WHERE event_type = 'purchase'),
+                 c AS (SELECT event_id, ts, user_id FROM events
+                       WHERE event_type = 'click')
+            SELECT p.event_id AS purchase_event_id, p.user_id,
+                   c.event_id AS click_event_id,
+                   date_diff('microsecond', c.ts, p.ts) AS gap_us
+            FROM p ASOF JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "sliding_avg_user_value": """
+            SELECT event_id,
+                   round(avg(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+                       AS sliding_avg
+            FROM events
+        """,
+        "sample_deterministic": """
+            SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 7 = 3
         """,
         "text_doc_stats_by_lang": """
             SELECT lang, count(*) AS n_docs,

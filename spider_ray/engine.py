@@ -79,7 +79,8 @@ class CrawlEngine:
                  force_salted_scheduler: bool = False,
                  force_distributed: bool = False,
                  driver_threshold: int = 2_000_000,
-                 index_dir: str | None = None):
+                 index_dir: str | None = None,
+                 politeness_path: str | None = None):
         self.pages_path = pages_path
         self.politeness = politeness
         self.budget = int(politeness["max_per_host_per_epoch"])
@@ -93,6 +94,7 @@ class CrawlEngine:
         self.force_salted = force_salted_scheduler
         self.force_distributed = force_distributed
         self.driver_threshold = driver_threshold
+        self.politeness_path = politeness_path
         # the pages index derives only from (pages_path, num_parts) — it
         # may live outside ckpt_dir and be shared across runs
         self.index_dir = index_dir or os.path.join(ckpt_dir, "pages_index")
@@ -267,10 +269,40 @@ class CrawlEngine:
         self._seq = manifest["next_seq"]
         return manifest
 
+    def _reconcile_config(self) -> None:
+        """Per-epoch config re-read (SURVEY.md §2 #18): if the engine was
+        given a politeness *path*, changes to budget / robots between
+        epochs take effect at the next epoch boundary — budget on the
+        driver, robots broadcast to the fetch actors.  (The reference
+        polls + diffs every 10 s in its cron trigger; an epoch boundary
+        is our natural reconcile point.)"""
+        if not self.politeness_path:
+            return
+        try:
+            with open(self.politeness_path) as f:
+                pol = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return  # keep last good config (reference logs & continues)
+        new_budget = int(pol.get("max_per_host_per_epoch", self.budget))
+        new_robots = dict(pol.get("robots", self.robots))
+        self.max_epochs = int(pol.get("max_epochs", self.max_epochs))
+        if new_budget != self.budget:
+            self.budget = new_budget
+        if new_robots != self.robots:
+            self.robots = new_robots
+            import ray
+
+            ray.get([a.update_robots.remote(new_robots)
+                     for a in self._fetch_pool])
+
     def run_epochs(self, manifest: dict) -> dict:
         """The BFS epoch loop (call prepare() first)."""
         try:
-            for e in range(manifest["next_epoch"], self.max_epochs):
+            e = manifest["next_epoch"]
+            while True:
+                self._reconcile_config()   # SURVEY.md §2 #18
+                if e >= self.max_epochs:
+                    break
                 n_frontier = self._frontier_rows(e - 1)
                 if n_frontier == 0:
                     break
@@ -279,6 +311,7 @@ class CrawlEngine:
                 manifest["next_epoch"] = e + 1
                 manifest["next_seq"] = self._seq
                 self._write_manifest(manifest)
+                e += 1
             manifest["done"] = True
             self._write_manifest(manifest)
         finally:

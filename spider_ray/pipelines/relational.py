@@ -272,6 +272,70 @@ def window_hourly_user_value(sf_dir: str):
     return out.map_batches(_round_cols({"sum_value": 2}), batch_format="pyarrow")
 
 
+def asof_join_purchase_click(sf_dir: str):
+    """As-of join: each purchase matched to the user's most recent
+    click at-or-before it (inner).  Shape: partition both sides by the
+    key, sort by time within the group, pd.merge_asof per group — the
+    guide's bucketed as-of pattern; state never crosses user boundaries."""
+    ds = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["event_type"] == "purchase"].sort_values(["ts", "event_id"])
+        c = g[g["event_type"] == "click"].sort_values(["ts", "event_id"])
+        if len(p) == 0 or len(c) == 0:
+            return pd.DataFrame({
+                "purchase_event_id": pd.Series([], dtype=np.int64),
+                "user_id": pd.Series([], dtype=np.int64),
+                "click_event_id": pd.Series([], dtype=np.int64),
+                "gap_us": pd.Series([], dtype=np.int64),
+            })
+        m = pd.merge_asof(
+            p[["ts", "event_id", "user_id"]],
+            c[["ts", "event_id"]].rename(columns={"event_id": "click_event_id",
+                                                  "ts": "click_ts"}),
+            left_on="ts", right_on="click_ts", direction="backward")
+        m = m.dropna(subset=["click_event_id"])
+        return pd.DataFrame({
+            "purchase_event_id": m["event_id"].astype(np.int64),
+            "user_id": m["user_id"].astype(np.int64),
+            "click_event_id": m["click_event_id"].astype(np.int64),
+            "gap_us": (m["ts"] - m["click_ts"]).dt.total_seconds()
+                       .mul(1_000_000).round().astype(np.int64),
+        })
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def sliding_avg_user_value(sf_dir: str):
+    """Sliding event window: trailing-3-row mean of `value` per user in
+    (ts, event_id) order — groupby(user).map_groups rolling (same SQL
+    window-frame semantics as the oracle)."""
+    ds = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        avg = g["value"].rolling(3, min_periods=1).mean()
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "sliding_avg": avg.round(4).to_numpy(),
+        })
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def sample_deterministic(sf_dir: str):
+    """Deterministic modulo sampling (reproducible subset selection —
+    the sampling op a training pipeline actually wants, unlike seeded
+    random_sample whose sampler SQL cannot replicate)."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        keep = (np.asarray(t["doc_id"]) % 7) == 3
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def sessionize_users(sf_dir: str):
     """Session windows (30-min gap) per user: groupby(user).map_groups
     over ts-sorted groups — keyed, ordered, stateful-within-group.

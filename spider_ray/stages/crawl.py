@@ -157,6 +157,13 @@ class FetchWorker:
                 return True
         return False
 
+    def update_robots(self, robots: dict[str, list[str]]) -> None:
+        """Config-change reconcile hook: the engine pushes new robots
+        rules when the politeness file changes between epochs (the
+        reference's cron-trigger diff/reconcile loop,
+        `cmd/cron-trigger/main.go:94-226`, collapsed to a broadcast)."""
+        self.robots = {h: sorted(p) for h, p in robots.items()}
+
     def warm(self, part: int) -> int:
         """Populate the cache for one shard; returns its row count (small
         return only — never ship the shard back to the caller)."""

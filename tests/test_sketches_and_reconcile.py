@@ -1,0 +1,94 @@
+"""HLL sketch accuracy + per-epoch config reconcile (SURVEY.md §2 #18)."""
+
+import json
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestHLL:
+    def test_accuracy_vs_exact(self):
+        from spider_ray.pipelines.sketches import HyperLogLog
+        from spider_ray.state.bloom import _splitmix64
+
+        rng = np.random.default_rng(3)
+        for true_n in (100, 5_000, 200_000):
+            keys = rng.integers(0, 2**63, size=true_n, dtype=np.int64)
+            uniq = len(np.unique(keys))
+            hll = HyperLogLog(p=12)
+            hll.add_hashes(_splitmix64(keys.astype(np.uint64)))
+            err = abs(hll.estimate() - uniq) / uniq
+            assert err < 0.05, f"n={true_n} err={err:.3f}"
+
+    def test_merge_equals_union(self):
+        from spider_ray.pipelines.sketches import HyperLogLog
+        from spider_ray.state.bloom import _splitmix64
+
+        rng = np.random.default_rng(4)
+        a_keys = _splitmix64(rng.integers(0, 2**62, 10_000).astype(np.uint64))
+        b_keys = _splitmix64(rng.integers(0, 2**62, 10_000).astype(np.uint64))
+        a, b, u = HyperLogLog(), HyperLogLog(), HyperLogLog()
+        a.add_hashes(a_keys)
+        b.add_hashes(b_keys)
+        u.add_hashes(np.concatenate([a_keys, b_keys]))
+        a.merge(b)
+        assert (a.registers == u.registers).all()
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_pipeline_close_to_exact(self):
+        import duckdb
+
+        from spider_ray.pipelines.sketches import approx_distinct_tokens
+
+        approx = approx_distinct_tokens(SF)["approx_distinct_tokens"][0].as_py()
+        exact = duckdb.connect().execute(
+            f"""SELECT count(DISTINCT token) FROM (
+                  SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS token
+                  FROM read_parquet('{SF}/documents.parquet'))"""
+        ).fetchone()[0]
+        assert abs(approx - exact) / exact < 0.1, (approx, exact)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_config_reconcile_between_epochs(smoke_fixture, tmp_path):
+    """Budget change written to the politeness file between epochs takes
+    effect at the next epoch; robots additions propagate to fetch actors."""
+    from spider_ray.engine import CrawlEngine
+
+    pol = json.load(open(smoke_fixture["politeness"]))
+    pol.update({"max_per_host_per_epoch": 5, "max_epochs": 1})
+    pol_path = str(tmp_path / "politeness.json")
+    with open(pol_path, "w") as f:
+        json.dump(pol, f)
+    seeds = pq.read_table(smoke_fixture["seeds"])
+
+    eng = CrawlEngine(smoke_fixture["pages"], pol, str(tmp_path / "ckpt"),
+                      num_parts=4, seen_shards=2, politeness_path=pol_path)
+    m = eng.run(seeds=seeds)
+    per_host_e0 = {}
+    for r in eng.order_table().to_pylist():
+        per_host_e0[r["host"]] = per_host_e0.get(r["host"], 0) + 1
+    assert max(per_host_e0.values()) <= 5
+
+    # raise budget + extend epochs + fully deny host000 via the file
+    pol2 = {**pol, "max_per_host_per_epoch": 11, "max_epochs": 3,
+            "robots": {**pol["robots"], "host000.example": ["/"]}}
+    with open(pol_path, "w") as f:
+        json.dump(pol2, f)
+    eng2 = CrawlEngine(smoke_fixture["pages"], pol, str(tmp_path / "ckpt"),
+                       num_parts=4, seen_shards=2, politeness_path=pol_path)
+    m2 = eng2.run(resume=True)
+    assert m2["next_epoch"] == 3
+    later = [r for r in eng2.order_table().to_pylist() if r["epoch"] >= 1]
+    per_host = {}
+    for r in later:
+        key = (r["epoch"], r["host"])
+        per_host[key] = per_host.get(key, 0) + 1
+    assert max(per_host.values()) <= 11
+    assert max(per_host.values()) > 5  # new budget actually used
+    # robots deny applied by the actors from epoch 1 on
+    host0 = [r for r in later if r["host"] == "host000.example"]
+    assert host0 and all(r["outcome"] == "robots" for r in host0)
