@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_seen": cq.crawl_seen,
         "crawl_order": cq.crawl_order,
         "crawl_text": cq.crawl_text,
+        "crawl_metrics": cq.crawl_metrics,
         # -- engine-conformance layer (flow DAG + expression mappers) ------
         "flow_basic_leaves": fq.flow_basic_leaves,
         # -- relational coverage (DuckDB-checked) -------------------------
@@ -70,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_doc_stats_by_lang": ts.doc_stats_by_lang,
         "text_token_count": ts.token_count,
         "text_quality_score": ts.quality_score,
+        "text_normalize": ts.normalize_text,
         "text_lang_id": ts.lang_id,
         "text_fingerprints": ts.fingerprints,
         # -- deduplication -------------------------------------------------
@@ -215,6 +217,11 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(length(text), 1)
                          - length(regexp_replace(text, '[^0-9]', '', 'g'))
                          / greatest(length(text), 1), 4) AS quality
+            FROM documents
+        """,
+        "text_normalize": """
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
             FROM documents
         """,
         "dedup_exact": """

@@ -69,3 +69,18 @@ def crawl_order(sf_dir: str):
 
 def crawl_text(sf_dir: str):
     return run_crawl_cached(sf_dir).text_table()
+
+
+def crawl_metrics(sf_dir: str):
+    """Per-epoch crawl counters from the lineage manifest (selected /
+    ok / miss / robots / links / admitted / frontier size)."""
+    import pyarrow as pa
+
+    eng = run_crawl_cached(sf_dir)
+    with open(os.path.join(eng.ckpt_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    rows = manifest["epochs"]
+    cols = ["epoch", "selected", "ok", "miss", "robots",
+            "links_found", "admitted", "frontier_after"]
+    return pa.table({c: pa.array([r[c] for r in rows], pa.int64())
+                     for c in cols})

@@ -48,39 +48,61 @@ def _round_cols(round_spec: dict[str, int]):
 # ---------------------------------------------------------------------------
 
 def q1_pricing_summary(sf_dir: str):
-    """TPC-H Q1 shape: filter + groupby aggregate with pre-aggregation
-    done by Ray's hash aggregate; the only shuffle is on the tiny
-    (returnflag, linestatus) key space."""
-    from ray.data.aggregate import Count, Mean, Sum
+    """TPC-H Q1 shape: filter + grouped aggregate, executed as the
+    guide's pre-aggregation pattern — per-block partial sums inside
+    map_batches (one row per key per block), then the distributed
+    groupby reduces ONLY the tiny partials: the 600k-row table never
+    enters the shuffle."""
+    from ray.data.aggregate import Sum
 
     ds = _rp(sf_dir, "lineitem",
              ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
               "l_discount", "l_tax", "l_shipdate"])
 
-    def prep(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"))))
-        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+    def partials(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"],
+                                   pa.scalar(pd.Timestamp("1998-09-02"))))
+        disc_price = pc.multiply(t["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), t["l_discount"]))
         charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), t["l_tax"]))
-        return (t.append_column("disc_price", disc_price)
-                 .append_column("charge", charge)
-                 .drop_columns(["l_shipdate", "l_tax"]))
+        t = (t.append_column("disc_price", disc_price)
+              .append_column("charge", charge))
+        return pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("disc_price", "sum"), ("charge", "sum"),
+             ("l_discount", "sum"), ("l_quantity", "count")]
+        )
 
-    out = (
-        ds.map_batches(prep, batch_format="pyarrow")
+    merged = (
+        ds.map_batches(partials, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Sum("charge", alias_name="sum_charge"),
-            Mean("l_quantity", alias_name="avg_qty"),
-            Mean("l_discount", alias_name="avg_disc"),
-            Count(alias_name="count_order"),
+            Sum("l_quantity_sum", alias_name="sum_qty"),
+            Sum("l_extendedprice_sum", alias_name="sum_base_price"),
+            Sum("disc_price_sum", alias_name="sum_disc_price"),
+            Sum("charge_sum", alias_name="sum_charge"),
+            Sum("l_discount_sum", alias_name="s_disc"),
+            Sum("l_quantity_count", alias_name="n"),
         )
     )
-    return out.map_batches(_round_cols({
-        "sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2,
-        "sum_charge": 2, "avg_qty": 4, "avg_disc": 4}), batch_format="pyarrow")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        rnd = lambda col, nd: pc.round(col, ndigits=nd,
+                                       round_mode="half_towards_infinity")
+        n = pc.cast(t["n"], pa.float64())
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": rnd(t["sum_qty"], 2),
+            "sum_base_price": rnd(t["sum_base_price"], 2),
+            "sum_disc_price": rnd(t["sum_disc_price"], 2),
+            "sum_charge": rnd(t["sum_charge"], 2),
+            "avg_qty": rnd(pc.divide(t["sum_qty"], n), 4),
+            "avg_disc": rnd(pc.divide(t["s_disc"], n), 4),
+            "count_order": pc.cast(t["n"], pa.int64()),
+        })
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
 
 
 def filter_project_revenue(sf_dir: str):
@@ -137,17 +159,16 @@ def broadcast_join_segment_revenue(sf_dir: str):
     cust = _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
     lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
 
-    class JoinSegment:
-        def __init__(self):
-            self.lookup = ray.get(lookup_ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            df["c_mktsegment"] = df["o_custkey"].map(self.lookup)
-            return df[["c_mktsegment", "o_totalprice"]]
+    def join_segment(df: pd.DataFrame) -> pd.DataFrame:
+        # ray.get of a broadcast ref is a zero-copy local-store hit per
+        # task — no actor pool needed for a pure lookup stage
+        lookup = ray.get(lookup_ref)
+        df["c_mktsegment"] = df["o_custkey"].map(lookup)
+        return df[["c_mktsegment", "o_totalprice"]]
 
     out = (
         _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(JoinSegment, batch_format="pandas", concurrency=2)
+        .map_batches(join_segment, batch_format="pandas")
         .groupby("c_mktsegment")
         .aggregate(Sum("o_totalprice", alias_name="revenue"),
                    Count(alias_name="n_orders"))

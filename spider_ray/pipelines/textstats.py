@@ -97,6 +97,20 @@ def quality_score(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def normalize_text(sf_dir: str):
+    """Text normalization: lowercase + whitespace collapse + trim —
+    vectorized Arrow kernels, RE2 semantics shared with the oracle SQL."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(pc.utf8_lower(t["text"]),
+                                       pattern=r"\s+", replacement=" "))
+        return pa.table({"doc_id": t["doc_id"], "norm_text": norm})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 class LangId:
     """n-gram/stopword heuristic language ID — an actor-pool stage: the
     stopword tables and compiled regexes are built ONCE per actor
