@@ -29,7 +29,7 @@ def entry() -> Any:
     from spider_ray.pipelines.crawl_queries import run_crawl_cached
 
     eng = run_crawl_cached("sf0.001")
-    return eng.order_table()
+    return eng.order_table().to_pandas()  # contract: Dataset | DataFrame
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

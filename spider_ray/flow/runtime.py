@@ -235,6 +235,18 @@ class FlowRuntime:
 
         return hop
 
+    def run_scheduled(self, key: str, n_ticks: int) -> dict[str, list[dict]]:
+        """Schedule-triggered runs: each tick fires the node's port
+        "triggered" with empty values — the reference's cron trigger
+        (`cmd/cron-trigger/main.go:60-65`: TriggerMessage{MetaOutput:
+        "triggered", Values:"{}"}).  The tick COUNT replaces wall-clock
+        cron firing (deterministic; the reconcile loop that re-reads
+        cron specs maps to the engine's per-epoch config re-read)."""
+        return self.run([
+            {"key": key, "meta_output": "triggered", "values": "{}"}
+            for _ in range(n_ticks)
+        ])
+
     def run(self, triggers: list[dict]) -> dict[str, list[dict]]:
         """BFS to fixpoint; returns {"outputs": [...], "leaves": [...],
         "errors": [...]} sorted deterministically."""

@@ -182,6 +182,24 @@ class TestFlowRuntime:
         res2 = FlowRuntime(spec).run(trigs)
         assert res2["leaves"] == res["leaves"]
 
+    def test_scheduled_trigger_runs(self):
+        """Schedule-triggered flow: each tick = one empty 'triggered'
+        event (cron-trigger semantics, cmd/cron-trigger/main.go:60-65)."""
+        from spider_ray.flow import FlowRuntime
+        from spider_ray.flow.spec import Peer
+
+        spec = FlowSpec(tenant_id="t1", workflow_id="ws",
+                        trigger_type="schedule")
+        spec.actions["cron"] = Action("cron", "cron-trigger-action")
+        spec.actions["b"] = Action("b", "test-action-b", mapper={
+            "value": Mapper("fixed", "tick")})
+        spec.peers.append(Peer("cron", "triggered", "b"))
+        res = FlowRuntime(spec).run_scheduled("cron", n_ticks=5)
+        assert len(res["leaves"]) == 5
+        assert all(json.loads(r["values"]) == {"value": "tick"}
+                   for r in res["leaves"])
+        assert len({r["session_id"] for r in res["leaves"]}) == 5
+
     def test_worker_error_captured(self):
         from spider_ray.flow import FlowRuntime, register_worker
         from spider_ray.flow.spec import Peer
