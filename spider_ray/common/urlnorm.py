@@ -63,11 +63,16 @@ def canonicalize(url: str) -> str | None:
     scheme = parts.scheme.lower()
     if scheme not in ("http", "https"):
         return None
-    host = parts.hostname
-    if not host:
+    try:
+        host = parts.hostname
+        if not host:
+            return None
+        host = host.lower().rstrip(".")
+        # .port raises ValueError on malformed/out-of-range ports — one
+        # bad href must never crash a fetch stage (invalid -> dropped)
+        port = parts.port
+    except ValueError:
         return None
-    host = host.lower().rstrip(".")
-    port = parts.port
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORTS[scheme]:
         netloc = f"{host}:{port}"
@@ -94,6 +99,16 @@ def path_of(canonical_url: str) -> str:
     if slash < 0:
         return "/"
     return rest[slash:].split("?", 1)[0]
+
+
+def robots_denied(robots: dict[str, list[str]], host: str, path: str) -> bool:
+    """Shared robots deny-prefix predicate — ONE definition imported by
+    both the oracle and the fetch workers so engine/oracle parity holds
+    by construction (rule set is tiny config; linear scan)."""
+    for prefix in robots.get(host, ()):
+        if path.startswith(prefix):
+            return True
+    return False
 
 
 def resolve(base_url: str, href: str) -> str | None:

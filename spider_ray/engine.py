@@ -350,6 +350,12 @@ class CrawlEngine:
                 _marks.append((name, _time.time()))
 
         edir = self._epoch_dir(e)
+        # a rerun of a partially-completed epoch (crash mid-epoch, then
+        # resume — possibly with different pool size / budget) must not
+        # inherit stale per-rank texts shards or admitted files: clear the
+        # epoch's outputs before (re)producing them
+        for sub in ("texts", "admitted"):
+            shutil.rmtree(os.path.join(edir, sub), ignore_errors=True)
         os.makedirs(edir, exist_ok=True)
         ffiles = self._parquet_files(os.path.join(self._epoch_dir(e - 1), "frontier"))
         small = (not self.force_distributed) and n_frontier <= self.driver_threshold

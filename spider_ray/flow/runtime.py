@@ -93,6 +93,8 @@ def _apply_mapper(compiled: dict[str, tuple[str, object]], env: dict) -> dict:
     for field, (mode, prog) in compiled.items():
         if mode == "fixed":
             out[field] = prog
+        elif mode == "error":  # compile failed for this field (spec.py)
+            raise ExprError(prog)
         else:
             out[field] = prog(env)
     return out
@@ -156,10 +158,17 @@ class FlowRuntime:
             )
             try:
                 child_input = _apply_mapper(mappers[child_key], env)
-            except ExprError as ex:
-                # reference logs & drops on mapper failure (workflow.go:158-170)
-                child_input = {"$error": str(ex)}
-            task_id = f"t{hash64(f'{session_id}/{parent_task}/{child_key}/{meta_output}'):016x}"
+            except Exception as ex:
+                # any mapper failure — ExprError, TypeError on mixed
+                # operands, ZeroDivisionError, … — is log-and-drop in the
+                # reference (workflow.go:158-170); never the whole batch
+                child_input = {"$error": f"{type(ex).__name__}: {ex}"}
+            # path-style task ids: lexicographic order == creation order
+            # (preserving the UUIDv7 ordered-by-creation property the ids
+            # replace, SURVEY.md §1.3) while staying pure functions of
+            # lineage — `edge` is the child's index on this output port
+            edge = children.index(child_key)
+            task_id = f"{parent_task}/{edge:02d}.{child_key}"
             out.append({
                 "kind": "input",
                 "tenant_id": spec.tenant_id,
@@ -214,14 +223,14 @@ class FlowRuntime:
                     log_row = {
                         **row,
                         "kind": "output",
-                        "task_id": f"{row['task_id']}.o{out_idx}",
+                        "task_id": f"{row['task_id']}.o{out_idx:03d}",
                         "meta_output": meta_output,
                         "values": json.dumps(out_values, sort_keys=True),
                         "context": json.dumps(new_ctx, sort_keys=True),
                     }
                     out_rows.append(log_row)
                     nxt = fan_out(edges, compiled, spec, row["session_id"],
-                                  parent_task=f"{row['task_id']}.o{out_idx}",
+                                  parent_task=f"{row['task_id']}.o{out_idx:03d}",
                                   key=row["key"], meta_output=meta_output,
                                   ctx=new_ctx)
                     if not nxt:

@@ -19,7 +19,7 @@ from __future__ import annotations
 import json
 from dataclasses import dataclass, field
 
-from .expr import compile_expr
+from .expr import ExprError, compile_expr
 
 MAPPER_MODES = ("fixed", "key", "expression")  # pkg/spider/storage.go:5-16
 
@@ -105,7 +105,13 @@ class FlowSpec:
                 if len(m.value) == 0 or m.mode == "fixed":
                     fields[fname] = ("fixed", "" if len(m.value) == 0 else m.value)
                 else:  # key | expression both compile (workflow.go:371-391)
-                    fields[fname] = ("expr", compile_expr(m.value))
+                    try:
+                        fields[fname] = ("expr", compile_expr(m.value))
+                    except ExprError as ex:
+                        # a bad expression on ONE edge must not take the
+                        # whole flow down (reference: per-record compile
+                        # error -> log & drop that dispatch)
+                        fields[fname] = ("error", str(ex))
             out[key] = fields
         return out
 
@@ -162,6 +168,7 @@ class FlowStore:
         self._order.remove(k)
 
     def list(self, tenant_id: str, page: int = 1, page_size: int = 20) -> list[FlowSpec]:
+        page = max(1, page)                      # pages are 1-based
         page_size = min(max(1, page_size), 100)  # apis/flow.go:113-116
         keys = [k for k in reversed(self._order) if k[0] == tenant_id]
         lo = (page - 1) * page_size

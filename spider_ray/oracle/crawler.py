@@ -90,20 +90,28 @@ class OracleCrawler:
         self.budget = int(politeness["max_per_host_per_epoch"])
         self.max_epochs = int(politeness["max_epochs"])
         self.robots: dict[str, list[str]] = dict(politeness.get("robots", {}))
-        # pages indexed by canonical url
+        # pages indexed by canonical url.  Duplicate canonical urls
+        # (recrawls) resolve to the LATEST capture by (warc_ts, html) —
+        # the contract the engine's fetch index implements identically.
         self.index: dict[str, int] = {}
         self._urls = pages["url"].to_pylist()
         self._htmls = pages["html"]
+        ts = (pages["warc_ts"].to_pylist()
+              if "warc_ts" in pages.schema.names else [0] * pages.num_rows)
+        best: dict[str, tuple] = {}
         for i, u in enumerate(self._urls):
             c = canonicalize(u)
-            if c is not None:
+            if c is None:
+                continue
+            key = (ts[i], self._htmls[i].as_py())
+            if c not in best or key > best[c]:
+                best[c] = key
                 self.index[c] = i
 
     def _robots_denied(self, host: str, path: str) -> bool:
-        for prefix in self.robots.get(host, ()):  # tiny config, linear scan fine
-            if path.startswith(prefix):
-                return True
-        return False
+        from ..common.urlnorm import robots_denied
+
+        return robots_denied(self.robots, host, path)
 
     def crawl(self, seeds: list[tuple[str, float]]) -> CrawlResult:
         seen: dict[str, int] = {}

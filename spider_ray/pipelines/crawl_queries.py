@@ -38,9 +38,9 @@ def run_crawl_cached(sf_dir: str, n_pages: int | None = None,
     key = (n, budget, max_epochs)
     if key in _CACHE:
         return _CACHE[key]
-    # _v2: bump when engine/datagen semantics change so stale /tmp results
+    # _v3: bump when engine/datagen semantics change so stale /tmp results
     # from older code never serve
-    root = f"/tmp/spider_ray_cache_v2/n{n}_b{budget}_e{max_epochs}"
+    root = f"/tmp/spider_ray_cache_v3/n{n}_b{budget}_e{max_epochs}"
     pol = default_politeness(max_per_host_per_epoch=budget, max_epochs=max_epochs)
     paths = write_fixture(os.path.join(root, "fixture"), n_pages=n, seed=42,
                           politeness=pol)

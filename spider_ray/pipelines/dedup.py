@@ -30,10 +30,7 @@ from ..state.bloom import _splitmix64
 _WORD = re.compile(r"[A-Za-z0-9_]+")
 
 
-def _rp(sf_dir: str, table: str, columns=None):
-    import ray.data as rd
-
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+from . import read_table as _rp  # shared column-pruned read (one definition)
 
 
 # ---------------------------------------------------------------------------

@@ -27,10 +27,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _rp(sf_dir: str, table: str, columns=None):
-    import ray.data as rd
-
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+from . import read_table as _rp  # shared column-pruned read (one definition)
 
 
 def _round_cols(round_spec: dict[str, int]):

@@ -22,10 +22,7 @@ from ..common.hashing import hash64
 _TOKEN_PAT = r"[A-Za-z0-9_]+"  # shared with oracle SQL regexp_extract_all
 
 
-def _rp(sf_dir: str, table: str, columns=None):
-    import ray.data as rd
-
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+from . import read_table as _rp  # shared column-pruned read (one definition)
 
 
 def doc_stats_by_lang(sf_dir: str):

@@ -26,7 +26,7 @@ import pyarrow.parquet as pq
 
 from ..common.extract import extract_hrefs, extract_text
 from ..common.hashing import hash64_many
-from ..common.urlnorm import canonicalize, host_of, path_of, resolve
+from ..common.urlnorm import canonicalize, host_of, path_of, resolve, robots_denied
 
 FRONTIER_SCHEMA = pa.schema(
     [
@@ -79,7 +79,8 @@ def build_pages_index(pages_path: str, index_dir: str, num_parts: int) -> dict:
     marker = os.path.join(index_dir, "_INDEX_DONE.json")
     key = json.dumps({"pages": os.path.abspath(pages_path),
                       "mtime": os.path.getmtime(pages_path),
-                      "parts": num_parts}, sort_keys=True)
+                      "parts": num_parts,
+                      "schema_v": 2}, sort_keys=True)  # bump on index schema change
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read() == key:
@@ -92,17 +93,19 @@ def build_pages_index(pages_path: str, index_dir: str, num_parts: int) -> dict:
         keep = [i for i, c in enumerate(canon) if c is not None]
         cu = [canon[i] for i in keep]
         h = hash64_many(cu) if cu else np.array([], dtype=np.int64)
+        keep_idx = pa.array(keep, pa.int64())
         return pa.table(
             {
                 "url_hash": pa.array(h, pa.int64()),
                 "canonical_url": pa.array(cu, pa.string()),
-                "html": pc.take(batch["html"], pa.array(keep, pa.int64())),
+                "html": pc.take(batch["html"], keep_idx),
+                "warc_ts": pc.take(batch["warc_ts"], keep_idx),
                 "part": pa.array((h % num_parts).astype(np.int32), pa.int32()),
             }
         )
 
     (
-        rd.read_parquet(pages_path, columns=["url", "html"])
+        rd.read_parquet(pages_path, columns=["url", "html", "warc_ts"])
         .map_batches(to_index, batch_format="pyarrow")
         .write_parquet(index_dir, partition_cols=["part"], mode="overwrite")
     )
@@ -152,10 +155,7 @@ class FetchWorker:
         self._max_cached = max_cached_parts
 
     def _denied(self, host: str, path: str) -> bool:
-        for prefix in self.robots.get(host, ()):
-            if path.startswith(prefix):
-                return True
-        return False
+        return robots_denied(self.robots, host, path)
 
     def update_robots(self, robots: dict[str, list[str]]) -> None:
         """Config-change reconcile hook: the engine pushes new robots
@@ -173,7 +173,10 @@ class FetchWorker:
     def _load_part(self, part: int):
         """Sorted-hash lookup index for one pages shard: O(log n)
         membership + one vectorized gather per batch — cheaper and
-        single-threaded vs an Arrow hash join per call."""
+        single-threaded vs an Arrow hash join per call.
+
+        Duplicate canonical urls (recrawls) resolve to the LATEST capture
+        by (warc_ts, html) — the same contract as the oracle's index."""
         if part in self._cache:
             return self._cache[part]
         part_dir = os.path.join(self.index_dir, f"part={part}")
@@ -181,12 +184,34 @@ class FetchWorker:
             entry = (np.zeros(0, np.int64), np.zeros(0, np.int64),
                      pa.array([], pa.binary()))
         else:
-            t = pq.read_table(part_dir, columns=["url_hash", "html"],
+            t = pq.read_table(part_dir, columns=["url_hash", "html", "warc_ts"],
                               use_threads=False)
             h = np.asarray(t["url_hash"])
-            order = np.argsort(h, kind="stable")
+            order = np.argsort(h, kind="stable").astype(np.int64)
+            hs = h[order]
+            dup = np.zeros(len(hs), dtype=bool)
+            dup[1:] = hs[1:] == hs[:-1]
+            if dup.any():
+                # rare path: pick max (warc_ts, html) per duplicate hash
+                ts = np.asarray(t["warc_ts"]).astype("datetime64[us]").astype(np.int64)
+                html_col = t["html"]
+                keep_rows = []
+                i = 0
+                while i < len(hs):
+                    j = i
+                    while j + 1 < len(hs) and hs[j + 1] == hs[i]:
+                        j += 1
+                    if j == i:
+                        keep_rows.append(order[i])
+                    else:
+                        grp = order[i:j + 1]
+                        keep_rows.append(max(
+                            grp, key=lambda r: (ts[r], html_col[int(r)].as_py())))
+                    i = j + 1
+                order = np.asarray(keep_rows, dtype=np.int64)
+                hs = h[order]
             html = t["html"].combine_chunks()
-            entry = (h[order], order.astype(np.int64), html)
+            entry = (hs, order, html)
         if len(self._cache) >= self._max_cached:
             self._cache.pop(next(iter(self._cache)))  # FIFO eviction
         self._cache[part] = entry
@@ -200,20 +225,20 @@ class FetchWorker:
         for p in sorted(parts):
             sel = batch.filter(pc.equal(batch["part"], p))
             sorted_h, order, html_col = self._load_part(int(p))
-            h = np.asarray(sel["url_hash"])
-            pos = np.searchsorted(sorted_h, h)
-            pos_c = np.clip(pos, 0, max(0, len(sorted_h) - 1))
-            found = (len(sorted_h) > 0) & (sorted_h[pos_c] == h)
             urls += sel["canonical_url"].to_pylist()
             hosts += sel["host"].to_pylist()
             prios += sel["priority"].to_pylist()
-            if len(sorted_h):
-                gathered = html_col.take(
-                    pa.array(order[pos_c], pa.int64())).to_pylist()
-                htmls += [g if f else None
-                          for g, f in zip(gathered, found.tolist())]
-            else:
+            if len(sorted_h) == 0:  # shard has no pages at all -> all miss
                 htmls += [None] * sel.num_rows
+                continue
+            h = np.asarray(sel["url_hash"])
+            pos = np.searchsorted(sorted_h, h)
+            pos_c = np.clip(pos, 0, len(sorted_h) - 1)
+            found = sorted_h[pos_c] == h
+            gathered = html_col.take(
+                pa.array(order[pos_c], pa.int64())).to_pylist()
+            htmls += [g if f else None
+                      for g, f in zip(gathered, found.tolist())]
         out_url, out_host, out_prio = [], [], []
         out_outcome, out_text, out_links = [], [], []
         for u, h, p, html in zip(urls, hosts, prios, htmls):
