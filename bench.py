@@ -27,10 +27,12 @@ import time
 
 
 def _sf_of(sf_dir: str) -> float:
-    import re
+    import sys as _sys
 
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    return float(m.group(1)) if m else 0.1
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from spider_ray.pipelines import sf_of
+
+    return sf_of(sf_dir, default=0.1)
 
 
 def bench_crawl(sf_dir: str, num_cpus: int) -> dict:
@@ -64,12 +66,6 @@ def bench_crawl(sf_dir: str, num_cpus: int) -> dict:
                       seen_shards=8, fetch_concurrency=num_cpus,
                       seen_capacity_per_shard=1 << 20, index_dir=index_dir)
     build_pages_index(paths["pages"], eng.index_dir, num_parts)  # untimed ingest
-    # warm the OS page cache (untimed) so the timed section measures
-    # compute + pipeline, not first-touch disk reads of the 6 GB index
-    for f in CrawlEngine._parquet_files(index_dir):
-        with open(f, "rb") as fh:
-            while fh.read(1 << 24):
-                pass
     # bench seeds: every 3rd page url -> a frontier that is large from
     # epoch 0, so throughput measures steady-state work, not ramp-up
     urls = pq.read_table(paths["pages"], columns=["url"])["url"].to_pylist()[::3]
@@ -146,8 +142,16 @@ def run_scaling() -> dict:
     results = {}
     for ncpu in (2, 8, 32):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_CRAWL_ONLY="1")
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True, check=True)
+        try:
+            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                 env=env, capture_output=True, text=True,
+                                 check=True)
+        except subprocess.CalledProcessError as ex:
+            # preserve the child's diagnostics and any completed levels
+            sys.stderr.write(f"[scaling] num_cpus={ncpu} failed "
+                             f"(exit {ex.returncode}); child stderr:\n"
+                             f"{ex.stderr[-4000:] if ex.stderr else ''}\n")
+            raise
         results[ncpu] = json.loads(out.stdout.strip().splitlines()[-1])
     t2 = results[2]["crawl"]["urls_per_sec"]
     t8 = results[8]["crawl"]["urls_per_sec"]

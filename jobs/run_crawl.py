@@ -74,17 +74,17 @@ def main() -> int:
                       fetch_concurrency=args.fetch_concurrency,
                       force_distributed=args.force_distributed,
                       politeness_path=args.politeness)
-    if args.resume:
-        manifest = eng.run(resume=True)
-    else:
-        if not args.seeds:
-            ap.error("--seeds required for fresh runs")
-        manifest = eng.run(seeds=pq.read_table(args.seeds))
+    if not args.seeds and not args.resume:
+        ap.error("--seeds required for fresh runs")
+    # --resume with --seeds: seeds pass through so resuming against a
+    # missing/wiped checkpoint degrades to a fresh run instead of failing
+    seeds = pq.read_table(args.seeds) if args.seeds else None
+    manifest = eng.run(seeds=seeds, resume=args.resume)
     print(json.dumps({
         "done": manifest["done"],
         "epochs": len(manifest["epochs"]),
         "urls": sum(e["selected"] for e in manifest["epochs"]),
-        "seen": int(eng.seen_table().num_rows),
+        "seen": eng.seen_count(),  # metadata-only: never materializes urls
         "ckpt": args.ckpt,
     }))
     ray.shutdown()

@@ -221,8 +221,18 @@ class CrawlEngine:
         rebuild.  Split from run_epochs so benchmarks can warm the fetch
         caches untimed between the two."""
         manifest = self._read_manifest() if resume else None
+        if resume and manifest is not None:
+            # resuming against the wrong corpus would silently mix two
+            # crawls (seen set from A, fetches from B) — refuse loudly
+            recorded = manifest.get("pages_path")
+            if recorded and recorded != os.path.abspath(self.pages_path):
+                raise ValueError(
+                    f"checkpoint was built from {recorded!r}, not "
+                    f"{os.path.abspath(self.pages_path)!r}")
         if manifest is None:
-            assert seeds is not None, "fresh run needs seeds"
+            if seeds is None:
+                raise ValueError("fresh run needs seeds (no checkpoint "
+                                 "manifest found to resume from)")
             if os.path.isdir(self.ckpt_dir):
                 # keep the (idempotent) pages index; drop stale epoch state
                 for name in os.listdir(self.ckpt_dir):
@@ -530,6 +540,17 @@ class CrawlEngine:
         return stats
 
     # ------------------------------------------------------------ results
+    def seen_count(self) -> int:
+        """Final seen-set size from parquet metadata only — never
+        materializes the URL set (safe at any frontier scale)."""
+        total = 0
+        for name in sorted(os.listdir(self.ckpt_dir)):
+            if name.startswith("epoch_"):
+                for f in self._parquet_files(
+                        os.path.join(self.ckpt_dir, name, "admitted")):
+                    total += pq.ParquetFile(f).metadata.num_rows
+        return total
+
     def seen_table(self) -> pa.Table:
         """Final seen set from checkpoint deltas (canonical_url, url_hash,
         first_epoch) — sorted by url for comparison with the oracle."""

@@ -12,3 +12,12 @@ def read_table(sf_dir: str, table: str, columns=None):
     import ray.data as rd
 
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def sf_of(sf_dir: str, default: float = 0.001) -> float:
+    """Parse the scale factor from an sfN path token; callers supply
+    their own default for token-less paths (one regex, one place)."""
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir or "")
+    return float(m.group(1)) if m else default

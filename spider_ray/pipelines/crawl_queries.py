@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import json
 import os
-import re
 
 import pyarrow.parquet as pq
 
@@ -23,9 +22,9 @@ _CACHE: dict[tuple, object] = {}
 
 
 def _scale_pages(sf_dir: str) -> int:
-    m = re.search(r"sf([0-9.]+)", sf_dir or "")
-    sf = float(m.group(1)) if m else 0.001
-    return max(1000, int(2_000_000 * sf))  # sf0.001 -> 2k, sf0.01 -> 20k pages
+    from . import sf_of
+
+    return max(1000, int(2_000_000 * sf_of(sf_dir)))  # sf0.001 -> 2k pages
 
 
 def run_crawl_cached(sf_dir: str, n_pages: int | None = None,

@@ -11,7 +11,8 @@ def ray_session():
     """ONE Ray session for the whole pytest run (see repo instructions)."""
     import ray
 
-    if not ray.is_initialized():
+    owned = not ray.is_initialized()
+    if owned:
         ray.init(
             address="local",
             num_cpus=4,
@@ -24,7 +25,8 @@ def ray_session():
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     yield
-    ray.shutdown()
+    if owned:  # never tear down a session this fixture did not create
+        ray.shutdown()
 
 
 @pytest.fixture(scope="session")

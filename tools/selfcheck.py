@@ -27,7 +27,10 @@ def _to_pandas(res) -> pd.DataFrame:
 
 def _norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
-    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    # sort by exact-typed (non-float) columns first: sub-tolerance float
+    # noise in a leading sort key would misalign rows between frames
+    keys = sorted(df.columns, key=lambda c: (df[c].dtype.kind == "f", c))
+    df = df.sort_values(keys, kind="mergesort").reset_index(drop=True)
     return df
 
 
@@ -80,6 +83,10 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    unknown = only - set(qs)
+    if unknown:
+        print(f"FAIL  unknown query names: {sorted(unknown)}")
+        failures += 1
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -95,7 +102,10 @@ def main():
             print(f"ok    {name}: rows={len(df_ray)} ({dt:.1f}s) [rows-only]")
             continue
         df_sql = con.execute(oracles[name]).fetchdf()
-        problems = compare(df_ray, df_sql)
+        try:
+            problems = compare(df_ray, df_sql)
+        except Exception as ex:  # dtype surprises must not abort the run
+            problems = [f"compare raised {type(ex).__name__}: {ex}"]
         if problems:
             failures += 1
             print(f"FAIL  {name}: {'; '.join(problems)}")
