@@ -393,13 +393,17 @@ class CrawlEngine:
         for p in sorted(selected["part"].unique()):
             per_actor[int(p) % len(pool)].append(
                 sel_tbl.filter(pc.equal(sel_tbl["part"], int(p))))
-        outcome_refs, link_refs = [], []
+        outcome_refs, link_refs, flush_refs = [], [], []
         for rank, tables in enumerate(per_actor):
             if not tables:
                 continue
             texts_path = os.path.join(edir, "texts", f"shard-{rank:04d}.parquet")
-            oref, lref = pool[rank].fetch_and_sink.options(num_returns=2).remote(
-                pa.concat_tables(tables), texts_path, self.num_parts)
+            oref, lref = pool[rank].fetch_stash.options(num_returns=2).remote(
+                pa.concat_tables(tables), self.num_parts)
+            # flush is queued behind fetch on the same actor and runs
+            # while the driver does link-dedup / frontier work below; the
+            # join before the stats/manifest write keeps crash-replay exact
+            flush_refs.append(pool[rank].flush_texts.remote(texts_path))
             outcome_refs.append(oref)
             link_refs.append(lref)
 
@@ -524,6 +528,7 @@ class CrawlEngine:
             self._write_frontier(nxt, e)
             n_frontier_after = self._frontier_rows(e)
 
+        ray.get(flush_refs)  # texts durable BEFORE the epoch is committed
         _mark("frontier_write")
         if _dbg:
             spans = [f"{n}={t1-t0:.2f}" for (_, t0), (n, t1) in

@@ -279,28 +279,40 @@ class FetchWorker:
         fetched = self(batch)
         return fetched, fetched.select(["canonical_url", "outcome"])
 
-    def fetch_and_sink(self, batch: pa.Table, texts_path: str,
-                       num_parts: int) -> tuple[pa.Table, pa.Table]:
-        """Fused fetch + text sink + link fan-out: the actor writes its
-        own texts shard (one parquet file per actor per epoch — the
-        resumable-output layout) so the wide `text` payload never crosses
-        the object store, and returns only
-          (outcomes: url/outcome, links: canonical_url/priority exploded).
-        This is the hot path; the un-fused methods above remain for the
-        map_batches deployment mode."""
+    def fetch_stash(self, batch: pa.Table,
+                    num_parts: int) -> tuple[pa.Table, pa.Table]:
+        """Fused fetch + link fan-out, with the texts payload STASHED in
+        actor memory for a separate flush_texts() call: the driver gets
+        (outcomes, links) as soon as extraction finishes and does its
+        link-dedup / frontier work while the actor writes its shard —
+        actor method calls are serialized, so flush always runs after
+        fetch and before the next epoch's fetch.  The wide `text` column
+        never crosses the object store."""
         fetched = self(batch)
-        texts = fetched.filter(pc.equal(fetched["outcome"], "ok")) \
-                       .select(["canonical_url", "text"]) \
-                       .rename_columns(["url", "text"])
+        self._pending_texts = (
+            fetched.filter(pc.equal(fetched["outcome"], "ok"))
+                   .select(["canonical_url", "text"])
+                   .rename_columns(["url", "text"]))
+        links = explode_links(fetched, num_parts)
+        return fetched.select(["canonical_url", "outcome"]), links
+
+    def flush_texts(self, texts_path: str) -> int:
+        """Write the stashed texts shard (one parquet file per actor per
+        epoch — the resumable-output layout).  Atomic rename => replay-
+        safe; the engine joins these refs BEFORE marking the epoch
+        complete, so a crash between fetch and flush replays the epoch."""
+        texts = getattr(self, "_pending_texts", None)
+        if texts is None:
+            return 0
+        self._pending_texts = None
         os.makedirs(os.path.dirname(texts_path), exist_ok=True)
         tmp = texts_path + ".tmp"
         # zstd: ~3x fewer bytes than snappy on extracted text — disk
         # bandwidth is the shared serial resource on a single node, CPU
         # (the compressor) is the parallel one
         pq.write_table(texts, tmp, compression="zstd")
-        os.replace(tmp, texts_path)  # atomic: replay-safe on retry
-        links = explode_links(fetched, num_parts)
-        return fetched.select(["canonical_url", "outcome"]), links
+        os.replace(tmp, texts_path)
+        return texts.num_rows
 
 
 def _empty_fetch_table() -> pa.Table:
