@@ -40,7 +40,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from .common.hashing import hash64_many
-from .scheduler import _topb_pandas, select_epoch
+from .scheduler import _topb_pandas, select_epoch_ds
 from .stages.crawl import (
     FRONTIER_SCHEMA,
     FetchWorker,
@@ -62,6 +62,97 @@ _ORDER_SCHEMA = pa.schema(
         ("outcome", pa.string()),
     ]
 )
+
+
+# -------------------------------------------------------------------------
+# distributed-epoch task kernels (plain functions, wrapped ray.remote
+# lazily via _remote_fns so importing this module never touches Ray)
+# -------------------------------------------------------------------------
+
+def _write_order_shard(block, epoch: int, seq_offset: int, path: str) -> dict:
+    """Stamp one sorted order block with its global seq range (seq_offset
+    = running prefix sum of preceding block row counts — the
+    per-partition prefix-sum order write) and persist it atomically.
+    Returns the shard's outcome counts so the driver only ever sees
+    per-shard integers, never order rows."""
+    pa.set_cpu_count(1)
+    if isinstance(block, pa.Table):
+        t = block
+    elif isinstance(block, pd.DataFrame):
+        t = pa.Table.from_pandas(block, preserve_index=False)
+    else:
+        t = pa.table(block)
+    n = t.num_rows
+    out = pa.table(
+        {
+            "epoch": pa.array(np.full(n, epoch, np.int32)),
+            "seq": pa.array(seq_offset + np.arange(n, dtype=np.int64)),
+            "canonical_url": t["canonical_url"],
+            "host": t["host"],
+            "priority": t["priority"],
+            "outcome": t["outcome"],
+        }
+    ).cast(_ORDER_SCHEMA)
+    tmp = path + ".tmp"
+    pq.write_table(out, tmp)
+    os.replace(tmp, path)
+    counts = {"ok": 0, "miss": 0, "robots": 0}
+    vc = out["outcome"].to_pandas().value_counts()
+    for k, v in vc.items():
+        counts[k] = int(v)
+    return counts
+
+
+def _next_frontier_part(part: int, frontier_files: list[str],
+                        selected_files: list[str], admitted_files: list[str],
+                        out_path: str) -> int:
+    """Partition-aligned frontier update for ONE part:
+    next_p = (frontier_p − selected_p) ∪ admitted_p.
+
+    No shuffle, no driver data: P of these run in parallel, each reading
+    only its own part's rows (parquet predicate pushdown on `part` skips
+    whole files when the previous epoch already wrote per-part files).
+    Returns the part's new row count (an int)."""
+    pa.set_cpu_count(1)
+    ft = pq.read_table(frontier_files, columns=list(FRONTIER_SCHEMA.names),
+                       filters=[("part", "==", part)], use_threads=False) \
+        if frontier_files else pa.Table.from_pylist([], schema=FRONTIER_SCHEMA)
+    if selected_files and ft.num_rows:
+        sel_h = np.asarray(pq.read_table(selected_files, columns=["url_hash"],
+                                         use_threads=False)["url_hash"])
+        keep = ~np.isin(np.asarray(ft["url_hash"]), sel_h)
+        ft = ft.filter(pa.array(keep))
+    parts = [ft.cast(FRONTIER_SCHEMA)]
+    if admitted_files:
+        at = pq.read_table(admitted_files,
+                           columns=["canonical_url", "host", "priority", "url_hash"],
+                           use_threads=False)
+        at = at.append_column(
+            "part", pa.array(np.full(at.num_rows, part, np.int32)))
+        parts.append(at.select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA))
+    out = pa.concat_tables(parts)
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    tmp = out_path + ".tmp"
+    pq.write_table(out, tmp)
+    os.replace(tmp, out_path)
+    return out.num_rows
+
+
+_RFNS: dict | None = None
+
+
+def _remote_fns() -> dict:
+    global _RFNS
+    if _RFNS is None:
+        import ray
+
+        # fractional CPUs: these are small IO-bound tasks that must be
+        # schedulable ALONGSIDE the persistent fetch-actor reservations
+        _RFNS = {
+            "order": ray.remote(num_cpus=0.25)(_write_order_shard),
+            "frontier": ray.remote(num_cpus=0.25)(_next_frontier_part),
+        }
+    return _RFNS
 
 
 class CrawlEngine:
@@ -195,14 +286,6 @@ class CrawlEngine:
         for root, _, files in os.walk(path):
             out += [os.path.join(root, f) for f in files if f.endswith(".parquet")]
         return sorted(out)
-
-    def _read_frontier(self, e: int):
-        import ray.data as rd
-
-        files = self._parquet_files(os.path.join(self._epoch_dir(e), "frontier"))
-        if not files:
-            return rd.from_arrow(pa.Table.from_pylist([], schema=FRONTIER_SCHEMA))
-        return rd.read_parquet(files)
 
     # ---------------------------------------------------------------- run
     def run(self, seeds: pa.Table | None = None, resume: bool = False) -> dict:
@@ -343,13 +426,15 @@ class CrawlEngine:
         Data execution costs ~0.5s of streaming-executor overhead, which
         dominates small epochs.  Above the thresholds (or with
         force_distributed=True, which conformance tests exercise) every
-        stage runs as the distributed pipeline.  Volume work is always
-        parallel: fetch/extract runs on the persistent actor pool, and
-        each actor writes its own texts shard (the text payload never
-        crosses the object store).
+        stage runs as the distributed pipeline, and NO per-row data
+        touches the driver: the selection stays a Dataset staged to
+        per-part parquet, fetch actors pull their own partitions, the
+        crawl order is sorted + seq-stamped by per-block prefix sums, and
+        the next frontier is built by P partition-aligned tasks.  Volume
+        work is always parallel: fetch/extract runs on the persistent
+        actor pool, and each actor writes its own texts shard (the text
+        payload never crosses the object store).
         """
-        import ray
-        import ray.data as rd
         import time as _time
 
         _dbg = bool(os.environ.get("SPIDER_RAY_EPOCH_DEBUG"))
@@ -361,26 +446,46 @@ class CrawlEngine:
 
         edir = self._epoch_dir(e)
         # a rerun of a partially-completed epoch (crash mid-epoch, then
-        # resume — possibly with different pool size / budget) must not
-        # inherit stale per-rank texts shards or admitted files: clear the
-        # epoch's outputs before (re)producing them
-        for sub in ("texts", "admitted"):
+        # resume — possibly with different pool size / budget / path
+        # selection) must not inherit stale outputs: clear EVERY epoch
+        # artifact before (re)producing it (ADVICE.md: a small-path rerun
+        # after a distributed crash must not union stale frontier shards)
+        for sub in ("texts", "admitted", "selected", "order", "frontier"):
             shutil.rmtree(os.path.join(edir, sub), ignore_errors=True)
+        for f in ("order.parquet",):
+            try:
+                os.remove(os.path.join(edir, f))
+            except OSError:
+                pass
         os.makedirs(edir, exist_ok=True)
         ffiles = self._parquet_files(os.path.join(self._epoch_dir(e - 1), "frontier"))
         small = (not self.force_distributed) and n_frontier <= self.driver_threshold
-
-        # 1. politeness selection (deterministic order, same kernel both paths)
-        frontier_tbl = None
         if small:
-            frontier_tbl = pq.read_table(ffiles)
-            pdf = frontier_tbl.to_pandas()
-            pdf = pdf.assign(neg_priority=-pdf["priority"])
-            selected = (_topb_pandas(pdf, self.budget)
-                        .drop(columns=["neg_priority"]).reset_index(drop=True))
+            stats = self._epoch_small(e, ffiles, _mark)
         else:
-            selected = select_epoch(rd.read_parquet(ffiles), self.budget,
-                                    force_salted=self.force_salted)
+            stats = self._epoch_distributed(e, ffiles, _mark)
+        if _dbg:
+            spans = [f"{n}={t1-t0:.2f}" for (_, t0), (n, t1) in
+                     zip(_marks, _marks[1:])]
+            print(f"[epoch {e}] " + " ".join(spans), flush=True)
+        with open(os.path.join(edir, "metrics.json"), "w") as f:
+            json.dump(stats, f)
+        return stats
+
+    def _epoch_small(self, e: int, ffiles: list[str], _mark) -> dict:
+        """Driver-side epoch for control-sized frontiers — same pure
+        kernels (_topb_pandas, finalize_links, two-phase seen) as the
+        distributed path, none of the per-execution Ray Data overhead."""
+        import ray
+
+        edir = self._epoch_dir(e)
+
+        # 1. politeness selection (deterministic order)
+        frontier_tbl = pq.read_table(ffiles)
+        pdf = frontier_tbl.to_pandas()
+        pdf = pdf.assign(neg_priority=-pdf["priority"])
+        selected = (_topb_pandas(pdf, self.budget)
+                    .drop(columns=["neg_priority"]).reset_index(drop=True))
         n_sel = len(selected)
         _mark("select")
 
@@ -411,9 +516,8 @@ class CrawlEngine:
 
         # 3. crawl-order record. `selected` is already in the deterministic
         # order (host, -priority, url); seq is a running global counter.
-        # Driver-side is fine: rows here are budget-bounded, not
-        # frontier-bounded (scale path: distributed sort + per-part prefix
-        # sums — the order KEY is pure data either way).
+        # Driver-side is fine here: rows are budget-bounded AND below
+        # driver_threshold by construction of this path.
         outcome_map: dict[str, str] = {}
         for t in ray.get(outcome_refs):
             outcome_map.update(zip(t["canonical_url"].to_pylist(),
@@ -444,105 +548,186 @@ class CrawlEngine:
         checker = self._checker
         adm_dir = os.path.join(edir, "admitted")
         os.makedirs(adm_dir, exist_ok=True)
-        if small:
-            link_tbls = [t for t in ray.get(link_refs) if t.num_rows]
-            if link_tbls:
-                ldf = pa.concat_tables(link_tbls).to_pandas()
-                uniq = (ldf.groupby("canonical_url", sort=True)["priority"]
-                        .max().reset_index())
-                uniq_tbl = finalize_links(
-                    pa.Table.from_pandas(uniq, preserve_index=False),
-                    self.num_parts)
-                mask = checker.check(np.asarray(uniq_tbl["url_hash"]))
-                admitted_tbl = uniq_tbl.filter(pa.array(mask))
-                n_unique_links = uniq_tbl.num_rows
-            else:
-                admitted_tbl = None
-                n_unique_links = 0
-            n_admitted = admitted_tbl.num_rows if admitted_tbl is not None else 0
-            if n_admitted:
-                checker.add(np.asarray(admitted_tbl["url_hash"]))
-                pq.write_table(
-                    admitted_tbl.append_column(
-                        "first_epoch", pa.array([e + 1] * n_admitted, pa.int32())),
-                    os.path.join(adm_dir, "admitted.parquet"))
+        link_tbls = [t for t in ray.get(link_refs) if t.num_rows]
+        if link_tbls:
+            ldf = pa.concat_tables(link_tbls).to_pandas()
+            uniq = (ldf.groupby("canonical_url", sort=True)["priority"]
+                    .max().reset_index())
+            uniq_tbl = finalize_links(
+                pa.Table.from_pandas(uniq, preserve_index=False),
+                self.num_parts)
+            mask = checker.check(np.asarray(uniq_tbl["url_hash"]))
+            admitted_tbl = uniq_tbl.filter(pa.array(mask))
+            n_unique_links = uniq_tbl.num_rows
         else:
-            from ray.data.aggregate import Max
-
-            links = rd.from_arrow_refs(link_refs) if link_refs else                 rd.from_arrow(explode_links(_empty_fetch_table(), self.num_parts))
-            uniq = (
-                links.groupby("canonical_url")
-                .aggregate(Max("priority", alias_name="priority"))
-                .map_batches(lambda t: finalize_links(t, self.num_parts),
-                             batch_format="pyarrow")
-                .materialize()
-            )
-            n_unique_links = uniq.count()
-
-            def seen_filter(t: pa.Table) -> pa.Table:
-                m = checker.check(np.asarray(t["url_hash"]))
-                return t.filter(pa.array(m))
-
-            admitted_ds = uniq.map_batches(
-                seen_filter, batch_format="pyarrow").materialize()
-            n_admitted = admitted_ds.count()
             admitted_tbl = None
-            if n_admitted:
-                admitted_ds.map_batches(
-                    lambda t: t.append_column(
-                        "first_epoch", pa.array([e + 1] * t.num_rows, pa.int32())),
-                    batch_format="pyarrow",
-                ).write_parquet(adm_dir, mode="overwrite")
-                for batch in admitted_ds.iter_batches(batch_size=65536,
-                                                      batch_format="pyarrow"):
-                    checker.add(np.asarray(batch["url_hash"]))
+            n_unique_links = 0
+        n_admitted = admitted_tbl.num_rows if admitted_tbl is not None else 0
+        if n_admitted:
+            checker.add(np.asarray(admitted_tbl["url_hash"]))
+            pq.write_table(
+                admitted_tbl.append_column(
+                    "first_epoch", pa.array([e + 1] * n_admitted, pa.int32())),
+                os.path.join(adm_dir, "admitted.parquet"))
 
         _mark("links_seen_admit")
 
         # 5. next frontier = (frontier - selected) ∪ admitted
         sel_hashes = np.sort(selected["url_hash"].to_numpy())
-        if small:
-            keep = ~np.isin(np.asarray(frontier_tbl["url_hash"]), sel_hashes)
-            remaining_tbl = frontier_tbl.filter(pa.array(keep))                                         .select(FRONTIER_SCHEMA.names)                                         .cast(FRONTIER_SCHEMA)
-            parts_next = [remaining_tbl]
-            if n_admitted:
-                parts_next.append(
-                    admitted_tbl.select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA))
-            nxt_tbl = pa.concat_tables(parts_next)
-            self._write_frontier(nxt_tbl, e)
-            n_frontier_after = nxt_tbl.num_rows
-        else:
-            sel_ref = ray.put(sel_hashes)
-
-            def drop_selected(t: pa.Table) -> pa.Table:
-                h = np.asarray(t["url_hash"])
-                keep_m = ~np.isin(h, ray.get(sel_ref), assume_unique=False)
-                return t.filter(pa.array(keep_m))
-
-            remaining = rd.read_parquet(ffiles).map_batches(
-                drop_selected, batch_format="pyarrow")
-            nxt = remaining.union(admitted_ds) if n_admitted else remaining
-            nxt = nxt.map_batches(
-                lambda t: t.select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA),
-                batch_format="pyarrow")
-            self._write_frontier(nxt, e)
-            n_frontier_after = self._frontier_rows(e)
+        keep = ~np.isin(np.asarray(frontier_tbl["url_hash"]), sel_hashes)
+        remaining_tbl = frontier_tbl.filter(pa.array(keep))                                     .select(FRONTIER_SCHEMA.names)                                     .cast(FRONTIER_SCHEMA)
+        parts_next = [remaining_tbl]
+        if n_admitted:
+            parts_next.append(
+                admitted_tbl.select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA))
+        nxt_tbl = pa.concat_tables(parts_next)
+        self._write_frontier(nxt_tbl, e)
+        n_frontier_after = nxt_tbl.num_rows
 
         ray.get(flush_refs)  # texts durable BEFORE the epoch is committed
         _mark("frontier_write")
-        if _dbg:
-            spans = [f"{n}={t1-t0:.2f}" for (_, t0), (n, t1) in
-                     zip(_marks, _marks[1:])]
-            print(f"[epoch {e}] " + " ".join(spans), flush=True)
-
-        stats = {
+        return {
             "epoch": e, "selected": n_sel, **counts,
             "links_found": int(n_unique_links),
             "admitted": int(n_admitted), "frontier_after": int(n_frontier_after),
         }
-        with open(os.path.join(edir, "metrics.json"), "w") as f:
-            json.dump(stats, f)
-        return stats
+
+    def _epoch_distributed(self, e: int, ffiles: list[str], _mark) -> dict:
+        """Fully distributed epoch: the driver orchestrates with file
+        paths, object refs and per-shard integers only — no URL, text or
+        frontier row is ever materialized on it.  This is the scale path
+        the small-epoch kernels mirror."""
+        import ray
+        import ray.data as rd
+        from ray.data.aggregate import Max
+
+        edir = self._epoch_dir(e)
+        rfns = _remote_fns()
+
+        # 1. distributed politeness selection, staged straight to per-part
+        # parquet (hive layout) — the ONE partitioning key again
+        sel_dir = os.path.join(edir, "selected")
+        sel_ds = select_epoch_ds(rd.read_parquet(ffiles), self.budget,
+                                 force_salted=self.force_salted)
+        sel_ds.write_parquet(sel_dir, partition_cols=["part"], mode="overwrite")
+        part_files: dict[int, list[str]] = {}
+        for name in sorted(os.listdir(sel_dir)):
+            if name.startswith("part="):
+                fl = self._parquet_files(os.path.join(sel_dir, name))
+                if fl:
+                    part_files[int(name.split("=", 1)[1])] = fl
+        _mark("select")
+
+        # 2. fetch: each actor pulls its OWN partitions from the staged
+        # selection (partition-aligned read, no shuffle, no driver hop)
+        pool = self._fetch_pool
+        by_rank: dict[int, dict[int, list[str]]] = {}
+        for p, fl in part_files.items():
+            by_rank.setdefault(p % len(pool), {})[p] = fl
+        outcome_refs, link_refs, flush_refs = [], [], []
+        for rank in sorted(by_rank):
+            texts_path = os.path.join(edir, "texts", f"shard-{rank:04d}.parquet")
+            oref, lref = pool[rank].fetch_stash_paths.options(
+                num_returns=2).remote(by_rank[rank], self.num_parts)
+            flush_refs.append(pool[rank].flush_texts.remote(texts_path))
+            outcome_refs.append(oref)
+            link_refs.append(lref)
+        _mark("fetch_submit")
+
+        # 3. crawl-order record, written distributed: outcomes (already
+        # carrying host/priority) are range-sorted by the deterministic
+        # order key, then each sorted block is seq-stamped with the
+        # prefix sum of preceding block row counts and persisted by its
+        # own task.  The driver sees block refs + row counts only.
+        order_dir = os.path.join(edir, "order")
+        os.makedirs(order_dir, exist_ok=True)
+
+        def _add_negp(df: pd.DataFrame) -> pd.DataFrame:
+            return df.assign(neg_priority=-df["priority"])
+
+        blocks: list[tuple] = []  # (ref, num_rows) in sorted order
+        if outcome_refs:
+            ord_ds = (
+                rd.from_arrow_refs(outcome_refs)
+                .map_batches(_add_negp, batch_format="pandas",
+                             zero_copy_batch=True)
+                .sort(["host", "neg_priority", "canonical_url"])
+                .materialize()
+            )
+            for bundle in ord_ds.iter_internal_ref_bundles():
+                for ref, md in bundle.blocks:
+                    if md.num_rows:
+                        blocks.append((ref, md.num_rows))
+        _mark("fetch_wait_outcomes")
+        n_sel = int(sum(n for _, n in blocks))
+        shard_futs = []
+        off = self._seq
+        for i, (ref, n) in enumerate(blocks):
+            shard_futs.append(rfns["order"].remote(
+                ref, e, off, os.path.join(order_dir, f"shard-{i:05d}.parquet")))
+            off += n
+        counts = {"ok": 0, "miss": 0, "robots": 0}
+        for c in ray.get(shard_futs):
+            for k, v in c.items():
+                counts[k] += v
+        self._seq += n_sel
+        _mark("order_write")
+
+        # 4. link dedup (per-epoch max-priority) -> two-phase seen
+        # admission, all as Dataset stages; admitted lands hive-partitioned
+        # by part so the frontier tasks below can read only their slice.
+        checker = self._checker
+        adm_dir = os.path.join(edir, "admitted")
+        os.makedirs(adm_dir, exist_ok=True)
+        links = rd.from_arrow_refs(link_refs) if link_refs else             rd.from_arrow(explode_links(_empty_fetch_table(), self.num_parts))
+        uniq = (
+            links.groupby("canonical_url")
+            .aggregate(Max("priority", alias_name="priority"))
+            .map_batches(lambda t: finalize_links(t, self.num_parts),
+                         batch_format="pyarrow")
+            .materialize()
+        )
+        n_unique_links = uniq.count()
+
+        def seen_filter(t: pa.Table) -> pa.Table:
+            m = checker.check(np.asarray(t["url_hash"]))
+            return t.filter(pa.array(m))
+
+        admitted_ds = uniq.map_batches(
+            seen_filter, batch_format="pyarrow").materialize()
+        n_admitted = admitted_ds.count()
+        if n_admitted:
+            admitted_ds.map_batches(
+                lambda t: t.append_column(
+                    "first_epoch", pa.array([e + 1] * t.num_rows, pa.int32())),
+                batch_format="pyarrow",
+            ).write_parquet(adm_dir, partition_cols=["part"], mode="overwrite")
+            for batch in admitted_ds.iter_batches(batch_size=65536,
+                                                  batch_format="pyarrow"):
+                checker.add(np.asarray(batch["url_hash"]))
+        _mark("links_seen_admit")
+
+        # 5. next frontier = (frontier − selected) ∪ admitted, built by P
+        # partition-aligned tasks — each reads only part p's frontier rows
+        # (predicate pushdown), part p's staged selection hashes and part
+        # p's admitted shard, and writes part p's next-frontier file.  The
+        # driver collects P integers.
+        fr_dir = os.path.join(edir, "frontier")
+        futs = []
+        for p in range(self.num_parts):
+            adm_fl = self._parquet_files(os.path.join(adm_dir, f"part={p}"))
+            futs.append(rfns["frontier"].remote(
+                p, ffiles, part_files.get(p, []), adm_fl,
+                os.path.join(fr_dir, f"part-{p:05d}.parquet")))
+        n_frontier_after = int(sum(ray.get(futs)))
+
+        ray.get(flush_refs)  # texts durable BEFORE the epoch is committed
+        _mark("frontier_write")
+        return {
+            "epoch": e, "selected": n_sel, **counts,
+            "links_found": int(n_unique_links),
+            "admitted": int(n_admitted), "frontier_after": int(n_frontier_after),
+        }
 
     # ------------------------------------------------------------ results
     def seen_count(self) -> int:
@@ -575,11 +760,18 @@ class CrawlEngine:
             ("first_epoch", pa.int32())]))
 
     def order_table(self) -> pa.Table:
+        """Crawl-order record across epochs, sorted by seq.  Reads both
+        layouts: the small path's single order.parquet and the
+        distributed path's order/shard-*.parquet directory."""
         parts = []
         for name in sorted(os.listdir(self.ckpt_dir)):
+            if not name.startswith("epoch_"):
+                continue
             p = os.path.join(self.ckpt_dir, name, "order.parquet")
-            if name.startswith("epoch_") and os.path.exists(p):
+            if os.path.exists(p):
                 parts.append(pq.read_table(p))
+            for f in self._parquet_files(os.path.join(self.ckpt_dir, name, "order")):
+                parts.append(pq.read_table(f))
         if not parts:
             return pa.Table.from_pylist([], schema=_ORDER_SCHEMA)
         return pa.concat_tables(parts).sort_by("seq")

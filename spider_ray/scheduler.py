@@ -3,7 +3,8 @@
 Selection contract (must equal oracle.crawler): per host, the global
 top-B candidates by (-priority, canonical_url), B = max_per_host_per_epoch.
 
-Execution shape (SURVEY.md §7.3) — the full frontier is NEVER shuffled:
+Execution shape (SURVEY.md §7.3) — the full frontier is NEVER shuffled
+and the selection never lands on the driver:
 
   1. combiner   map_batches(local top-B per host per block).  Output is
                 ≤ hosts×B per block regardless of skew: a mega-host with
@@ -13,14 +14,20 @@ Execution shape (SURVEY.md §7.3) — the full frontier is NEVER shuffled:
                 url_hash % S — the north rule's "salted splits for
                 mega-hosts": a hot host's partials spread over S groups,
                 each reduced to top-B, before the final merge.
-  3. final      per-host top-B over ≤ S×B rows/host (driver-side pandas;
-                bounded by budget × hosts, not by frontier size.  At 10^7
-                hosts the same _topb_pandas runs as one more
-                groupby("host").map_groups round instead — same kernel).
+  3. final      per-host top-B as a DISTRIBUTED groupby over coarse
+                host-hash buckets (`groupby("host_bucket").map_groups`):
+                all partials of one host land in one bucket; each bucket
+                task runs the per-host pandas kernel over its ≤
+                hosts_in_bucket × (blocks-or-S) × B rows.  Buckets (not
+                raw hosts) keep the group count bounded — Ray map_groups
+                over millions of tiny per-host groups would be dominated
+                by per-group overhead.
 
-The returned selection is ordered by the deterministic crawl order
-(host, -priority, canonical_url) — a pure function of data, identical at
-any parallelism (SURVEY.md §7.4 "Deterministic ordering").
+The selected SET is a pure function of data (strict total key
+(host, -priority, canonical_url), unique urls), so it is identical at
+any parallelism (SURVEY.md §7.4 "Deterministic ordering").  Callers that
+need the deterministic crawl ORDER sort the (budget-bounded) selection
+afterwards — see engine._run_epoch's distributed order write.
 """
 
 from __future__ import annotations
@@ -35,11 +42,10 @@ def _topb_pandas(df: pd.DataFrame, budget: int) -> pd.DataFrame:
     return df.groupby("host", sort=False).head(budget)
 
 
-def select_epoch(frontier_ds, budget: int, salt_groups: int = 16,
-                 force_salted: bool = False) -> pd.DataFrame:
-    """Run the selection; returns selected rows as pandas ordered by
-    (host, -priority, canonical_url): canonical_url, host, priority,
-    url_hash, part."""
+def select_epoch_ds(frontier_ds, budget: int, salt_groups: int = 16,
+                    force_salted: bool = False, final_buckets: int = 64):
+    """Distributed selection; returns a ray.data.Dataset of selected rows
+    (canonical_url, host, priority, url_hash, part) — unordered set."""
 
     def local_topb(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.assign(neg_priority=-batch["priority"])
@@ -68,8 +74,36 @@ def select_epoch(frontier_ds, budget: int, salt_groups: int = 16,
             .drop_columns(["host_salt"])
         )
 
-    pdf = partials.to_pandas()
-    if len(pdf) == 0:
-        return pdf
-    selected = _topb_pandas(pdf, budget).drop(columns=["neg_priority"])
-    return selected.reset_index(drop=True)
+    # final reduce: all partials of a host meet in exactly one coarse
+    # bucket (pandas str hash = stable per-process? NO — use a seeded
+    # numpy hash over the url_hash-independent host bytes via pandas
+    # util.hash_array, which is deterministic across processes).
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        hb = (pd.util.hash_array(df["host"].to_numpy(dtype=object))
+              % final_buckets).astype(np.int64)
+        return df.assign(host_bucket=hb)
+
+    def bucket_topb(df: pd.DataFrame) -> pd.DataFrame:
+        out = _topb_pandas(df, budget)
+        return out.drop(columns=["host_bucket", "neg_priority"])
+
+    return (
+        partials.map_batches(add_bucket, batch_format="pandas")
+        .groupby("host_bucket")
+        .map_groups(bucket_topb, batch_format="pandas")
+    )
+
+
+def select_epoch(frontier_ds, budget: int, salt_groups: int = 16,
+                 force_salted: bool = False) -> pd.DataFrame:
+    """Driver-side convenience wrapper (tests / tools): run the
+    distributed selection, pull the budget-bounded result to pandas and
+    order it by the deterministic crawl order.  The engine's distributed
+    path does NOT use this — it keeps the selection as a Dataset."""
+    sel = select_epoch_ds(frontier_ds, budget, salt_groups=salt_groups,
+                          force_salted=force_salted).to_pandas()
+    if len(sel) == 0:
+        return sel
+    sel = sel.assign(neg_priority=-sel["priority"])
+    sel = _topb_pandas(sel, budget).drop(columns=["neg_priority"])
+    return sel.reset_index(drop=True)

@@ -287,14 +287,42 @@ class FetchWorker:
         link-dedup / frontier work while the actor writes its shard —
         actor method calls are serialized, so flush always runs after
         fetch and before the next epoch's fetch.  The wide `text` column
-        never crosses the object store."""
+        never crosses the object store.
+
+        The outcome projection keeps host + priority so the distributed
+        order writer can sort + seq-stamp outcomes directly, without
+        joining back to the selection."""
         fetched = self(batch)
         self._pending_texts = (
             fetched.filter(pc.equal(fetched["outcome"], "ok"))
                    .select(["canonical_url", "text"])
                    .rename_columns(["url", "text"]))
         links = explode_links(fetched, num_parts)
-        return fetched.select(["canonical_url", "outcome"]), links
+        return fetched.select(
+            ["canonical_url", "host", "priority", "outcome"]), links
+
+    def fetch_stash_paths(self, part_files: dict[int, list[str]],
+                          num_parts: int) -> tuple[pa.Table, pa.Table]:
+        """Distributed-epoch entry point: the actor PULLS its own
+        partitions from the staged per-part selection parquet (hive
+        layout, so `part` rides in the directory name) — selection rows
+        route actor-side, never through the driver."""
+        tables = []
+        for p in sorted(part_files):
+            t = pq.read_table(
+                part_files[p],
+                columns=["canonical_url", "host", "priority", "url_hash"],
+                use_threads=False)
+            tables.append(t.append_column(
+                "part", pa.array(np.full(t.num_rows, p, np.int32))))
+        batch = pa.concat_tables(tables) if tables else pa.table({
+            "canonical_url": pa.array([], pa.string()),
+            "host": pa.array([], pa.string()),
+            "priority": pa.array([], pa.float64()),
+            "url_hash": pa.array([], pa.int64()),
+            "part": pa.array([], pa.int32()),
+        })
+        return self.fetch_stash(batch, num_parts)
 
     def flush_texts(self, texts_path: str) -> int:
         """Write the stashed texts shard (one parquet file per actor per

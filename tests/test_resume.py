@@ -58,3 +58,37 @@ def test_resume_of_done_run_is_noop(smoke_fixture, tmp_path):
     m = eng2.run(resume=True)
     assert m["done"]
     assert eng2.order_table().equals(before)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_across_execution_paths(smoke_fixture, tmp_path):
+    """Crash-at-barrier after DISTRIBUTED epochs, resume on the DRIVER
+    path (and vice versa): the checkpoint layouts (per-part frontier
+    shards vs single file, order/ dir vs order.parquet, hive admitted)
+    must interoperate byte-identically — this also gates the stale-shard
+    cleanup on epoch rerun (ADVICE.md round 1)."""
+    from spider_ray.engine import CrawlEngine
+
+    seeds = pq.read_table(smoke_fixture["seeds"])
+    pol = json.load(open(smoke_fixture["politeness"]))
+    pol = {**pol, "max_epochs": 4}
+
+    full = CrawlEngine(smoke_fixture["pages"], pol, str(tmp_path / "full"),
+                       num_parts=4, seen_shards=2)
+    full.run(seeds=seeds)
+
+    for name, first_kw, second_kw in [
+        ("dist_then_small", dict(force_distributed=True), dict()),
+        ("small_then_dist", dict(), dict(force_distributed=True)),
+    ]:
+        ck = str(tmp_path / name)
+        p1 = CrawlEngine(smoke_fixture["pages"], {**pol, "max_epochs": 2},
+                         ck, num_parts=4, seen_shards=2, **first_kw)
+        p1.run(seeds=seeds)
+        p2 = CrawlEngine(smoke_fixture["pages"], pol, ck,
+                         num_parts=4, seen_shards=2, **second_kw)
+        m = p2.run(resume=True)
+        assert m["next_epoch"] == 4, name
+        assert p2.seen_table().equals(full.seen_table()), name
+        assert p2.order_table().equals(full.order_table()), name
+        assert p2.text_table().equals(full.text_table()), name
