@@ -2,21 +2,29 @@
 exact, MinHash+LSH, SimHash, char-n-gram Jaccard, embedding-cosine.
 
 Shared shape (the scalable pattern from the build brief):
-  shingle/sketch per doc (vectorized map_batches)
+  shingle/sketch per doc (vectorized map_batches — common/tokens kernels,
+  no per-token Python)
     -> explode to (band_id, band_hash, id) rows
     -> groupby(band) -> candidate pairs within buckets
-    -> pair dedup -> exact verification on the candidate set only.
+    -> distributed pair dedup (pair-bucket groupby)
+    -> exact verification on the candidate set only.
 
-At sandbox scale the verification gathers candidate payloads via a
-filtered parquet read; at 10^10-doc scale the same verification is a
-hash-partitioned join of (pair, id) against the sketch table — the
-candidate-generation math is unchanged.  All hash functions are seeded
-and deterministic (common/hashing.hash64 + splitmix64 permutations).
+Verification is adaptive like the crawl engine's epoch spine: below
+`driver_pair_threshold` candidates the exact check runs driver-side on a
+filtered parquet gather (bounded, documented); above it — or with
+verify_distributed=True, which tests force — candidates stay a Dataset
+and verification is a hash-partitioned pairs⋈documents join
+(Dataset.join on doc_a, then doc_b) with the exact Jaccard computed
+inside map_batches.  On a 30-50%-near-dup web corpus the candidate set
+is O(corpus), so the join path is the one that scales; no stage ever
+gathers candidate TEXTS onto the driver there.
+
+All hash functions are seeded and deterministic (splitmix64 machinery in
+common/tokens), so sketch and verify agree on any worker and re-runs are
+byte-identical.
 """
 
 from __future__ import annotations
-
-import re
 
 import numpy as np
 import pandas as pd
@@ -25,12 +33,25 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..common.hashing import hash64
+from ..common.tokens import (
+    char_ngram_hashes,
+    simhash_batch,
+    split_by_doc,
+    word_shingle_hashes,
+)
 from ..state.bloom import _splitmix64
 
-_WORD = re.compile(r"[A-Za-z0-9_]+")
-
-
 from . import read_table as _rp  # shared column-pruned read (one definition)
+
+_MASK63 = np.uint64((1 << 63) - 1)
+_PAIR_BUCKETS = 64
+
+
+def _round_half_away(x: np.ndarray, nd: int = 4) -> np.ndarray:
+    """Half-away-from-zero rounding — matches DuckDB round() (repo
+    convention, see relational._round_cols)."""
+    p = 10.0 ** nd
+    return np.floor(np.abs(x) * p + 0.5) / p * np.sign(x)
 
 
 # ---------------------------------------------------------------------------
@@ -40,7 +61,9 @@ from . import read_table as _rp  # shared column-pruned read (one definition)
 def dedup_exact(sf_dir: str):
     """Exact dedup: hash-partition by content hash, keep first (min
     doc_id) per group.  Grouping key is the 63-bit content hash — at
-    10^10 docs the text column never moves through the shuffle."""
+    10^10 docs the text column never moves through the shuffle.  Content
+    identity stays blake2b over the FULL text (common/hashing.hash64):
+    the truncated-prefix token hash is for sketches only."""
     from ray.data.aggregate import Count, Min
 
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
@@ -58,62 +81,13 @@ def dedup_exact(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
-# sketches (vectorized per batch)
+# MinHash machinery (vectorized per batch)
 # ---------------------------------------------------------------------------
-
-_MASK63 = np.uint64((1 << 63) - 1)
-
-
-def _word_shingles(text: str, k: int = 3) -> np.ndarray:
-    """Distinct word-k-gram hashes.  Per-word blake2b (few per doc), then
-    a vectorized splitmix64 chain combines each window of k word hashes —
-    no per-gram Python."""
-    toks = _WORD.findall(text.lower())
-    if not toks:
-        return np.zeros(0, dtype=np.int64)
-    wh = np.fromiter((hash64(t) for t in toks), dtype=np.uint64, count=len(toks))
-    if len(wh) < k:
-        comb = wh[:1]
-        for w in wh[1:]:
-            comb = _splitmix64(comb ^ w)
-        return np.unique((comb & _MASK63).astype(np.int64))
-    acc = _splitmix64(wh[: len(wh) - k + 1])
-    for j in range(1, k):
-        acc = _splitmix64(acc ^ wh[j : len(wh) - k + 1 + j])
-    return np.unique((acc & _MASK63).astype(np.int64))
-
-
-_NGRAM_POWS = {}
-
-
-def _char_ngrams(text: str, n: int = 4) -> np.ndarray:
-    """Distinct char-n-gram hashes via a fully vectorized polynomial
-    window hash over the utf-8 bytes (FNV prime base) + splitmix64 mix."""
-    from numpy.lib.stride_tricks import sliding_window_view
-
-    b = np.frombuffer(text.lower().encode("utf-8", "replace"), dtype=np.uint8)
-    if len(b) == 0:
-        return np.zeros(0, dtype=np.int64)
-    if len(b) < n:
-        return np.array([hash64(text.lower())], dtype=np.int64)
-    if n not in _NGRAM_POWS:
-        base = np.uint64(1099511628211)
-        p = np.ones(n, dtype=np.uint64)
-        for i in range(n - 2, -1, -1):
-            p[i] = p[i + 1] * base
-        _NGRAM_POWS[n] = p
-    pows = _NGRAM_POWS[n]
-    with np.errstate(over="ignore"):
-        h = (sliding_window_view(b, n).astype(np.uint64) * pows[None, :]).sum(axis=1)
-        h = _splitmix64(h)
-    return np.unique((h & _MASK63).astype(np.int64))
-
 
 class MinHasher:
     """num_perms multiply-add permutations in uint64 wraparound
     arithmetic (h_i(x) = a_i*x + b_i mod 2^64, odd a_i) — the standard
-    multiply-shift universal-hash family, fully vectorized: one
-    (n_shingles × n_perms) broadcast min per doc.  Parameters derive from
+    multiply-shift universal-hash family.  Parameters derive from
     splitmix64(seed) — deterministic."""
 
     def __init__(self, num_perms: int = 64, seed: int = 1234):
@@ -131,6 +105,27 @@ class MinHasher:
             vals = x * self.a[None, :] + self.b[None, :]  # mod 2^64 wraps
         return (vals.min(axis=0) >> np.uint64(1)).astype(np.int64)
 
+    def signatures(self, shingles: np.ndarray, parent: np.ndarray,
+                   n_docs: int) -> np.ndarray:
+        """(n_docs × num_perms) signature matrix for a whole batch: one
+        (n_shingles × perms) broadcast + per-doc minimum.reduceat —
+        parent must be nondecreasing (tokens.word_shingle_hashes /
+        char_ngram_hashes emit doc-sorted rows).  Empty docs get the
+        sentinel signature (int64 max)."""
+        out = np.full((n_docs, self.num_perms), np.iinfo(np.int64).max,
+                      dtype=np.int64)
+        if len(shingles) == 0:
+            return out
+        x = shingles.astype(np.uint64)[:, None]
+        with np.errstate(over="ignore"):
+            vals = x * self.a[None, :] + self.b[None, :]
+        counts = np.bincount(parent, minlength=n_docs)
+        nz = np.nonzero(counts)[0]
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])[nz]
+        out[nz] = (np.minimum.reduceat(vals, starts, axis=0)
+                   >> np.uint64(1)).astype(np.int64)
+        return out
+
 
 def _band_rows(ids: np.ndarray, sigs: np.ndarray, bands: int) -> pa.Table:
     """Fold signatures into per-band hashes -> (id, band_id, band_hash)."""
@@ -144,7 +139,7 @@ def _band_rows(ids: np.ndarray, sigs: np.ndarray, bands: int) -> pa.Table:
             bh = _splitmix64(bh ^ chunk[:, j].astype(np.uint64))
         out_id.append(ids)
         out_band.append(np.full(n, b, dtype=np.int32))
-        out_hash.append((bh & np.uint64((1 << 63) - 1)).astype(np.int64))
+        out_hash.append((bh & _MASK63).astype(np.int64))
     return pa.table({
         "doc_id": pa.array(np.concatenate(out_id)),
         "band_id": pa.array(np.concatenate(out_band)),
@@ -152,16 +147,16 @@ def _band_rows(ids: np.ndarray, sigs: np.ndarray, bands: int) -> pa.Table:
     })
 
 
-def _candidate_pairs(band_ds, coarse_buckets: int = 64) -> pd.DataFrame:
-    """(band_id, band_hash) buckets -> within-bucket pairs.
+def _candidate_pairs_ds(band_ds, coarse_buckets: int = 64):
+    """(band_id, band_hash) buckets -> within-bucket pairs, as a Dataset.
 
     One groupby over COARSE buckets (band_hash % coarse_buckets), with the
     fine per-band grouping vectorized in pandas inside each coarse group —
     a groupby per *fine* bucket would pay Ray per-group overhead on
-    millions of (mostly singleton) buckets.  Coarse bucket count scales
-    with data volume; the emitted pair set is collision-sized (small),
-    deduped in pandas (scale path: one more groupby when pairs outgrow
-    the driver)."""
+    millions of (mostly singleton) buckets.  A pair can surface from
+    several bands (different coarse buckets), so the dedup is a second
+    distributed groupby over pair-hash buckets — collision-sized data,
+    never the driver."""
 
     def add_bucket(t: pa.Table) -> pa.Table:
         return t.append_column(
@@ -170,67 +165,178 @@ def _candidate_pairs(band_ds, coarse_buckets: int = 64) -> pd.DataFrame:
                                     coarse_buckets - 1), pa.int32()))
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        sizes = df.groupby(["band_id", "band_hash"])["doc_id"].transform("size")
-        sub = df[sizes >= 2]
-        out_a, out_b = [], []
-        for _, g in sub.groupby(["band_id", "band_hash"]):
-            ids = np.sort(g["doc_id"].to_numpy())
-            if len(ids) > 2000:  # guard degenerate mega-buckets
-                continue
-            a, b = np.triu_indices(len(ids), k=1)
-            out_a.append(ids[a])
-            out_b.append(ids[b])
-        if not out_a:
+        """Emit all within-(band_id, band_hash) pairs.  On a dup-heavy
+        corpus most groups have size exactly 2 — that path is fully
+        vectorized (one sort + boundary masks); only the rare larger
+        groups loop (bounded by the 2000 mega-bucket guard)."""
+        df = df.sort_values(["band_id", "band_hash", "doc_id"],
+                            kind="mergesort")
+        bid = df["band_id"].to_numpy()
+        bh = df["band_hash"].to_numpy()
+        ids = df["doc_id"].to_numpy()
+        n = len(ids)
+        if n < 2:
             return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
                                  "doc_b": pd.Series([], dtype=np.int64)})
-        return pd.DataFrame({"doc_a": np.concatenate(out_a),
-                             "doc_b": np.concatenate(out_b)})
+        new = np.ones(n, dtype=bool)
+        new[1:] = (bh[1:] != bh[:-1]) | (bid[1:] != bid[:-1])
+        gidx = np.cumsum(new) - 1
+        sizes = np.bincount(gidx)
+        size_per_row = sizes[gidx]
+        starts2 = np.nonzero(new & (size_per_row == 2))[0]
+        out_a = [ids[starts2]]
+        out_b = [ids[starts2 + 1]]
+        big_starts = np.nonzero(new & (size_per_row >= 3)
+                                & (size_per_row <= 2000))[0]
+        for s in big_starts:  # mega-buckets >2000 are guarded out above
+            sz = sizes[gidx[s]]
+            grp = ids[s:s + sz]  # already sorted by doc_id
+            a, b = np.triu_indices(sz, k=1)
+            out_a.append(grp[a])
+            out_b.append(grp[b])
+        return pd.DataFrame({"doc_a": np.concatenate(out_a).astype(np.int64),
+                             "doc_b": np.concatenate(out_b).astype(np.int64)})
 
     cand = (band_ds.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("bucket")
-            .map_groups(pairs_in_bucket, batch_format="pandas")
-            .to_pandas())
-    return cand.drop_duplicates(ignore_index=True)
+            .map_groups(pairs_in_bucket, batch_format="pandas"))
+    return _dedup_pairs_ds(cand)
 
 
-def _gather_texts(sf_dir: str, ids: np.ndarray) -> dict[int, str]:
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
-                      filters=[("doc_id", "in", ids.tolist())])
-    return dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+def _dedup_pairs_ds(pairs_ds, extra_cols: tuple[str, ...] = ()):
+    """Distributed (doc_a, doc_b) pair dedup: co-locate by a pair-hash
+    bucket (collisions only co-locate — the in-group dedup keys on the
+    real columns), drop duplicates per group."""
+
+    def add_pb(df: pd.DataFrame) -> pd.DataFrame:
+        key = _splitmix64(df["doc_a"].to_numpy().astype(np.uint64)
+                          ^ _splitmix64(df["doc_b"].to_numpy().astype(np.uint64)))
+        return df.assign(pb=(key % np.uint64(_PAIR_BUCKETS)).astype(np.int64))
+
+    def drop_dups(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["doc_a", "doc_b"]).drop(columns=["pb"])
+
+    return (pairs_ds.map_batches(add_pb, batch_format="pandas")
+            .groupby("pb")
+            .map_groups(drop_dups, batch_format="pandas"))
 
 
-def _verify_pairs(sf_dir: str, pairs_df: pd.DataFrame, shingler, metric: str,
-                  threshold: float) -> pa.Table:
-    """Exact verification on candidates only.  Driver-side gather is
-    bounded by the candidate count (scale path: partitioned pair join)."""
-    if len(pairs_df) == 0:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64()),
-                         metric: pa.array([], pa.float64())})
-    ids = np.unique(np.concatenate([pairs_df["doc_a"], pairs_df["doc_b"]]))
-    texts = _gather_texts(sf_dir, ids)
-    cache: dict[int, np.ndarray] = {}
+# ---------------------------------------------------------------------------
+# exact verification (driver kernel + distributed join path)
+# ---------------------------------------------------------------------------
 
-    def sh(i: int) -> np.ndarray:
-        if i not in cache:
-            cache[i] = shingler(texts[i])
-        return cache[i]
-
-    out_a, out_b, out_m = [], [], []
-    for a, b in zip(pairs_df["doc_a"], pairs_df["doc_b"]):
-        sa, sb = sh(int(a)), sh(int(b))
-        if len(sa) == 0 or len(sb) == 0:
+def _jaccard_rows(texts_a, texts_b, shingler_batch,
+                  threshold: float) -> tuple[list, np.ndarray]:
+    """Row-aligned exact Jaccard between two text columns.  Shingles are
+    computed for the whole batch by the vectorized kernel; only the
+    per-row sorted-set intersection loops (candidate-sized)."""
+    n = len(texts_a)
+    sa, pa_ = shingler_batch(texts_a)
+    sb, pb_ = shingler_batch(texts_b)
+    la = split_by_doc(sa, pa_, n)
+    lb = split_by_doc(sb, pb_, n)
+    keep_idx, js = [], []
+    for i in range(n):
+        x, y = la[i], lb[i]
+        if len(x) == 0 or len(y) == 0:
             continue
-        inter = len(np.intersect1d(sa, sb, assume_unique=True))
-        union = len(sa) + len(sb) - inter
+        inter = len(np.intersect1d(x, y, assume_unique=True))
+        union = len(x) + len(y) - inter
         j = inter / union if union else 0.0
         if j >= threshold:
-            out_a.append(int(a))
-            out_b.append(int(b))
-            out_m.append(round(j, 4))
-    return pa.table({"doc_a": pa.array(out_a, pa.int64()),
-                     "doc_b": pa.array(out_b, pa.int64()),
-                     metric: pa.array(out_m, pa.float64())})
+            keep_idx.append(i)
+            js.append(j)
+    return keep_idx, np.asarray(js, dtype=np.float64)
+
+
+def _verify_pairs_driver(sf_dir: str, pairs_df: pd.DataFrame, shingler_batch,
+                         metric: str, threshold: float) -> pa.Table:
+    """Exact verification on candidates, driver-side: bounded by
+    driver_pair_threshold (the dispatch in dedup_minhash/_ngram)."""
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      metric: pa.array([], pa.float64())})
+    if len(pairs_df) == 0:
+        return empty
+    ids = np.unique(np.concatenate([pairs_df["doc_a"], pairs_df["doc_b"]]))
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+                      filters=[("doc_id", "in", ids.tolist())])
+    pos = {i: k for k, i in enumerate(t["doc_id"].to_pylist())}
+    ta = t["text"].take(pa.array([pos[int(a)] for a in pairs_df["doc_a"]]))
+    tb = t["text"].take(pa.array([pos[int(b)] for b in pairs_df["doc_b"]]))
+    keep_idx, js = _jaccard_rows(ta, tb, shingler_batch, threshold)
+    if not keep_idx:
+        return empty
+    out = pa.table({
+        "doc_a": pa.array(pairs_df["doc_a"].to_numpy()[keep_idx], pa.int64()),
+        "doc_b": pa.array(pairs_df["doc_b"].to_numpy()[keep_idx], pa.int64()),
+        metric: pa.array(_round_half_away(js), pa.float64()),
+    })
+    return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+
+
+def _verify_pairs_distributed(docs_ds, pairs_ds, shingler_batch, metric: str,
+                              threshold: float,
+                              num_partitions: int | None = None):
+    """Scale-path verification: hash-partitioned pairs⋈documents join on
+    doc_a then doc_b (texts travel worker-to-worker through the shuffle,
+    never to the driver), exact Jaccard inside map_batches.
+
+    Partition sizing: each Dataset.join runs num_partitions hash-shuffle
+    aggregator ACTORS; two joins in one streaming graph therefore need
+    2×num_partitions actor slots alongside the map tasks — oversubscribe
+    a small cluster and the graph deadlocks (observed at 2×16 actors on
+    4 CPUs).  Default: half the cluster CPUs per join, min 2."""
+    import ray
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, cpus // 2)
+
+    def _rename(col_from: str, col_to: str):
+        def fn(t: pa.Table) -> pa.Table:
+            names = [col_to if n == col_from else n for n in t.column_names]
+            return t.rename_columns(names)
+        return fn
+
+    # Dataset.join drops the right-side key column from the output
+    j1 = (pairs_ds.join(docs_ds, join_type="inner",
+                        num_partitions=num_partitions,
+                        on=("doc_a",), right_on=("doc_id",))
+          .map_batches(_rename("text", "text_a"), batch_format="pyarrow"))
+    j2 = (j1.join(docs_ds, join_type="inner",
+                  num_partitions=num_partitions,
+                  on=("doc_b",), right_on=("doc_id",))
+          .map_batches(_rename("text", "text_b"), batch_format="pyarrow"))
+
+    def verify(t: pa.Table) -> pa.Table:
+        keep_idx, js = _jaccard_rows(t["text_a"], t["text_b"],
+                                        shingler_batch, threshold)
+        sub = t.take(pa.array(keep_idx, pa.int64()))
+        return pa.table({
+            "doc_a": sub["doc_a"],
+            "doc_b": sub["doc_b"],
+            metric: pa.array(_round_half_away(js), pa.float64()),
+        })
+
+    return (j2.map_batches(verify, batch_format="pyarrow")
+            .sort(["doc_a", "doc_b"]))
+
+
+def _verify_dispatch(sf_dir: str, docs_ds, cand_ds, shingler_batch,
+                     metric: str, threshold: float,
+                     verify_distributed: bool | None,
+                     driver_pair_threshold: int):
+    cand_ds = cand_ds.materialize()
+    n_pairs = cand_ds.count()
+    if verify_distributed is None:
+        verify_distributed = n_pairs > driver_pair_threshold
+    if verify_distributed:
+        return _verify_pairs_distributed(docs_ds, cand_ds, shingler_batch,
+                                         metric, threshold)
+    pairs_df = cand_ds.to_pandas()  # bounded by driver_pair_threshold
+    return _verify_pairs_driver(sf_dir, pairs_df, shingler_batch,
+                                metric, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -238,7 +344,8 @@ def _verify_pairs(sf_dir: str, pairs_df: pd.DataFrame, shingler, metric: str,
 # ---------------------------------------------------------------------------
 
 def dedup_minhash(sf_dir: str, threshold: float = 0.8, num_perms: int = 64,
-                  bands: int = 16):
+                  bands: int = 16, verify_distributed: bool | None = None,
+                  driver_pair_threshold: int = 200_000):
     """MinHash+LSH near-duplicate pairs verified by exact word-3-gram
     Jaccard >= threshold.  16 bands x 4 rows: P(candidate) ~ 1-(1-s^4)^16,
     >99.9% for s>=0.8."""
@@ -247,15 +354,20 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, num_perms: int = 64,
 
     def sketch(t: pa.Table) -> pa.Table:
         ids = np.asarray(t["doc_id"])
-        sigs = np.stack([hasher.signature(_word_shingles(s))
-                         for s in t["text"].to_pylist()])
+        sh, par = word_shingle_hashes(t["text"])
+        sigs = hasher.signatures(sh, par, t.num_rows)
         return _band_rows(ids, sigs, bands)
 
-    cand = _candidate_pairs(ds.map_batches(sketch, batch_format="pyarrow"))
-    return _verify_pairs(sf_dir, cand, _word_shingles, "jaccard", threshold)
+    cand = _candidate_pairs_ds(
+        ds.map_batches(sketch, batch_format="pyarrow", batch_size=4096))
+    return _verify_dispatch(sf_dir, ds, cand, word_shingle_hashes,
+                            "jaccard", threshold,
+                            verify_distributed, driver_pair_threshold)
 
 
-def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.8):
+def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.8,
+                        verify_distributed: bool | None = None,
+                        driver_pair_threshold: int = 200_000):
     """Same LSH machinery over char-4-gram shingles (catches small edits
     that word shingles miss)."""
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
@@ -263,41 +375,34 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.8):
 
     def sketch(t: pa.Table) -> pa.Table:
         ids = np.asarray(t["doc_id"])
-        sigs = np.stack([hasher.signature(_char_ngrams(s))
-                         for s in t["text"].to_pylist()])
+        sh, par = char_ngram_hashes(t["text"], 4)
+        sigs = hasher.signatures(sh, par, t.num_rows)
         return _band_rows(ids, sigs, 16)
 
-    cand = _candidate_pairs(ds.map_batches(sketch, batch_format="pyarrow"))
-    return _verify_pairs(sf_dir, cand, _char_ngrams, "jaccard", threshold)
+    cand = _candidate_pairs_ds(
+        ds.map_batches(sketch, batch_format="pyarrow", batch_size=4096))
+    return _verify_dispatch(sf_dir, ds, cand,
+                            lambda col: char_ngram_hashes(col, 4),
+                            "jaccard", threshold,
+                            verify_distributed, driver_pair_threshold)
 
 
 # ---------------------------------------------------------------------------
 # SimHash near-dup
 # ---------------------------------------------------------------------------
 
-def _simhash64(text: str) -> int:
-    toks = _WORD.findall(text.lower())
-    if not toks:
-        return 0
-    hs = np.fromiter((hash64(t) for t in toks), dtype=np.uint64, count=len(toks))
-    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
-    score = bits.astype(np.int32).sum(axis=0) * 2 - len(hs)
-    sig = np.uint64(0)
-    for b in np.nonzero(score > 0)[0]:
-        sig |= np.uint64(1) << np.uint64(b)
-    return int(sig & np.uint64((1 << 63) - 1))
-
-
 def dedup_simhash(sf_dir: str, max_hamming: int = 3):
     """SimHash near-dups: 64-bit signature, candidates bucketed by 4
     16-bit bands (any pair within hamming<=3 shares >=1 exact band),
-    verified by exact hamming distance."""
+    verified by exact hamming distance.  Fully distributed: the pair
+    stream is deduped by a pair-bucket groupby, never on the driver
+    (hamming is a pure function of the two signatures, so duplicate
+    emissions agree and any one row can be kept)."""
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
 
     def sketch(t: pa.Table) -> pa.Table:
         ids = np.asarray(t["doc_id"])
-        sigs = np.fromiter((_simhash64(s) for s in t["text"].to_pylist()),
-                           dtype=np.int64, count=t.num_rows)
+        sigs = simhash_batch(t["text"])
         bands = []
         for b in range(4):
             bands.append(pa.table({
@@ -308,7 +413,7 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3):
             }))
         return pa.concat_tables(bands)
 
-    band_ds = ds.map_batches(sketch, batch_format="pyarrow")
+    band_ds = ds.map_batches(sketch, batch_format="pyarrow", batch_size=4096)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         return t.append_column(
@@ -329,7 +434,9 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3):
                 continue
             a, b = np.triu_indices(len(ids), k=1)
             x = np.bitwise_xor(sigs[a].astype(np.uint64), sigs[b].astype(np.uint64))
-            ham = np.array([bin(v).count("1") for v in x], dtype=np.int64)
+            # vectorized popcount: 8 bytes per value -> unpackbits -> sum
+            ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                                axis=1).sum(axis=1).astype(np.int64)
             keep = ham <= max_hamming
             if keep.any():
                 outs.append(pd.DataFrame({"doc_a": ids[a][keep],
@@ -339,13 +446,8 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3):
 
     pairs = (band_ds.map_batches(add_bucket, batch_format="pyarrow")
              .groupby("bucket")
-             .map_groups(pairs_in_bucket, batch_format="pandas")
-             .to_pandas())
-    # a pair can surface from several bands -> keep one row (hamming is
-    # identical either way: it is a function of the two signatures)
-    pairs = pairs.drop_duplicates(subset=["doc_a", "doc_b"],
-                                  ignore_index=True)
-    return pa.Table.from_pandas(pairs, preserve_index=False)
+             .map_groups(pairs_in_bucket, batch_format="pandas"))
+    return _dedup_pairs_ds(pairs).sort(["doc_a", "doc_b"])
 
 
 # ---------------------------------------------------------------------------

@@ -254,18 +254,16 @@ def flat_map_top_tokens(sf_dir: str):
     the relational cousin of the crawl link explode."""
     from ray.data.aggregate import Count
 
-    import re
+    from ..common.tokens import split_tokens
 
     ds = _rp(sf_dir, "documents", ["text"])
-    pat = re.compile(r"[A-Za-z0-9_]+")
 
     def tokens(t: pa.Table) -> pa.Table:
-        # same pattern string as the DuckDB oracle's regexp_extract_all
-        # (RE2) — [A-Za-z0-9_]+ has identical semantics in both engines
-        out = []
-        for s in t["text"].to_pylist():
-            out += pat.findall(s)
-        return pa.table({"token": pa.array(out, pa.string())})
+        # vectorized Arrow RE2 split on the complement of the oracle's
+        # regexp_extract_all class [A-Za-z0-9_]+ — identical token sets,
+        # no per-row Python
+        flat, _ = split_tokens(t["text"], lower=False)
+        return pa.table({"token": flat})
 
     out = (ds.map_batches(tokens, batch_format="pyarrow")
              .groupby("token").aggregate(Count(alias_name="n")))

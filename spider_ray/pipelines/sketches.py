@@ -10,15 +10,10 @@ bias corrections; p=12 → 4096 byte registers, ~1.6% typical error.
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pyarrow as pa
 
 from ..state.bloom import _splitmix64
-
-_TOKEN = re.compile(r"[A-Za-z0-9_]+")
-
 
 class HyperLogLog:
     def __init__(self, p: int = 12):
@@ -58,27 +53,23 @@ class HyperLogLog:
         return float(est)
 
 
-def _token_hashes(texts: list[str]) -> np.ndarray:
-    toks: list[int] = []
-    from ..common.hashing import hash64
-
-    for s in texts:
-        toks += [hash64(t) for t in _TOKEN.findall(s)]
-    return np.asarray(toks, dtype=np.uint64) if toks else np.zeros(0, np.uint64)
-
-
 def approx_distinct_tokens(sf_dir: str, p: int = 12):
     """Approximate distinct-token count over documents.text: one HLL per
     batch (register array travels as a single list row), merged at the
     end — the mergeable-sketch aggregation pattern.  rows-only for the
-    driver; the error bound vs exact is asserted in tests."""
+    driver; the error bound vs exact is asserted in tests.  Token hashing
+    is the vectorized common/tokens kernel (Arrow RE2 split + one numpy
+    polynomial hash) — no per-token Python."""
     import ray.data as rd
+
+    from ..common.tokens import token_hashes
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def sketch_batch(t: pa.Table) -> pa.Table:
         hll = HyperLogLog(p)
-        hll.add_hashes(_splitmix64(_token_hashes(t["text"].to_pylist())))
+        th, _ = token_hashes(t["text"], lower=False)
+        hll.add_hashes(_splitmix64(th))
         return pa.table({"registers": pa.array([hll.registers.tolist()],
                                                pa.list_(pa.uint8()))})
 

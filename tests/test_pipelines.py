@@ -225,3 +225,58 @@ class TestMultimodal:
         f2 = np.stack(out2["features"].to_numpy())
         assert np.array_equal(f1, f2)
         assert f1.shape[1] == 16  # 4x4 resize
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedupAtScale:
+    """Dup-heavy corpus (35% near-dup rate, 100k docs) through the fully
+    distributed verify path: candidates and texts must never land on the
+    driver (verify_distributed=True forces the pairs⋈documents join
+    path), and both verify paths must agree."""
+
+    @pytest.fixture(scope="class")
+    def heavy_corpus(self, tmp_path_factory):
+        d = str(tmp_path_factory.mktemp("dupheavy"))
+        rng = np.random.default_rng(7)
+        vocab = np.array(["w%04d" % i for i in range(1000)])
+        n_base, n_dup = 65000, 35000
+        base = [" ".join(rng.choice(vocab, 40)) for _ in range(n_base)]
+        dup_src = rng.choice(n_base, n_dup, replace=False)
+        dups = []
+        for s in dup_src:
+            words = base[s].split()
+            words[int(rng.integers(0, 40))] = str(rng.choice(vocab))
+            dups.append(" ".join(words))
+        t = pa.table({
+            "doc_id": pa.array(np.arange(n_base + n_dup, dtype=np.int64)),
+            "text": pa.array(base + dups, pa.string()),
+        })
+        pq.write_table(t, f"{d}/documents.parquet")
+        planted = set(zip(dup_src.tolist(),
+                          (n_base + np.arange(n_dup)).tolist()))
+        return d, n_base, planted
+
+    def test_minhash_distributed_verify_at_scale(self, heavy_corpus):
+        from spider_ray.pipelines.dedup import dedup_minhash
+
+        d, n_base, planted = heavy_corpus
+        out = dedup_minhash(d, verify_distributed=True).to_pandas()
+        got = set(zip(out.doc_a.astype(int), out.doc_b.astype(int)))
+        # one word edited out of 40 -> exact word-3-gram jaccard >= 0.83
+        # (boundary edits higher); LSH miss probability ~5e-6 per pair
+        recall = len(got & planted) / len(planted)
+        assert recall >= 0.999, recall
+        # no pair between two unrelated random docs can reach 0.8
+        assert len(got - planted) == 0
+        # result is sorted (doc_a, doc_b) for deterministic comparison
+        assert (out.sort_values(["doc_a", "doc_b"], ignore_index=True)
+                   .equals(out.reset_index(drop=True)))
+
+    def test_verify_paths_agree_small(self, dup_corpus):
+        from spider_ray.pipelines.dedup import dedup_minhash
+
+        d, _, _ = dup_corpus
+        a = dedup_minhash(d).to_pandas().reset_index(drop=True)
+        b = (dedup_minhash(d, verify_distributed=True)
+             .to_pandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
