@@ -488,7 +488,8 @@ def dedup_embedding(sf_dir: str, threshold: float = 0.40):
                 if all_ids[i] < all_ids[j]:  # each pair once
                     out_a.append(all_ids[i])
                     out_b.append(all_ids[j])
-                    out_c.append(round(float(sims[local_i, j]), 4))
+                    out_c.append(float(_round_half_away(
+                        np.float64(sims[local_i, j]))))
         return pa.table({"vec_a": pa.array(out_a, pa.int64()),
                          "vec_b": pa.array(out_b, pa.int64()),
                          "cosine": pa.array(out_c, pa.float64())})

@@ -330,10 +330,13 @@ def sliding_avg_user_value(sf_dir: str):
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        avg = g["value"].rolling(3, min_periods=1).mean()
+        avg = g["value"].rolling(3, min_periods=1).mean().to_numpy()
+        # half-away-from-zero like the DuckDB oracle (pandas .round is
+        # half-to-even — suite convention, see _round_cols)
+        avg = np.floor(np.abs(avg) * 1e4 + 0.5) / 1e4 * np.sign(avg)
         return pd.DataFrame({
             "event_id": g["event_id"].to_numpy(),
-            "sliding_avg": avg.round(4).to_numpy(),
+            "sliding_avg": avg,
         })
 
     return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
