@@ -228,6 +228,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count
             FROM documents GROUP BY text
         """,
+        # Exact word-3-gram Jaccard >= 0.8 over ALL pairs, independent of
+        # the pipeline's LSH candidate generation — equality additionally
+        # certifies 100% LSH recall on this corpus (P(miss) < 1e-5/pair
+        # at 16x4 bands).  Conformance conditions (hold for the driver
+        # corpus, asserted in tests): ASCII text, no docs under 3 tokens
+        # (the pipeline gives such docs one chained shingle; SQL none).
+        "dedup_minhash": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+              FROM toks,
+                   UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+            FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                       JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+            ORDER BY doc_a, doc_b
+        """,
+        # Same shape over char-4-grams of lower(text).  substr() counts
+        # characters, the pipeline hashes utf-8 bytes — identical on the
+        # all-ASCII driver corpus (asserted in tests).
+        "dedup_ngram_jaccard": """
+            WITH grams AS (
+              SELECT DISTINCT doc_id, substr(lower(text), i, 4) AS g
+              FROM documents,
+                   UNNEST(generate_series(1, greatest(length(text) - 3, 0)))
+                       AS u(i)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+            FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                       JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+            ORDER BY doc_a, doc_b
+        """,
         "dedup_embedding": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

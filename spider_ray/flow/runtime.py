@@ -251,6 +251,12 @@ class FlowRuntime:
         "triggered", Values:"{}"}).  The tick COUNT replaces wall-clock
         cron firing (deterministic; the reconcile loop that re-reads
         cron specs maps to the engine's per-epoch config re-read)."""
+        if self.spec.trigger_type != "schedule":
+            # the reference's cron trigger only fires schedule-type flows
+            # (cmd/cron-trigger/main.go scans flows by trigger type)
+            raise ValueError(
+                f"flow {self.spec.workflow_id!r} has trigger_type="
+                f"{self.spec.trigger_type!r}; run_scheduled needs 'schedule'")
         return self.run([
             {"key": key, "meta_output": "triggered", "values": "{}"}
             for _ in range(n_ticks)
@@ -258,8 +264,15 @@ class FlowRuntime:
 
     def run(self, triggers: list[dict]) -> dict[str, list[dict]]:
         """BFS to fixpoint; returns {"outputs": [...], "leaves": [...],
-        "errors": [...]} sorted deterministically."""
+        "errors": [...]} sorted deterministically.  Draft flows refuse to
+        run (`pkg/spider/flow.go:11-15` status model: only active flows
+        are runnable)."""
         import ray.data as rd
+
+        if self.spec.status != "active":
+            raise ValueError(
+                f"flow {self.spec.workflow_id!r} is {self.spec.status!r}, "
+                "not active — drafts are not runnable")
 
         rows = self._seed_rows(triggers)
         done: list[dict] = []

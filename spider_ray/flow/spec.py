@@ -160,6 +160,28 @@ class FlowStore:
     def get(self, tenant_id: str, workflow_id: str) -> FlowSpec:
         return self._flows[(tenant_id, workflow_id)]
 
+    def update(self, tenant_id: str, workflow_id: str, *,
+               name: str | None = None, trigger_type: str | None = None,
+               status: str | None = None) -> FlowSpec:
+        """Update flow-level fields + version bump — mirrors the
+        reference's update-flow use case (`pkg/spider/usecase/flow.go:
+        115-132`: fetch, apply changed fields, bump version, save).
+        Action/peer mutations go through FlowSpec's own methods (which
+        bump the version themselves)."""
+        spec = self._flows[(tenant_id, workflow_id)]
+        if name is not None:
+            spec.name = name
+        if trigger_type is not None:
+            if trigger_type not in ("event", "schedule"):
+                raise ValueError(f"bad trigger_type {trigger_type!r}")
+            spec.trigger_type = trigger_type
+        if status is not None:
+            if status not in ("draft", "active"):
+                raise ValueError(f"bad status {status!r}")
+            spec.status = status
+        spec.version += 1
+        return spec
+
     def delete(self, tenant_id: str, workflow_id: str) -> None:
         """Cascading delete (flow + actions + peers travel together here,
         mirroring storage_workflow_mongodb.go:560-609)."""

@@ -118,57 +118,47 @@ def build_pages_index(pages_path: str, index_dir: str, num_parts: int) -> dict:
 # fetch + extract (stateful actor pool)
 # --------------------------------------------------------------------------
 
-class FetchWorker:
-    """Stateful fetch stage: resolve selected urls against the pages
-    index shard, apply robots, extract text + links.
+class IndexFetcher:
+    """The no-network page fetcher: resolves url hashes against the
+    partition-aligned pages index built by build_pages_index.  This is
+    the sandbox stand-in for live HTTP — the Fetcher SEAM below marks
+    where a real crawler plugs in (same pattern as
+    pipelines/multimodal.decode_image_real's codec seam).
 
-    __init__ (once per actor): parse the robots config into prefix lists —
-    the reference's "worker loads its configs once" hook
-    (`pkg/spider/worker.go:82-91`) — and set up the per-actor part-table
-    cache.  __call__ (per batch): a partition-aligned pyarrow hash join
-    (selected ⋈ index part), then per-row extraction.
-
-    Deployment: the engine runs a PERSISTENT pool of these as raw Ray
-    actors (engine._init_fetch_pool) — the one place the Dataset API
-    can't express the semantics we need: robots + hot index shards are
-    cross-EPOCH state, and a map_batches actor pool is torn down after
-    each execution.  Each actor owns parts where part % pool == rank, so
-    its cache holds only its own shards (at 10^10 scale the cache is an
-    LRU over row-group reads; here whole shard files — max_cached_parts
-    bounds memory either way).
-
-    "Fetch" against a pages table stands in for live HTTP (no network in
-    this environment); outcome ports ok/miss/robots mirror the
-    reference's meta_output routing (`cmd/control-flow-worker/main.go:30-34`).
+    Fetcher contract (duck-typed; FetchWorker only calls these):
+      warm(part) -> int                       optional cache preload
+      fetch_part(part, url_hashes, urls) -> list[bytes | None]
+        one html payload (or None = unfetchable/miss) PER input row,
+        row-aligned.  `part` batches rows by the engine's partition key
+        so an implementation can exploit locality (index shard cache
+        here; per-host connection pools for HTTP).
     """
 
-    def __init__(self, index_dir: str, robots: dict[str, list[str]],
-                 max_cached_parts: int = 64):
-        # one Arrow thread per actor: the POOL is the parallelism unit;
-        # letting every actor spawn a machine-wide Arrow thread pool
-        # (join/parquet default) makes N actors thrash N*cores threads
-        pa.set_cpu_count(1)
+    def __init__(self, index_dir: str, max_cached_parts: int = 64):
         self.index_dir = index_dir
-        self.robots = {h: sorted(p) for h, p in robots.items()}
         # part cache: (sorted url hashes, argsort order, html column)
         self._cache: dict[int, tuple[np.ndarray, np.ndarray, pa.Array]] = {}
         self._max_cached = max_cached_parts
-
-    def _denied(self, host: str, path: str) -> bool:
-        return robots_denied(self.robots, host, path)
-
-    def update_robots(self, robots: dict[str, list[str]]) -> None:
-        """Config-change reconcile hook: the engine pushes new robots
-        rules when the politeness file changes between epochs (the
-        reference's cron-trigger diff/reconcile loop,
-        `cmd/cron-trigger/main.go:94-226`, collapsed to a broadcast)."""
-        self.robots = {h: sorted(p) for h, p in robots.items()}
 
     def warm(self, part: int) -> int:
         """Populate the cache for one shard; returns its row count (small
         return only — never ship the shard back to the caller)."""
         sorted_h, _, _ = self._load_part(part)
         return len(sorted_h)
+
+    def fetch_part(self, part: int, url_hashes: np.ndarray,
+                   urls: list[str]) -> list:
+        """Row-aligned html payloads for one partition's urls (None =
+        miss).  O(log n) sorted-hash membership + one vectorized gather."""
+        sorted_h, order, html_col = self._load_part(int(part))
+        if len(sorted_h) == 0:  # shard has no pages at all -> all miss
+            return [None] * len(url_hashes)
+        h = np.asarray(url_hashes)
+        pos = np.searchsorted(sorted_h, h)
+        pos_c = np.clip(pos, 0, len(sorted_h) - 1)
+        found = sorted_h[pos_c] == h
+        gathered = html_col.take(pa.array(order[pos_c], pa.int64())).to_pylist()
+        return [g if f else None for g, f in zip(gathered, found.tolist())]
 
     def _load_part(self, part: int):
         """Sorted-hash lookup index for one pages shard: O(log n)
@@ -217,6 +207,80 @@ class FetchWorker:
         self._cache[part] = entry
         return entry
 
+
+class HttpFetcher:
+    """SEAM for live HTTP fetching (cf. reference crawling over real
+    sites).  This container has no network, so — exactly like
+    multimodal.decode_image_real — the transport is a single marked
+    NotImplementedError while every surrounding contract (row-aligned
+    payloads, partition batching, robots applied by the CALLER so the
+    politeness layer is transport-independent) is real and exercised via
+    IndexFetcher / the FakeFetcher test double."""
+
+    def __init__(self, user_agent: str = "spider-ray/1.0",
+                 timeout_s: float = 10.0):
+        self.user_agent = user_agent
+        self.timeout_s = timeout_s
+
+    def warm(self, part: int) -> int:
+        return 0  # nothing to preload; connection pools fill lazily
+
+    def fetch_part(self, part: int, url_hashes: np.ndarray,
+                   urls: list[str]) -> list:
+        raise NotImplementedError(
+            "live HTTP fetch: issue GETs for `urls` (politeness/robots are "
+            "already applied upstream), return one bytes|None per row — "
+            "plug in an HTTP client here in a networked deployment")
+
+
+class FetchWorker:
+    """Stateful fetch stage: resolve selected urls through the Fetcher
+    seam (IndexFetcher by default), apply robots, extract text + links.
+
+    __init__ (once per actor): parse the robots config into prefix lists —
+    the reference's "worker loads its configs once" hook
+    (`pkg/spider/worker.go:82-91`) — and set up the fetcher (per-actor
+    part-shard cache for IndexFetcher).  __call__ (per batch): a
+    partition-aligned lookup (selected ⋈ index part), then per-row
+    extraction.
+
+    Deployment: the engine runs a PERSISTENT pool of these as raw Ray
+    actors (engine._init_fetch_pool) — the one place the Dataset API
+    can't express the semantics we need: robots + hot index shards are
+    cross-EPOCH state, and a map_batches actor pool is torn down after
+    each execution.  Each actor owns parts where part % pool == rank, so
+    its cache holds only its own shards (at 10^10 scale the cache is an
+    LRU over row-group reads; here whole shard files — max_cached_parts
+    bounds memory either way).
+
+    Outcome ports ok/miss/robots mirror the reference's meta_output
+    routing (`cmd/control-flow-worker/main.go:30-34`).
+    """
+
+    def __init__(self, index_dir: str, robots: dict[str, list[str]],
+                 max_cached_parts: int = 64, fetcher=None):
+        # one Arrow thread per actor: the POOL is the parallelism unit;
+        # letting every actor spawn a machine-wide Arrow thread pool
+        # (join/parquet default) makes N actors thrash N*cores threads
+        pa.set_cpu_count(1)
+        self.robots = {h: sorted(p) for h, p in robots.items()}
+        self.fetcher = (fetcher if fetcher is not None else
+                        IndexFetcher(index_dir,
+                                     max_cached_parts=max_cached_parts))
+
+    def _denied(self, host: str, path: str) -> bool:
+        return robots_denied(self.robots, host, path)
+
+    def update_robots(self, robots: dict[str, list[str]]) -> None:
+        """Config-change reconcile hook: the engine pushes new robots
+        rules when the politeness file changes between epochs (the
+        reference's cron-trigger diff/reconcile loop,
+        `cmd/cron-trigger/main.go:94-226`, collapsed to a broadcast)."""
+        self.robots = {h: sorted(p) for h, p in robots.items()}
+
+    def warm(self, part: int) -> int:
+        return self.fetcher.warm(part)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return _empty_fetch_table()
@@ -224,21 +288,12 @@ class FetchWorker:
         urls, hosts, prios, htmls = [], [], [], []
         for p in sorted(parts):
             sel = batch.filter(pc.equal(batch["part"], p))
-            sorted_h, order, html_col = self._load_part(int(p))
-            urls += sel["canonical_url"].to_pylist()
+            part_urls = sel["canonical_url"].to_pylist()
+            urls += part_urls
             hosts += sel["host"].to_pylist()
             prios += sel["priority"].to_pylist()
-            if len(sorted_h) == 0:  # shard has no pages at all -> all miss
-                htmls += [None] * sel.num_rows
-                continue
-            h = np.asarray(sel["url_hash"])
-            pos = np.searchsorted(sorted_h, h)
-            pos_c = np.clip(pos, 0, len(sorted_h) - 1)
-            found = sorted_h[pos_c] == h
-            gathered = html_col.take(
-                pa.array(order[pos_c], pa.int64())).to_pylist()
-            htmls += [g if f else None
-                      for g, f in zip(gathered, found.tolist())]
+            htmls += self.fetcher.fetch_part(
+                int(p), np.asarray(sel["url_hash"]), part_urls)
         out_url, out_host, out_prio = [], [], []
         out_outcome, out_text, out_links = [], [], []
         for u, h, p, html in zip(urls, hosts, prios, htmls):

@@ -23,6 +23,18 @@ Layered check (never a false negative, false positives resolved):
                                  at sandbox scale; per-partition sorted
                                  Parquet read-back at 10^10 scale — see
                                  capacity notes in state/cuckoo.py)
+
+Identity caveat at the target scale: "exact" means exact over the 63-bit
+url HASH (hash64(canonical_url)) — the layers above resolve their own
+false positives, but two distinct urls colliding in hash64 are
+indistinguishable.  Expected collisions by the birthday bound are
+n²/2^64: ~0 at sandbox scale, but ≈5 spurious "seen" verdicts at 10^10
+urls.  If even that is unacceptable, the 10^10-scale exact layer (the
+per-partition sorted-Parquet read-back) must key on canonical_url and
+compare the string on hash hits — the admitted/ checkpoint already
+stores canonical_url alongside url_hash, so that path needs no schema
+change.  The sandbox engine + oracle both key on hash64, so conformance
+is unaffected either way.
 """
 
 from __future__ import annotations

@@ -132,3 +132,55 @@ class TestDatagen:
         hosts = [host_of(canonicalize(u)) for u in pages["url"].to_pylist()]
         top = max(set(hosts), key=hosts.count)
         assert hosts.count(top) / len(hosts) > 0.20  # mega-host for salting
+
+
+class TestFetcherSeam:
+    """The Fetcher seam: FetchWorker is transport-independent — robots,
+    outcome routing and extraction behave identically over any fetcher
+    implementation (IndexFetcher in the sandbox, HTTP in deployment)."""
+
+    def test_fake_fetcher_drives_outcomes(self):
+        import numpy as np
+        import pyarrow as pa
+        from spider_ray.stages.crawl import FetchWorker
+
+        class FakeFetcher:
+            def warm(self, part):
+                return 0
+
+            def fetch_part(self, part, url_hashes, urls):
+                return [b"<html><body><p>hi</p>"
+                        b"<a href='/child'>c</a></body></html>"
+                        if u.endswith("/have") else None for u in urls]
+
+        w = FetchWorker(index_dir="/nonexistent",
+                        robots={"blocked.test": ["/"]},
+                        fetcher=FakeFetcher())
+        batch = pa.table({
+            "canonical_url": pa.array([
+                "http://a.test/have", "http://a.test/miss",
+                "http://blocked.test/have"]),
+            "host": pa.array(["a.test", "a.test", "blocked.test"]),
+            "priority": pa.array([1.0, 1.0, 1.0]),
+            "url_hash": pa.array(np.array([1, 2, 3], dtype=np.int64)),
+            "part": pa.array(np.array([0, 0, 1], dtype=np.int32)),
+        })
+        out = w(batch)
+        by_url = dict(zip(out["canonical_url"].to_pylist(),
+                          out["outcome"].to_pylist()))
+        assert by_url == {"http://a.test/have": "ok",
+                          "http://a.test/miss": "miss",
+                          "http://blocked.test/have": "robots"}
+        ok = out.filter(pa.array([o == "ok" for o in
+                                  out["outcome"].to_pylist()]))
+        assert ok["links"][0].as_py() == ["http://a.test/child"]
+
+    def test_http_fetcher_is_a_marked_seam(self):
+        import numpy as np
+        import pytest
+        from spider_ray.stages.crawl import HttpFetcher
+
+        f = HttpFetcher()
+        assert f.warm(0) == 0
+        with pytest.raises(NotImplementedError):
+            f.fetch_part(0, np.array([1], dtype=np.int64), ["http://x/"])

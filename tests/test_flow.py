@@ -277,3 +277,49 @@ class TestStore:
         spec = FlowSpec.from_json(json.dumps(doc))
         assert spec.actions["a2"].mapper["value"].mode == "expression"
         assert spec.edge_map() == {("a1", "triggered"): ["a2"]}
+
+
+class TestUpdateAndStatus:
+    def test_store_update_bumps_version(self):
+        store = FlowStore()
+        spec = _basic_spec()
+        v0 = spec.version
+        store.create(spec)
+        got = store.update("t1", "wa", name="renamed", status="draft")
+        assert got is spec
+        assert spec.name == "renamed" and spec.status == "draft"
+        assert spec.version == v0 + 1
+        store.update("t1", "wa", trigger_type="schedule")
+        assert spec.version == v0 + 2
+        with pytest.raises(ValueError):
+            store.update("t1", "wa", status="bogus")
+        with pytest.raises(ValueError):
+            store.update("t1", "wa", trigger_type="bogus")
+        with pytest.raises(KeyError):
+            store.update("t1", "nope", name="x")
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_draft_flow_refuses_to_run(self):
+        from spider_ray.flow import FlowRuntime
+
+        spec = _basic_spec()
+        spec.status = "draft"
+        rt = FlowRuntime(spec)
+        with pytest.raises(ValueError, match="draft"):
+            rt.run([{"key": "a1", "meta_output": "triggered",
+                     "values": "{}"}])
+        # activating via the store makes it runnable again
+        store = FlowStore()
+        store.create(spec)
+        store.update("t1", "wa", status="active")
+        res = rt.run([{"key": "a1", "meta_output": "triggered",
+                       "values": "{}"}])
+        assert res["leaves"] or res["outputs"]
+
+    def test_run_scheduled_requires_schedule_trigger(self):
+        from spider_ray.flow import FlowRuntime
+
+        spec = _basic_spec()  # trigger_type defaults to "event"
+        rt = FlowRuntime(spec)
+        with pytest.raises(ValueError, match="trigger_type"):
+            rt.run_scheduled("a1", n_ticks=2)

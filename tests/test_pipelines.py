@@ -280,3 +280,37 @@ class TestDedupAtScale:
         b = (dedup_minhash(d, verify_distributed=True)
              .to_pandas().reset_index(drop=True))
         pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedupOracles:
+    """The fuzzy-dedup DuckDB oracles in __ray_entry__ compute exact
+    all-pairs word-3-gram / char-4-gram Jaccard — equality therefore also
+    certifies 100% LSH recall on the corpus.  The oracles' conformance
+    preconditions (ASCII text, no sub-3-token docs) are asserted too."""
+
+    @pytest.mark.parametrize("sf", ["/root/testdata/sf0.001",
+                                    "/root/testdata/sf0.01"])
+    def test_fuzzy_oracles_match(self, sf):
+        import duckdb
+        import sys, os
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        import __ray_entry__ as E
+
+        con = duckdb.connect()
+        con.execute("create view documents as select * from "
+                    f"read_parquet('{sf}/documents.parquet')")
+        pre = con.execute("""
+            SELECT count(*) FILTER (WHERE length(text) <> strlen(text)),
+                   count(*) FILTER (WHERE len(regexp_extract_all(
+                       lower(text), '[a-z0-9_]+')) < 3)
+            FROM documents""").fetchone()
+        assert pre == (0, 0), f"oracle preconditions violated: {pre}"
+        qs, osql = E.queries(), E.oracle_sql()
+        for name in ("dedup_minhash", "dedup_ngram_jaccard"):
+            r = qs[name](sf)
+            r = (r.to_pandas() if hasattr(r, "to_pandas") else r)
+            o = con.execute(osql[name]).fetchdf()
+            pd.testing.assert_frame_equal(r.reset_index(drop=True), o,
+                                          check_dtype=False)
