@@ -34,6 +34,21 @@ class Mapper:
             raise ValueError(f"bad mapper mode {self.mode!r}")
 
 
+def parse_bang_mapper(mapping: dict[str, str]) -> dict[str, "Mapper"]:
+    """The '!'-prefix mapper convention from the reference's standalone
+    expression demo (`examples/expression/main.go:102-119` ex()): empty
+    value -> fixed "", '!expr' -> expression over the env, anything else
+    -> fixed literal.  Returns mode-based Mappers so demo-style flows
+    compile through the same compile-once path as API-built ones."""
+    out: dict[str, Mapper] = {}
+    for field_name, v in mapping.items():
+        if v.startswith("!"):
+            out[field_name] = Mapper("expression", v[1:])
+        else:
+            out[field_name] = Mapper("fixed", v)
+    return out
+
+
 @dataclass
 class Action:
     key: str

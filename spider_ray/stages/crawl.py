@@ -24,7 +24,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..common.extract import extract_hrefs, extract_text
+from ..common.extract import extract_hrefs, extract_text_batch
 from ..common.hashing import hash64_many
 from ..common.urlnorm import canonicalize, host_of, path_of, resolve, robots_denied
 
@@ -282,6 +282,10 @@ class FetchWorker:
         return self.fetcher.warm(part)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import time as _time
+
+        _dbg = bool(os.environ.get("SPIDER_RAY_FETCH_DEBUG"))
+        _t0 = _time.time()
         if batch.num_rows == 0:
             return _empty_fetch_table()
         parts = pc.unique(batch["part"]).to_pylist()
@@ -294,27 +298,44 @@ class FetchWorker:
             prios += sel["priority"].to_pylist()
             htmls += self.fetcher.fetch_part(
                 int(p), np.asarray(sel["url_hash"]), part_urls)
-        out_url, out_host, out_prio = [], [], []
+        _t1 = _time.time()
+        # route outcomes first, then extract text for ALL ok rows in one
+        # batch kernel call (Arrow RE2 passes over the whole column —
+        # extraction is the dominant crawl cost, see common/extract)
         out_outcome, out_text, out_links = [], [], []
-        for u, h, p, html in zip(urls, hosts, prios, htmls):
+        ok_rows, ok_htmls = [], []
+        for i, (u, h, html) in enumerate(zip(urls, hosts, htmls)):
             if self._denied(h, path_of(u)):
-                outcome, text, links = "robots", None, []
+                out_outcome.append("robots")
             elif html is None:
-                outcome, text, links = "miss", None, []
+                out_outcome.append("miss")
             else:
-                outcome = "ok"
-                text = extract_text(html)
+                out_outcome.append("ok")
+                ok_rows.append(i)
+                ok_htmls.append(html)
+            out_text.append(None)
+            out_links.append([])
+        _t2 = _time.time()
+        if ok_rows:
+            for i, text in zip(ok_rows, extract_text_batch(ok_htmls)):
+                out_text[i] = text
+            _t3 = _time.time()
+            for i, html in zip(ok_rows, ok_htmls):
+                u = urls[i]
                 links = []
                 for href in extract_hrefs(html):
                     child = resolve(u, href)
                     if child is not None:
                         links.append(child)
-            out_url.append(u)
-            out_host.append(h)
-            out_prio.append(p)
-            out_outcome.append(outcome)
-            out_text.append(text)
-            out_links.append(links)
+                out_links[i] = links
+        else:
+            _t3 = _time.time()
+        if _dbg:
+            print(f"[fetch] rows={batch.num_rows} gather={_t1-_t0:.2f} "
+                  f"route={_t2-_t1:.2f} text={_t3-_t2:.2f} "
+                  f"links={_time.time()-_t3:.2f} "
+                  f"t_start={_t0:.2f} t_end={_time.time():.2f}", flush=True)
+        out_url, out_host, out_prio = urls, hosts, prios
         return pa.table(
             {
                 "canonical_url": pa.array(out_url, pa.string()),
@@ -347,7 +368,13 @@ class FetchWorker:
         The outcome projection keeps host + priority so the distributed
         order writer can sort + seq-stamp outcomes directly, without
         joining back to the selection."""
+        import time as _time
+
+        _t0 = _time.time()
         fetched = self(batch)
+        if os.environ.get("SPIDER_RAY_FETCH_DEBUG"):
+            print(f"[fetch_stash] rows={batch.num_rows} "
+                  f"call={_time.time() - _t0:.2f}s", flush=True)
         self._pending_texts = (
             fetched.filter(pc.equal(fetched["outcome"], "ok"))
                    .select(["canonical_url", "text"])

@@ -323,3 +323,25 @@ class TestUpdateAndStatus:
         rt = FlowRuntime(spec)
         with pytest.raises(ValueError, match="trigger_type"):
             rt.run_scheduled("a1", n_ticks=2)
+
+
+class TestBangMapperConvention:
+    """'!'-prefix mapper parsing from the reference's expression demo
+    (examples/expression/main.go ex()): '' -> fixed "", '!e' ->
+    expression, else fixed literal."""
+
+    def test_parse_and_execute(self):
+        from spider_ray.flow import parse_bang_mapper
+
+        m = parse_bang_mapper({
+            "lit": "hello", "empty": "", "count": "!a + b"})
+        assert (m["lit"].mode, m["lit"].value) == ("fixed", "hello")
+        assert (m["empty"].mode, m["empty"].value) == ("fixed", "")
+        assert (m["count"].mode, m["count"].value) == ("expression", "a + b")
+        spec = FlowSpec(tenant_id="t1", workflow_id="w")
+        spec.actions["x"] = Action("x", "test-action-a", mapper=m)
+        compiled = spec.compiled_mappers()["x"]
+        assert compiled["lit"] == ("fixed", "hello")
+        assert compiled["empty"] == ("fixed", "")
+        mode, prog = compiled["count"]
+        assert mode == "expr" and prog({"a": 2, "b": 3}) == 5
