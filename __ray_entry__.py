@@ -83,6 +83,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- similarity search ---------------------------------------------
         "ann_topk_bruteforce": ann.ann_topk_bruteforce,
         "ann_lsh_topk": ann.ann_lsh_topk,
+        "ann_ivf_topk": ann.ann_ivf_topk,
+        "dedup_embedding_ivf": ann.dedup_embedding_ivf,
         # -- multimodal plumbing (deterministic fake codec) ----------------
         "multimodal_features": mm.multimodal_features,
         "multimodal_feature_stats": mm.multimodal_feature_stats,

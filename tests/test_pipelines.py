@@ -314,3 +314,75 @@ class TestDedupOracles:
             o = con.execute(osql[name]).fetchdf()
             pd.testing.assert_frame_equal(r.reset_index(drop=True), o,
                                           check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIVF:
+    """IVF (k-means cell) scale path: partitioned index build + probe
+    reads only matching cells; recall measured vs the exact baselines."""
+
+    @pytest.fixture(scope="class")
+    def highsim_corpus(self, tmp_path_factory):
+        d = str(tmp_path_factory.mktemp("ivfhs"))
+        rng = np.random.default_rng(5)
+        base = rng.normal(size=(50, 64))
+        rows = []
+        for v in base:
+            rows.append(v)
+            for _ in range(4):
+                rows.append(v + rng.normal(scale=0.02, size=64))
+        m = np.stack(rows).astype(np.float32)
+        pq.write_table(pa.table({
+            "vec_id": pa.array(np.arange(len(m)), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in m],
+                                  pa.list_(pa.float32())),
+        }), f"{d}/embeddings.parquet")
+        return d
+
+    def _recall(self, truth, approx):
+        num = den = 0
+        for q in truth["query_id"].unique():
+            t = set(truth[truth.query_id == q].neighbor_id)
+            a = set(approx[approx.query_id == q].neighbor_id)
+            num += len(t & a)
+            den += len(t)
+        return num / den
+
+    def test_ivf_topk_high_similarity(self, highsim_corpus):
+        from spider_ray.pipelines.ann import ann_ivf_topk, ann_topk_bruteforce
+
+        d = highsim_corpus
+        bf = ann_topk_bruteforce(d, n_queries=20, k=4).to_pandas()
+        ivf = ann_ivf_topk(d, n_queries=20, k=4,
+                           n_cells=16, nprobe=4).to_pandas()
+        assert self._recall(bf, ivf) >= 0.9
+
+    def test_ivf_topk_weak_corpus(self):
+        from spider_ray.pipelines.ann import ann_ivf_topk, ann_topk_bruteforce
+
+        bf = ann_topk_bruteforce(SF).to_pandas()
+        ivf = ann_ivf_topk(SF).to_pandas()
+        # shallow-similarity corpus: nprobe/n_cells bounds recall; the
+        # high-sim regime above is the production configuration
+        assert self._recall(bf, ivf) >= 0.3
+
+    def test_ivf_index_is_idempotent(self, highsim_corpus):
+        from spider_ray.pipelines.ann import build_ivf_index
+
+        d1, c1 = build_ivf_index(highsim_corpus)
+        d2, c2 = build_ivf_index(highsim_corpus)  # marker hit, no rebuild
+        assert d1 == d2 and (c1 == c2).all()
+
+    def test_ivf_dedup_recall_and_precision(self, highsim_corpus):
+        from spider_ray.pipelines.ann import dedup_embedding_ivf
+        from spider_ray.pipelines.dedup import dedup_embedding
+
+        d = highsim_corpus
+        exact = dedup_embedding(d, threshold=0.95).to_pandas()
+        ivf = dedup_embedding_ivf(d, threshold=0.95).to_pandas()
+        ep = set(zip(exact.vec_a, exact.vec_b))
+        ip = set(zip(ivf.vec_a, ivf.vec_b))
+        assert len(ip - ep) == 0                      # exact verify => no FPs
+        assert len(ep & ip) / len(ep) >= 0.95         # clustered dups found
+        assert (ivf.sort_values(["vec_a", "vec_b"], ignore_index=True)
+                   .equals(ivf.reset_index(drop=True)))
