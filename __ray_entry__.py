@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from spider_ray.pipelines import flow_queries as fq
     from spider_ray.pipelines import dedup
     from spider_ray.pipelines import multimodal as mm
+    from spider_ray.pipelines import prep
     from spider_ray.pipelines import relational as rel
     from spider_ray.pipelines import sketches as sk
     from spider_ray.pipelines import textstats as ts
@@ -88,6 +89,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- multimodal plumbing (deterministic fake codec) ----------------
         "multimodal_features": mm.multimodal_features,
         "multimodal_feature_stats": mm.multimodal_feature_stats,
+        # -- composed end-to-end training-data prep ------------------------
+        "training_data_prep": prep.training_data_prep,
     }
 
 
@@ -292,6 +295,34 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.40
+        """,
+        # The COMPOSED pipeline oracle: scoring + filtering + exact
+        # dedup + stats as one SQL statement — hash-checking the whole
+        # composition, not just each stage.  Dedup keys on text (the
+        # pipeline keys on its 63-bit blake2b hash; identical absent
+        # collisions).
+        "training_data_prep": """
+            WITH scored AS (
+              SELECT doc_id, lang, text,
+                     len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                         AS n_tokens,
+                     round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                           / greatest(length(text), 1)
+                           - length(regexp_replace(text, '[^0-9]', '', 'g'))
+                           / greatest(length(text), 1), 4) AS quality
+              FROM documents
+            ),
+            filtered AS (
+              SELECT * FROM scored
+              WHERE quality >= 0.80 AND lang IN ('en', 'es', 'de', 'fr')
+            ),
+            dedup AS (
+              SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+              FROM filtered GROUP BY text
+            )
+            SELECT f.doc_id, f.lang, f.n_tokens, f.quality, d.dup_count
+            FROM filtered f JOIN dedup d ON f.doc_id = d.keep_id
+            ORDER BY f.doc_id
         """,
         "ann_topk_bruteforce": """
             SELECT query_id, neighbor_id, round(cosine, 4) AS cosine

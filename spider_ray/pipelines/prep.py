@@ -1,0 +1,94 @@
+"""Composed training-data preparation pipeline — the end-to-end flow a
+user of this engine runs over a raw document corpus before training:
+
+  pruned read → vectorized quality scoring + token counting → quality
+  and language filters → exact content dedup (keep min doc_id, count
+  dups) → deterministic ordered output.
+
+One STREAMING Ray Data pipeline: scoring/filtering happen inside a
+single map_batches (the text column never survives past its batch —
+only its 63-bit content hash enters the dedup shuffle), and the dedup
+reduce is the coarse-bucket groupby pattern (text_hash % 64 buckets,
+per-bucket pandas keep-first) shared with the dedup/LSH modules.  The
+whole composition is mirrored by ONE DuckDB oracle SQL in
+__ray_entry__, which is what makes a multi-stage pipeline trustworthy:
+the COMPOSITION is hash-checked, not just each stage.
+
+Reference anchor: this is the graft's analogue of chaining the
+reference's worker hops (score → filter → dedup) into one flow
+(`pkg/spider/workflow.go:83-328` dispatch chain), expressed as Dataset
+stages instead of per-message NATS hops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..common.hashing import hash64
+
+from . import read_table as _rp  # shared column-pruned read
+
+_TOKEN_PAT = r"[A-Za-z0-9_]+"  # shared with oracle SQL regexp semantics
+
+
+def training_data_prep(sf_dir: str, min_quality: float = 0.80,
+                       langs: tuple[str, ...] = ("en", "es", "de", "fr"),
+                       dedup_buckets: int = 64):
+    """Returns (doc_id, lang, n_tokens, quality, dup_count) for the
+    documents that survive quality + language filtering, one row per
+    distinct content (keeper = min doc_id), sorted by doc_id.
+
+    The quality threshold compares the ROUNDED score (4 dp,
+    half-away-from-zero) so the Ray filter and the SQL oracle make
+    identical keep/drop decisions at the boundary."""
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "lang", "text"])
+    lang_set = pa.array(list(langs), pa.string())
+
+    def score_filter(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        n = pc.cast(pc.utf8_length(text), pa.float64())
+        n_safe = pc.max_element_wise(n, pa.scalar(1.0))
+        n_alpha = pc.cast(pc.utf8_length(pc.replace_substring_regex(
+            text, pattern="[^A-Za-z]", replacement="")), pa.float64())
+        n_digit = pc.cast(pc.utf8_length(pc.replace_substring_regex(
+            text, pattern="[^0-9]", replacement="")), pa.float64())
+        quality = pc.round(
+            pc.subtract(pc.divide(n_alpha, n_safe),
+                        pc.divide(n_digit, n_safe)),
+            ndigits=4, round_mode="half_towards_infinity")
+        n_tokens = pc.cast(
+            pc.count_substring_regex(text, pattern=_TOKEN_PAT), pa.int64())
+        keep = pc.and_(pc.greater_equal(quality, pa.scalar(min_quality)),
+                       pc.is_in(t["lang"], value_set=lang_set))
+        sub = pa.table({
+            "doc_id": t["doc_id"], "lang": t["lang"],
+            "n_tokens": n_tokens, "quality": quality,
+            "text": text,
+        }).filter(keep)
+        # content hash only past this point — the text column never
+        # enters the shuffle
+        hashes = np.fromiter((hash64(s) for s in sub["text"].to_pylist()),
+                             dtype=np.int64, count=sub.num_rows)
+        return pa.table({
+            "doc_id": sub["doc_id"], "lang": sub["lang"],
+            "n_tokens": sub["n_tokens"], "quality": sub["quality"],
+            "text_hash": pa.array(hashes),
+            "bucket": pa.array((hashes % dedup_buckets).astype(np.int32)),
+        })
+
+    def dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["text_hash", "doc_id"], kind="mergesort")
+        dup_count = df.groupby("text_hash", sort=False)["doc_id"] \
+                      .transform("size")
+        keep = ~df.duplicated(subset=["text_hash"], keep="first")
+        out = df[keep].assign(dup_count=dup_count[keep].astype(np.int64))
+        return out.drop(columns=["text_hash", "bucket"])
+
+    return (ds.map_batches(score_filter, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(dedup_bucket, batch_format="pandas")
+            .sort("doc_id"))

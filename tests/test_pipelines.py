@@ -386,3 +386,33 @@ class TestIVF:
         assert len(ep & ip) / len(ep) >= 0.95         # clustered dups found
         assert (ivf.sort_values(["vec_a", "vec_b"], ignore_index=True)
                    .equals(ivf.reset_index(drop=True)))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTrainingDataPrep:
+    """The composed prep pipeline (score -> filter -> exact dedup ->
+    stats) must hash-match its single-statement DuckDB oracle — the
+    COMPOSITION is verified, not just each stage."""
+
+    @pytest.mark.parametrize("sf", ["/root/testdata/sf0.001",
+                                    "/root/testdata/sf0.01"])
+    def test_matches_composed_oracle(self, sf):
+        import duckdb
+        import os
+        import sys
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        import __ray_entry__ as E
+
+        con = duckdb.connect()
+        con.execute("create view documents as select * from "
+                    f"read_parquet('{sf}/documents.parquet')")
+        r = E.queries()["training_data_prep"](sf).to_pandas()
+        o = con.execute(E.oracle_sql()["training_data_prep"]).fetchdf()
+        pd.testing.assert_frame_equal(
+            r[sorted(r.columns)].reset_index(drop=True),
+            o[sorted(o.columns)].reset_index(drop=True),
+            check_dtype=False)
+        # the pipeline actually filters and dedups (non-trivial output)
+        n_docs = con.execute("select count(*) from documents").fetchone()[0]
+        assert 0 < len(r) < n_docs
