@@ -67,6 +67,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_purchase_click": rel.asof_join_purchase_click,
         "sliding_avg_user_value": rel.sliding_avg_user_value,
         "sample_deterministic": rel.sample_deterministic,
+        "stratified_sample_by_lang": rel.stratified_sample_by_lang,
+        "top_docs_per_lang": rel.top_docs_per_lang,
         "approx_distinct_tokens": sk.approx_distinct_tokens,
         # -- text analysis -------------------------------------------------
         "text_doc_stats_by_lang": ts.doc_stats_by_lang,
@@ -228,6 +230,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
             FROM documents
+        """,
+        "stratified_sample_by_lang": """
+            SELECT doc_id, lang, n_chars FROM (
+                SELECT doc_id, lang, n_chars,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY doc_id) AS rn
+                FROM documents) t
+            WHERE rn <= 20 ORDER BY doc_id
+        """,
+        "top_docs_per_lang": """
+            SELECT doc_id, lang, n_chars FROM (
+                SELECT doc_id, lang, n_chars,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY n_chars DESC, doc_id) AS rn
+                FROM documents) t
+            WHERE rn <= 5 ORDER BY lang, doc_id
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count

@@ -154,18 +154,21 @@ def broadcast_join_segment_revenue(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     cust = _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    lookup_ref = ray.put((pa.array(cust["c_custkey"], pa.int64()),
+                          pa.array(cust["c_mktsegment"], pa.string())))
 
-    def join_segment(df: pd.DataFrame) -> pd.DataFrame:
+    def join_segment(t: pa.Table) -> pa.Table:
         # ray.get of a broadcast ref is a zero-copy local-store hit per
-        # task — no actor pool needed for a pure lookup stage
-        lookup = ray.get(lookup_ref)
-        df["c_mktsegment"] = df["o_custkey"].map(lookup)
-        return df[["c_mktsegment", "o_totalprice"]]
+        # task — no actor pool needed for a pure lookup stage; the
+        # lookup itself is an Arrow index_in + take (no pandas hop)
+        keys, segs = ray.get(lookup_ref)
+        idx = pc.index_in(t["o_custkey"], value_set=keys)
+        return pa.table({"c_mktsegment": pc.take(segs, idx),
+                         "o_totalprice": t["o_totalprice"]})
 
     out = (
         _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(join_segment, batch_format="pandas")
+        .map_batches(join_segment, batch_format="pyarrow")
         .groupby("c_mktsegment")
         .aggregate(Sum("o_totalprice", alias_name="revenue"),
                    Count(alias_name="n_orders"))
@@ -373,3 +376,53 @@ def sessionize_users(sf_dir: str):
         })
 
     return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+
+
+def stratified_sample_by_lang(sf_dir: str, per_lang: int = 20):
+    """Deterministic stratified sampling: the first per_lang docs of
+    every language by doc_id — the reproducible group-quota subset
+    selection a training mix needs (vs random_sample, whose sampler SQL
+    cannot replicate).  Per-block combiner (each block keeps at most
+    per_lang rows per lang) then a tiny per-group final head — the
+    corpus never concentrates on one node."""
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def local_head(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "doc_id"], kind="mergesort")
+        return df.groupby("lang", sort=False).head(per_lang)
+
+    def final_head(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values("doc_id", kind="mergesort")
+                .head(per_lang))
+
+    return (ds.map_batches(local_head, batch_format="pandas",
+                           zero_copy_batch=True)
+            .groupby("lang")
+            .map_groups(final_head, batch_format="pandas")
+            .sort("doc_id"))
+
+
+def top_docs_per_lang(sf_dir: str, k: int = 5):
+    """Group-wise top-k (top k longest docs per language, doc_id
+    tie-break) — the per-group combiner pattern: blocks emit at most k
+    rows per group, the final reduce sees only group_count × k ×
+    n_blocks rows."""
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(neg=-df["n_chars"])
+        df = df.sort_values(["lang", "neg", "doc_id"], kind="mergesort")
+        return df.groupby("lang", sort=False).head(k).drop(columns=["neg"])
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(neg=-df["n_chars"])
+        df = df.sort_values(["neg", "doc_id"], kind="mergesort")
+        return df.head(k).drop(columns=["neg"])
+
+    return (ds.map_batches(local_topk, batch_format="pandas",
+                           zero_copy_batch=True)
+            .groupby("lang")
+            .map_groups(final_topk, batch_format="pandas")
+            .sort(["lang", "doc_id"]))

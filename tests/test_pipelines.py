@@ -416,3 +416,28 @@ class TestTrainingDataPrep:
         # the pipeline actually filters and dedups (non-trivial output)
         n_docs = con.execute("select count(*) from documents").fetchone()[0]
         assert 0 < len(r) < n_docs
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupwiseOps:
+    """Group-quota sampling and group-wise top-k vs their oracles."""
+
+    @pytest.mark.parametrize("name", ["stratified_sample_by_lang",
+                                      "top_docs_per_lang"])
+    def test_matches_oracle(self, name):
+        import duckdb
+        import os
+        import sys
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        import __ray_entry__ as E
+
+        con = duckdb.connect()
+        con.execute("create view documents as select * from "
+                    f"read_parquet('{SF}/documents.parquet')")
+        r = E.queries()[name](SF).to_pandas()
+        o = con.execute(E.oracle_sql()[name]).fetchdf()
+        pd.testing.assert_frame_equal(
+            r[sorted(r.columns)].reset_index(drop=True),
+            o[sorted(o.columns)].reset_index(drop=True),
+            check_dtype=False)
