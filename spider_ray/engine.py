@@ -687,24 +687,28 @@ class CrawlEngine:
                          batch_format="pyarrow")
             .materialize()
         )
-        n_unique_links = uniq.count()
+        n_unique_links = uniq.count()  # metadata count on materialized data
 
-        def seen_filter(t: pa.Table) -> pa.Table:
+        def seen_admit(t: pa.Table) -> pa.Table:
             m = checker.check(np.asarray(t["url_hash"]))
-            return t.filter(pa.array(m))
+            t = t.filter(pa.array(m))
+            return t.append_column(
+                "first_epoch", pa.array([e + 1] * t.num_rows, pa.int32()))
 
-        admitted_ds = uniq.map_batches(
-            seen_filter, batch_format="pyarrow").materialize()
-        n_admitted = admitted_ds.count()
+        # ONE execution: filter-by-seen and persist the admitted delta;
+        # the admitted count comes from parquet metadata and the phase-2
+        # checker.add reads back only the url_hash column of what was
+        # just written (Ray Data executions cost ~0.5s each — the prior
+        # materialize+count+write+iter chain paid that 3x per epoch)
+        uniq.map_batches(seen_admit, batch_format="pyarrow") \
+            .write_parquet(adm_dir, partition_cols=["part"], mode="overwrite")
+        adm_files = self._parquet_files(adm_dir)
+        n_admitted = sum(pq.ParquetFile(f).metadata.num_rows
+                         for f in adm_files)
         if n_admitted:
-            admitted_ds.map_batches(
-                lambda t: t.append_column(
-                    "first_epoch", pa.array([e + 1] * t.num_rows, pa.int32())),
-                batch_format="pyarrow",
-            ).write_parquet(adm_dir, partition_cols=["part"], mode="overwrite")
-            for batch in admitted_ds.iter_batches(batch_size=65536,
-                                                  batch_format="pyarrow"):
-                checker.add(np.asarray(batch["url_hash"]))
+            h = pq.read_table(adm_files, columns=["url_hash"],
+                              use_threads=False)
+            checker.add(np.asarray(h["url_hash"]))
         _mark("links_seen_admit")
 
         # 5. next frontier = (frontier − selected) ∪ admitted, built by P
