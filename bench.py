@@ -96,10 +96,22 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
     ]
     qs = entry.queries()
     # untimed warmup: the first Dataset execution of a session pays
-    # one-time executor/import setup that isn't any query's cost
+    # one-time executor/import setup, and each worker PROCESS pays a
+    # first-touch cost on its numpy arenas (large on this sandbox's
+    # host-overcommitted memory) — neither is any query's cost.  A tiny
+    # sf0.001 pass through the heaviest kernels warms both.
     import ray.data as rd
 
     rd.range(8).map_batches(lambda b: b).count()
+    warm_sf = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_sf):
+        for wname in ("dedup_minhash", "q1_pricing_summary"):
+            try:
+                res = qs[wname](warm_sf)
+                if hasattr(res, "to_pandas"):
+                    res.to_pandas()
+            except Exception:
+                pass  # warmup must never fail the bench
     out = {}
     for name in names:
         t0 = time.time()

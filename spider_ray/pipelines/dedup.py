@@ -105,26 +105,39 @@ class MinHasher:
             vals = x * self.a[None, :] + self.b[None, :]  # mod 2^64 wraps
         return (vals.min(axis=0) >> np.uint64(1)).astype(np.int64)
 
+    # chunk size for the (shingles × perms) broadcast: 32k × 64 × 8B =
+    # 16 MB transient instead of one ~100 MB matrix per batch — large
+    # fresh allocations fault slowly on overcommitted hosts and the
+    # values are consumed immediately by the per-doc min anyway
+    _SIG_CHUNK = 1 << 15
+
     def signatures(self, shingles: np.ndarray, parent: np.ndarray,
                    n_docs: int) -> np.ndarray:
-        """(n_docs × num_perms) signature matrix for a whole batch: one
-        (n_shingles × perms) broadcast + per-doc minimum.reduceat —
+        """(n_docs × num_perms) signature matrix for a whole batch:
+        chunked (shingles × perms) broadcasts + per-doc minimums —
         parent must be nondecreasing (tokens.word_shingle_hashes /
         char_ngram_hashes emit doc-sorted rows).  Empty docs get the
         sentinel signature (int64 max)."""
-        out = np.full((n_docs, self.num_perms), np.iinfo(np.int64).max,
-                      dtype=np.int64)
-        if len(shingles) == 0:
-            return out
-        x = shingles.astype(np.uint64)[:, None]
-        with np.errstate(over="ignore"):
-            vals = x * self.a[None, :] + self.b[None, :]
-        counts = np.bincount(parent, minlength=n_docs)
-        nz = np.nonzero(counts)[0]
-        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])[nz]
-        out[nz] = (np.minimum.reduceat(vals, starts, axis=0)
-                   >> np.uint64(1)).astype(np.int64)
-        return out
+        acc = np.full((n_docs, self.num_perms), np.uint64(2**64 - 1),
+                      dtype=np.uint64)
+        n = len(shingles)
+        sh = shingles.astype(np.uint64)
+        for i0 in range(0, n, self._SIG_CHUNK):
+            i1 = min(i0 + self._SIG_CHUNK, n)
+            with np.errstate(over="ignore"):
+                vals = (sh[i0:i1, None] * self.a[None, :]
+                        + self.b[None, :])
+            par_c = parent[i0:i1]
+            new = np.ones(i1 - i0, dtype=bool)
+            new[1:] = par_c[1:] != par_c[:-1]
+            starts = np.nonzero(new)[0]
+            mins = np.minimum.reduceat(vals, starts, axis=0)
+            docs = par_c[starts]
+            # a doc can span chunk boundaries -> min-merge into acc
+            np.minimum.at(acc, docs, mins)
+        # untouched (empty-doc) rows: (2^64-1) >> 1 == int64 max — the
+        # sentinel falls out of the shift, no separate fix-up needed
+        return (acc >> np.uint64(1)).astype(np.int64)
 
 
 def _band_rows(ids: np.ndarray, sigs: np.ndarray, bands: int) -> pa.Table:
