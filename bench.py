@@ -159,20 +159,32 @@ def run_scaling() -> dict:
     term dominates the per-epoch constants)."""
     levels = [int(x) for x in
               os.environ.get("BENCH_SCALING_CPUS", "2,8,32").split(",")]
+    # best-of-N per level: the sandbox VM sees episodic host CPU steal /
+    # slow host-page faults, so a single shot can land different LEVELS
+    # in different host windows and skew the ratio both ways; the best
+    # of N runs per level measures machine capability, not host weather
+    repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "2"))
     results = {}
     for ncpu in levels:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_CRAWL_ONLY="1")
-        try:
-            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                                 env=env, capture_output=True, text=True,
-                                 check=True)
-        except subprocess.CalledProcessError as ex:
-            # preserve the child's diagnostics and any completed levels
-            sys.stderr.write(f"[scaling] num_cpus={ncpu} failed "
-                             f"(exit {ex.returncode}); child stderr:\n"
-                             f"{ex.stderr[-4000:] if ex.stderr else ''}\n")
-            raise
-        results[ncpu] = json.loads(out.stdout.strip().splitlines()[-1])
+        best = None
+        for _ in range(repeats):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       BENCH_CRAWL_ONLY="1")
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env, capture_output=True, text=True, check=True)
+            except subprocess.CalledProcessError as ex:
+                # preserve the child's diagnostics and any completed runs
+                sys.stderr.write(f"[scaling] num_cpus={ncpu} failed "
+                                 f"(exit {ex.returncode}); child stderr:\n"
+                                 f"{ex.stderr[-4000:] if ex.stderr else ''}\n")
+                raise
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            if best is None or (r["crawl"]["urls_per_sec"]
+                                > best["crawl"]["urls_per_sec"]):
+                best = r
+        results[ncpu] = best
     out = {"metric": "scaling_efficiency", "unit": "ratio",
            "sf": results[levels[-1]]["sf"],
            "pages": results[levels[-1]]["crawl"]["pages"]}
