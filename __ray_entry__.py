@@ -247,6 +247,46 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) t
             WHERE rn <= 5 ORDER BY lang, doc_id
         """,
+        # Replicates pipelines.textstats.LangId exactly: CJK chars ->
+        # zh; else stopword-occurrence argmax over en/de/fr/es with the
+        # classifier's strict-priority tie-break (a later language wins
+        # only with STRICTLY more hits), zero hits / no words -> und.
+        "text_lang_id": """
+            WITH toks AS (
+              SELECT doc_id, text,
+                     regexp_extract_all(lower(text), '[a-z]+') AS w
+              FROM documents
+            ),
+            hits AS (
+              SELECT doc_id, text, len(w) AS n_words,
+                     len(list_filter(w, x -> list_contains(
+                         ['the','and','of','to','a','in','is','it','for',
+                          'with'], x))) AS h_en,
+                     len(list_filter(w, x -> list_contains(
+                         ['der','die','das','und','ist','nicht','mit','ein',
+                          'zu','den'], x))) AS h_de,
+                     len(list_filter(w, x -> list_contains(
+                         ['le','la','les','et','est','un','une','des','du',
+                          'que'], x))) AS h_fr,
+                     len(list_filter(w, x -> list_contains(
+                         ['el','la','los','las','y','es','un','una','de',
+                          'que'], x))) AS h_es
+              FROM toks
+            )
+            SELECT doc_id,
+                   CASE
+                     WHEN regexp_matches(text,
+                          '[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}]')
+                         THEN 'zh'
+                     WHEN n_words = 0 THEN 'und'
+                     WHEN h_es > greatest(h_en, h_de, h_fr) THEN 'es'
+                     WHEN h_fr > greatest(h_en, h_de) THEN 'fr'
+                     WHEN h_de > h_en THEN 'de'
+                     WHEN h_en > 0 THEN 'en'
+                     ELSE 'und'
+                   END AS lang_pred
+            FROM hits
+        """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count
             FROM documents GROUP BY text

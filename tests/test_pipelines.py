@@ -441,3 +441,24 @@ class TestGroupwiseOps:
             r[sorted(r.columns)].reset_index(drop=True),
             o[sorted(o.columns)].reset_index(drop=True),
             check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lang_id_matches_sql_oracle():
+    """text_lang_id now has a full DuckDB oracle (stopword argmax with
+    strict-priority tie-break) — equality gates the classifier exactly."""
+    import duckdb
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import __ray_entry__ as E
+
+    con = duckdb.connect()
+    con.execute("create view documents as select * from "
+                f"read_parquet('{SF}/documents.parquet')")
+    r = (E.queries()["text_lang_id"](SF).to_pandas()
+         .sort_values("doc_id", ignore_index=True))
+    o = (con.execute(E.oracle_sql()["text_lang_id"]).fetchdf()
+         .sort_values("doc_id", ignore_index=True))
+    pd.testing.assert_frame_equal(r, o, check_dtype=False)
