@@ -195,8 +195,10 @@ def run_scaling() -> dict:
         eff = round(results[b]["crawl"]["urls_per_sec"]
                     / ((b / a) * results[a]["crawl"]["urls_per_sec"]), 3)
         out[f"efficiency_{a}_to_{b}"] = eff
-    # the N -> 4N criterion value = the first adjacent pair
-    out["value"] = out[f"efficiency_{levels[0]}_to_{levels[1]}"]
+    # the N -> 4N criterion value = the first adjacent pair (a
+    # single-level BENCH_SCALING_CPUS run has no pair -> value None)
+    out["value"] = (out[f"efficiency_{levels[0]}_to_{levels[1]}"]
+                    if len(levels) >= 2 else None)
     return out
 
 

@@ -8,11 +8,14 @@ feed.  This module replaces that with batch-at-a-time kernels:
                     column (no per-row Python), parent indices via
                     `list_parent_indices`;
   * token hashing — one numpy polynomial hash over the flat token-byte
-                    buffer: tokens are gathered into an (n × CAP) byte
-                    matrix (CAP=16, longer tokens truncate but mix their
-                    full length), dotted with a power ladder in uint64
-                    wraparound arithmetic, then finalized with
-                    splitmix64.  No loop runs per token or per byte.
+                    buffer: tokens are gathered into (n × CAP) byte
+                    matrices (CAP=16) one CAP-chunk at a time, each
+                    chunk dotted with a power ladder in uint64
+                    wraparound arithmetic and splitmix64-chained into
+                    the accumulator, so EVERY byte of every token is
+                    hashed (tokens longer than CAP cost one extra
+                    vectorized pass per extra chunk — no loop runs per
+                    token or per byte); length is mixed in at the end.
   * shingling     — word-k-gram / char-n-gram window hashes combined
                     across the whole flat array with doc-boundary masks.
 
@@ -30,7 +33,7 @@ import pyarrow.compute as pc
 
 from ..state.bloom import _splitmix64
 
-_CAP = 16  # hashed byte prefix per token; full length is mixed in below
+_CAP = 16  # bytes hashed per vectorized chunk; ALL chunks are hashed
 _BASE = np.uint64(1099511628211)  # FNV prime
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 _MASK63 = np.uint64((1 << 63) - 1)
@@ -60,7 +63,11 @@ def _string_offsets(arr: pa.Array) -> np.ndarray:
 
 def hash_string_array(arr: pa.Array) -> np.ndarray:
     """uint64 hash per string of an Arrow string array — zero-copy from
-    the Arrow offsets/data buffers, no per-row Python."""
+    the Arrow offsets/data buffers, no per-row Python.  Every byte of
+    every string participates: strings are consumed in CAP-byte chunks,
+    each chunk's polynomial hash splitmix64-chained into the accumulator
+    (rows shorter than the current chunk offset drop out of the pass, so
+    the common ≤16-byte token costs exactly one vectorized pass)."""
     arr = _as_array(arr)
     n = len(arr)
     if n == 0:
@@ -70,15 +77,29 @@ def hash_string_array(arr: pa.Array) -> np.ndarray:
     offs = _string_offsets(arr)
     data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
     lengths = offs[1:] - offs[:-1]
-    L = np.minimum(lengths, _CAP)
-    mat = np.zeros((n, _CAP), dtype=np.uint8)
+    starts = offs[:-1]
     colidx = np.arange(_CAP, dtype=np.int64)
-    mask = colidx[None, :] < L[:, None]
-    gather = offs[:-1, None] + colidx[None, :]
-    mat[mask] = data[gather[mask]]
+    maxlen = int(lengths.max())
     with np.errstate(over="ignore"):
-        h = (mat.astype(np.uint64) * _POWS[None, :]).sum(
-            axis=1, dtype=np.uint64)
+        h = np.zeros(n, dtype=np.uint64)
+        for chunk in range(0, max(maxlen, 1), _CAP):
+            if chunk == 0:
+                rows = slice(None)
+                row_starts, row_lens = starts, lengths
+            else:
+                idx = np.nonzero(lengths > chunk)[0]
+                if len(idx) == 0:
+                    break
+                rows = idx
+                row_starts, row_lens = starts[idx], lengths[idx]
+            L = np.minimum(row_lens - chunk, _CAP)
+            mat = np.zeros((len(row_starts), _CAP), dtype=np.uint8)
+            mask = colidx[None, :] < L[:, None]
+            gather = (row_starts + chunk)[:, None] + colidx[None, :]
+            mat[mask] = data[gather[mask]]
+            ch = (mat.astype(np.uint64) * _POWS[None, :]).sum(
+                axis=1, dtype=np.uint64)
+            h[rows] = _splitmix64(h[rows] ^ ch)
         h = _splitmix64(h ^ (lengths.astype(np.uint64) * _GOLDEN))
     return h
 

@@ -33,6 +33,17 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def _assert_nonneg(ids: np.ndarray) -> np.ndarray:
+    """The LSH/IVF stages carry per-block pruning stats as sentinel rows
+    with negative ids; a corpus with legitimate negative vec_ids would
+    alias them, so reject it loudly instead of silently dropping rows."""
+    if len(ids) and ids.min() < 0:
+        raise ValueError(
+            "ann pipelines require vec_id >= 0 (negative ids are "
+            "reserved for in-band stats sentinels)")
+    return ids
+
+
 def _load_queries(sf_dir: str, n_queries: int):
     """Query vectors for the first n_queries vec_ids (by sorted id),
     WITHOUT a full-corpus driver materialization: a vec_id-only column
@@ -48,7 +59,7 @@ def _load_queries(sf_dir: str, n_queries: int):
 
     part = (rd.read_parquet(path, columns=["vec_id"])
             .map_batches(smallest, batch_format="pyarrow").to_pandas())
-    q_ids = np.sort(part["vec_id"].to_numpy())[:n_queries]
+    q_ids = _assert_nonneg(np.sort(part["vec_id"].to_numpy())[:n_queries])
     emb = pq.read_table(path, columns=["vec_id", "embedding"],
                         filters=[("vec_id", "in", q_ids.tolist())])
     order = np.argsort(np.asarray(emb["vec_id"], dtype=np.int64))
@@ -83,7 +94,8 @@ def ann_topk_bruteforce(sf_dir: str, n_queries: int = 10, k: int = 5):
 
     def partial_topk(t: pa.Table) -> pa.Table:
         qids, qm = ray.get(q_ref)
-        cids = np.asarray(t["vec_id"], dtype=np.int64)
+        cids = _assert_nonneg(
+            np.asarray(t["vec_id"], dtype=np.int64))
         cm = _normalize(np.stack(
             t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64))
         sims = qm @ cm.T                      # (nq, batch)
@@ -153,7 +165,8 @@ def ann_lsh_topk(sf_dir: str, n_queries: int = 10, k: int = 5,
 
     def probe(t: pa.Table) -> pa.Table:
         qids, qm, qsigs = ray.get(q_ref)
-        cids = np.asarray(t["vec_id"], dtype=np.int64)
+        cids = _assert_nonneg(
+            np.asarray(t["vec_id"], dtype=np.int64))
         cm = _normalize(np.stack(
             t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64))
         csigs = np.stack([h.signature(cm) for h in tables])  # (T, batch)
@@ -218,11 +231,16 @@ def _kmeans(sample: np.ndarray, n_cells: int, iters: int = 10,
         sims = sample @ cent.T                    # cosine (all normalized)
         assign = np.argmax(sims, axis=1)
         new = np.zeros_like(cent)
+        empties = [c for c in range(n_cells)
+                   if not np.any(assign == c)]
+        # reseed each empty cell with a DISTINCT worst-fit point (the
+        # k-th farthest from its assigned centroid) — a single shared
+        # reseed point would duplicate centroids and merge cells for good
+        worst_order = np.argsort(sims[np.arange(n), assign])
         for c in range(n_cells):
             members = sample[assign == c]
             if len(members) == 0:
-                worst = np.argmin(sims[np.arange(n), assign])
-                new[c] = sample[worst]
+                new[c] = sample[worst_order[empties.index(c) % n]]
             else:
                 m = members.mean(axis=0)
                 new[c] = m / max(np.linalg.norm(m), 1e-12)
@@ -246,9 +264,13 @@ def build_ivf_index(sf_dir: str, n_cells: int = 16,
     import ray.data as rd
 
     path = f"{sf_dir}/embeddings.parquet"
+    # cache key includes size + row count, not just mtime — a same-second
+    # rewrite of embeddings.parquet must not silently reuse a stale index
+    _st = _os.stat(path)
     key = _json.dumps({"src": _os.path.abspath(path),
-                       "mtime": _os.path.getmtime(path),
-                       "cells": n_cells, "cap": train_cap, "v": 1},
+                       "mtime": _st.st_mtime, "size": _st.st_size,
+                       "rows": pq.ParquetFile(path).metadata.num_rows,
+                       "cells": n_cells, "cap": train_cap, "v": 2},
                       sort_keys=True)
     index_dir = _os.path.join(
         index_root,
@@ -328,7 +350,8 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 10, k: int = 5,
 
     def probe_cells(t: pa.Table) -> pa.Table:
         qids, qm, qc, c = ray.get(q_ref)
-        cids = np.asarray(t["vec_id"], dtype=np.int64)
+        cids = _assert_nonneg(
+            np.asarray(t["vec_id"], dtype=np.int64))
         cm = _normalize(np.stack(
             t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64))
         cells = np.argmax(cm @ c.T, axis=1)      # recover cell per row
@@ -400,6 +423,7 @@ def dedup_embedding_ivf(sf_dir: str, threshold: float = 0.40,
 
     def multi_assign(t: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
+        _assert_nonneg(np.asarray(t["vec_id"], dtype=np.int64))
         m = _normalize(np.stack(
             t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64))
         cells = np.argsort(-(m @ c.T), axis=1)[:, :n_assign]  # (n, n_assign)

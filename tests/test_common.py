@@ -184,3 +184,42 @@ class TestFetcherSeam:
         assert f.warm(0) == 0
         with pytest.raises(NotImplementedError):
             f.fetch_part(0, np.array([1], dtype=np.int64), ["http://x/"])
+
+
+class TestTokenHash:
+    """hash_string_array must hash EVERY byte (round-2 advice: the
+    16-byte-prefix variant made same-length tokens sharing a 16-byte
+    prefix collide deterministically, corrupting shingle Jaccard)."""
+
+    def test_long_token_suffix_differentiates(self):
+        from spider_ray.common.tokens import hash_string_array
+
+        a = pa.array(["internationalisedX", "internationalisedY",
+                      "internationalisedX", "a" * 64, "a" * 63 + "b"])
+        h = hash_string_array(a)
+        assert h[0] != h[1]
+        assert h[0] == h[2]
+        assert h[3] != h[4]
+
+    def test_prefix_and_length_still_mix(self):
+        from spider_ray.common.tokens import hash_string_array
+
+        a = pa.array(["", "a", "aa", "ab", "ba"])
+        h = hash_string_array(a)
+        assert len(set(h.tolist())) == 5
+
+    @given(st.lists(st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+        max_size=80), max_size=30))
+    @settings(max_examples=40, deadline=None)
+    def test_equal_strings_equal_hashes(self, xs):
+        from spider_ray.common.tokens import hash_string_array
+
+        if not xs:
+            return
+        h = hash_string_array(pa.array(xs, pa.string()))
+        seen = {}
+        for s, v in zip(xs, h.tolist()):
+            if s in seen:
+                assert seen[s] == v
+            seen[s] = v
