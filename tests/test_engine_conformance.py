@@ -72,3 +72,49 @@ def test_parallelism_invariance(smoke_fixture, tmp_path):
                           str(tmp_path / f"ckpt{i}"), **kw)
         eng.run(seeds=seeds)
         _assert_matches_oracle(eng, oracle_res)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_seen_spill_conformance(smoke_fixture, tmp_path):
+    """Round-3: the spillable exact layer under pressure — shard
+    mem_capacity far below the admitted volume, distributed epochs with
+    shard-pushed admission — must still match the oracle byte-for-byte,
+    and the shards must actually have spilled."""
+    import json as _json
+
+    import ray
+
+    pages = pq.read_table(smoke_fixture["pages"])
+    seeds = pq.read_table(smoke_fixture["seeds"])
+    pol = _json.load(open(smoke_fixture["politeness"]))
+    oracle_res = crawl_oracle(pages, seeds, pol)
+
+    from spider_ray.engine import CrawlEngine
+
+    eng = CrawlEngine(smoke_fixture["pages"], pol, str(tmp_path / "ckpt"),
+                      num_parts=8, seen_shards=2, fetch_concurrency=2,
+                      seen_mem_capacity=64, force_distributed=True,
+                      driver_threshold=0)
+    manifest = eng.prepare(seeds=seeds)
+    # run epochs manually so shard internals are inspectable pre-close
+    try:
+        e = manifest["next_epoch"]
+        spilled = False
+        while e < eng.max_epochs and eng._frontier_rows(e - 1) > 0:
+            stats = eng._run_epoch(e, eng._frontier_rows(e - 1))
+            manifest["epochs"].append(stats)
+            manifest["next_epoch"] = e + 1
+            manifest["next_seq"] = eng._seq
+            eng._write_manifest(manifest)
+            e += 1
+        residents = ray.get([s.resident_exact.remote()
+                             for s in eng._checker.shards])
+        sizes = ray.get([s.size.remote() for s in eng._checker.shards])
+        spilled = any(sz > r for r, sz in zip(residents, sizes))
+        assert spilled, f"no shard spilled (residents={residents}, sizes={sizes})"
+        assert all(r <= 64 + (1 << 15) for r in residents)
+        manifest["done"] = True
+        eng._write_manifest(manifest)
+    finally:
+        eng.close()
+    _assert_matches_oracle(eng, oracle_res)

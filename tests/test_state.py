@@ -119,3 +119,82 @@ def test_sharded_checker_actors():
     mixed = np.concatenate([a[:100], b[:100]])
     got = chk.check(mixed)
     assert not got[:100].any() and got[100:].all()
+
+
+class TestSeenSpill:
+    """The 10^10-scale exact layer (round-2 verdict item 1): a shard
+    whose exact resolver is forced far past its in-memory capacity must
+    keep a BOUNDED resident set (spilled sorted-Parquet runs + fence
+    probes) while staying exactly equal to a dict oracle."""
+
+    def test_spill_bounded_and_exact(self, tmp_path):
+        rng = np.random.default_rng(11)
+        s = SeenShardState(capacity=1 << 18,
+                           spill_dir=str(tmp_path / "spill"),
+                           mem_capacity=4096)
+        oracle: set[int] = set()
+        total = 0
+        for i in range(40):
+            batch = rng.integers(0, 2**62, size=5_000, dtype=np.int64)
+            urls = np.array([f"http://h/{int(h)}" for h in batch],
+                            dtype=object)
+            new = s.check(batch, urls)
+            exp = np.array([int(h) not in oracle for h in batch])
+            # within-batch duplicates: check() is a pure read, so both
+            # report vs the pre-batch state — exp computed the same way
+            np.testing.assert_array_equal(new, exp)
+            adm = batch[new]
+            total += s.add(adm, urls[new])
+            oracle.update(int(h) for h in np.unique(adm))
+            # the resident exact set must stay bounded by
+            # mem_capacity + pending_cap at every step
+            assert s.resident_exact() <= 4096 + s.pending_cap
+        assert total == len(oracle)
+        assert s.size() == len(oracle)
+        assert len(s.runs) >= 1, "expected spilled runs"
+        assert len(s.runs) <= s.run_target, "compaction never ran"
+        # full membership after heavy spilling
+        probe = np.fromiter(oracle, dtype=np.int64)
+        urls = np.array([f"http://h/{int(h)}" for h in probe], dtype=object)
+        assert not s.check(probe, urls).any()
+        fresh = rng.integers(0, 2**62, size=20_000, dtype=np.int64)
+        fresh = fresh[~np.isin(fresh, probe)]
+        assert s.check(fresh).all()
+        # idempotent re-add straight from the spilled layer
+        assert s.add(probe[:1000], urls[:1000]) == 0
+
+    def test_spilled_hash_collision_resolves_on_url(self, tmp_path):
+        """Two distinct urls sharing a url_hash: once the first is
+        spilled to disk, the second must still read as NEW (the spilled
+        layer keys on canonical_url) and both must coexist."""
+        s = SeenShardState(capacity=1 << 14,
+                           spill_dir=str(tmp_path / "spill"),
+                           mem_capacity=64)
+        h = np.array([12345], dtype=np.int64)
+        assert s.add(h, np.array(["http://a/"], dtype=object)) == 1
+        # force merge + spill so the entry lands in a run
+        filler = np.arange(100_000, 101_000, dtype=np.int64)
+        s.add(filler, np.array([f"http://f/{i}" for i in filler],
+                               dtype=object))
+        s._merge_pending()
+        s._spill()
+        assert s.resident_exact() == 0
+        assert not s.check(h, np.array(["http://a/"], dtype=object))[0]
+        assert s.check(h, np.array(["http://b/"], dtype=object))[0], (
+            "distinct url colliding in hash must be NEW once spilled")
+        assert s.add(h, np.array(["http://b/"], dtype=object)) == 1
+        s._merge_pending()
+        s._spill()
+        assert not s.check(h, np.array(["http://a/"], dtype=object))[0]
+        assert not s.check(h, np.array(["http://b/"], dtype=object))[0]
+        assert s.check(h, np.array(["http://c/"], dtype=object))[0]
+
+    def test_url_less_probe_hash_decides(self, tmp_path):
+        s = SeenShardState(capacity=1 << 14,
+                           spill_dir=str(tmp_path / "spill"),
+                           mem_capacity=16)
+        h = np.arange(100, dtype=np.int64)
+        s.add(h, np.array([f"http://u/{i}" for i in h], dtype=object))
+        s._merge_pending()
+        s._spill()
+        assert not s.check(h).any()  # no urls -> hash-keyed membership
