@@ -201,42 +201,85 @@ def hash_join_priority_revenue(sf_dir: str):
     return out.map_batches(_round_cols({"revenue": 2}), batch_format="pyarrow")
 
 
-def semi_join_customers_with_orders(sf_dir: str):
-    """Semi join via broadcast key set + vectorized membership filter."""
+def _semi_anti(left_ds, key_ds, left_key: str, right_key: str,
+               anti: bool, distributed: bool | None,
+               key_threshold: int, num_partitions: int = 16):
+    """Size-adaptive semi/anti join (mirrors dedup._verify_dispatch):
+
+    * key side below `key_threshold` rows -> broadcast the sorted key
+      array via ray.put and filter with a vectorized np.isin per batch
+      (no shuffle — the fast path at any scale where the keys fit a
+      worker heap);
+    * above it -> distinct the keys with a groupby and run a
+      hash-partitioned Dataset.join (inner for semi, left_outer +
+      null-filter for anti) — neither side ever lands on the driver.
+
+    Both paths are row-set identical (forced-flag tested vs DuckDB)."""
     import ray
 
-    keys = _rp(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
-    keys_ref = ray.put(np.sort(np.asarray(keys, dtype=np.int64)))
+    key_ds = key_ds.materialize()
+    n_keys = key_ds.count()
+    if distributed is None:
+        distributed = n_keys > key_threshold
+    if not distributed:
+        keys_ref = ray.put(np.sort(np.unique(
+            np.asarray(key_ds.to_pandas()[right_key], dtype=np.int64))))
 
-    def fn(t: pa.Table) -> pa.Table:
-        ks = ray.get(keys_ref)
-        mask = np.isin(np.asarray(t["c_custkey"]), ks)
-        return t.filter(pa.array(mask))
+        def fn(t: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref)
+            mask = np.isin(np.asarray(t[left_key]), ks)
+            return t.filter(pa.array(~mask if anti else mask))
 
-    return (_rp(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
-            .map_batches(fn, batch_format="pyarrow"))
+        return left_ds.map_batches(fn, batch_format="pyarrow")
+
+    left_cols = left_ds.schema().names
+    # distinct keys + a hit marker (Dataset.join drops the right key
+    # column, so the anti null-probe needs an explicit non-key column)
+    distinct = (key_ds.groupby(right_key).count()
+                .map_batches(lambda t: pa.table(
+                    {right_key: t[right_key],
+                     "__hit": pa.array(np.ones(t.num_rows, np.int8))}),
+                    batch_format="pyarrow"))
+    joined = left_ds.join(distinct,
+                          join_type="left_outer" if anti else "inner",
+                          num_partitions=num_partitions,
+                          on=(left_key,), right_on=(right_key,))
+    if anti:
+        def only_misses(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_null(t["__hit"])).select(left_cols)
+
+        return joined.map_batches(only_misses, batch_format="pyarrow")
+    return joined.map_batches(lambda t: t.select(left_cols),
+                              batch_format="pyarrow")
 
 
-def anti_join_customers_without_big_orders(sf_dir: str):
-    """Anti join: customers with no order above 400k — broadcast key set,
-    negated membership mask (threshold keeps the result non-empty at
-    every sf; all customers have SOME order in this data)."""
-    import ray
+def semi_join_customers_with_orders(sf_dir: str,
+                                    distributed: bool | None = None,
+                                    key_threshold: int = 2_000_000):
+    """Semi join: adaptive broadcast-membership / shuffle-join dispatch
+    on the key-side row count (round-2 verdict item 2 — the broadcast
+    key set is GBs on the driver at 100x scale)."""
+    return _semi_anti(
+        _rp(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"]),
+        _rp(sf_dir, "orders", ["o_custkey"]),
+        "c_custkey", "o_custkey", anti=False,
+        distributed=distributed, key_threshold=key_threshold)
 
+
+def anti_join_customers_without_big_orders(sf_dir: str,
+                                           distributed: bool | None = None,
+                                           key_threshold: int = 2_000_000):
+    """Anti join: customers with no order above 400k — same adaptive
+    dispatch (left_outer + null-filter on the distributed path; the
+    threshold keeps the result non-empty at every sf)."""
     big = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
         lambda t: t.filter(pc.greater(t["o_totalprice"], 400000.0))
                    .select(["o_custkey"]),
         batch_format="pyarrow")
-    keys_ref = ray.put(np.sort(np.unique(
-        np.asarray(big.unique("o_custkey"), dtype=np.int64))))
-
-    def fn(t: pa.Table) -> pa.Table:
-        ks = ray.get(keys_ref)
-        mask = ~np.isin(np.asarray(t["c_custkey"]), ks)
-        return t.filter(pa.array(mask))
-
-    return (_rp(sf_dir, "customer", ["c_custkey", "c_name"])
-            .map_batches(fn, batch_format="pyarrow"))
+    return _semi_anti(
+        _rp(sf_dir, "customer", ["c_custkey", "c_name"]),
+        big, "c_custkey", "o_custkey", anti=True,
+        distributed=distributed, key_threshold=key_threshold)
 
 
 def union_all_names(sf_dir: str):
