@@ -24,6 +24,10 @@ from __future__ import annotations
 
 from urllib.parse import urlsplit, urlunsplit, parse_qsl, urlencode, urljoin
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 
 
@@ -123,3 +127,89 @@ def resolve(base_url: str, href: str) -> str | None:
     except ValueError:
         return None
     return canonicalize(absolute)
+
+
+# ---------------------------------------------------------------------------
+# batch kernels — exact vectorized fast paths over resolve()/host_of()
+# ---------------------------------------------------------------------------
+#
+# The crawl fetch stage resolves every href of every fetched page; doing
+# that through urlsplit/parse_qsl per link was the last per-row Python
+# loop in the hot path (round-2 verdict item 5).  The kernels below RE2-
+# classify each href ONCE over the whole column:
+#
+#   fast-A  provably-already-canonical absolute http(s) URL -> unchanged
+#   fast-B  clean root-relative path               -> base origin + href
+#   slow    everything else                        -> per-row resolve()
+#
+# "Provably canonical" is deliberately conservative: printable-ASCII
+# only (python str.strip() and urlsplit's \t\r\n-removal can touch
+# nothing), lowercase scheme+host, no port / query / fragment / dot
+# segments / empty segments — every condition under which
+# canonicalize(href) is the identity.  Anything outside the proof goes
+# through the EXACT slow path, so the batch kernel equals a per-row
+# resolve() by construction (hypothesis-tested in tests/test_common.py).
+
+# printable ASCII minus "/", "?", "#"  (and minus "." for segment heads)
+_PCHAR = r"[\x21\x22\x24-\x2e\x30-\x3e\x40-\x7e]"
+_PCHAR_ND = r"[\x21\x22\x24-\x2d\x30-\x3e\x40-\x7e]"
+_SEG = (rf"(?:{_PCHAR_ND}{_PCHAR}*"      # not starting with "."
+        rf"|\.{_PCHAR_ND}{_PCHAR}*"      # ".x..." (not "." / "..")
+        rf"|\.\.{_PCHAR}+)")             # "..x..." (not "..")
+_PATH = rf"/(?:{_SEG}(?:/{_SEG})*/?)?"
+_FAST_ABS_RE = (r"^https?://[a-z0-9](?:[a-z0-9.-]*[a-z0-9])?"
+                + _PATH + r"$")
+_FAST_REL_RE = r"^" + _PATH + r"$"
+_ORIGIN_RE = r"^(?P<origin>https?://[^/]+)"
+_HOST_RE = r"^https?://(?P<host>[^/:]+)"
+
+
+def _as_str_array(col) -> pa.Array:
+    if isinstance(col, pa.ChunkedArray):
+        return col.combine_chunks()
+    if isinstance(col, pa.Array):
+        return col
+    return pa.array(col, pa.string())
+
+
+def host_of_batch(canonical_urls) -> pa.Array:
+    """Vectorized host_of over a column of already-canonical URLs (one
+    RE2 pass; falls back to host_of per row only on non-canonical
+    input, which the engine never produces)."""
+    arr = _as_str_array(canonical_urls)
+    if len(arr) == 0:
+        return pa.array([], pa.string())
+    hosts = pc.struct_field(pc.extract_regex(arr, pattern=_HOST_RE), "host")
+    if hosts.null_count:
+        vals = hosts.to_pylist()
+        return pa.array(
+            [host_of(u) if v is None else v
+             for u, v in zip(arr.to_pylist(), vals)], pa.string())
+    return hosts
+
+
+def resolve_batch(hrefs, base_urls) -> list:
+    """resolve(base, href) over whole columns, returning a row-aligned
+    list of canonical urls / None.  `base_urls` must be canonical (they
+    are: the engine only fetches admitted canonical urls)."""
+    arr = _as_str_array(hrefs)
+    n = len(arr)
+    if n == 0:
+        return []
+    out = arr.to_pylist()
+    bases = (base_urls if isinstance(base_urls, (list, np.ndarray))
+             else _as_str_array(base_urls).to_pylist())
+    fast_abs = np.asarray(
+        pc.match_substring_regex(arr, pattern=_FAST_ABS_RE).fill_null(False))
+    fast_rel = np.asarray(
+        pc.match_substring_regex(arr, pattern=_FAST_REL_RE).fill_null(False))
+    for i in np.nonzero(~(fast_abs | fast_rel))[0]:
+        out[i] = resolve(bases[i], out[i])
+    rel_idx = np.nonzero(fast_rel)[0]
+    if len(rel_idx):
+        # origin = scheme://host[:port] of the canonical base; a cheap
+        # concat replaces urljoin+canonicalize for clean absolute paths
+        for i in rel_idx:
+            b = bases[i]
+            out[i] = b[:b.index("/", b.index("://") + 3)] + out[i]
+    return out

@@ -26,7 +26,14 @@ import pyarrow.parquet as pq
 
 from ..common.extract import extract_hrefs, extract_text_batch
 from ..common.hashing import hash64_many
-from ..common.urlnorm import canonicalize, host_of, path_of, resolve, robots_denied
+from ..common.urlnorm import (
+    canonicalize,
+    host_of,
+    host_of_batch,
+    path_of,
+    resolve_batch,
+    robots_denied,
+)
 
 FRONTIER_SCHEMA = pa.schema(
     [
@@ -320,14 +327,20 @@ class FetchWorker:
             for i, text in zip(ok_rows, extract_text_batch(ok_htmls)):
                 out_text[i] = text
             _t3 = _time.time()
+            # flatten hrefs across the whole batch, resolve them in ONE
+            # vectorized kernel call (RE2 fast paths + exact slow rows),
+            # then group back by parent row
+            all_hrefs: list[str] = []
+            parent: list[int] = []
             for i, html in zip(ok_rows, ok_htmls):
-                u = urls[i]
-                links = []
-                for href in extract_hrefs(html):
-                    child = resolve(u, href)
-                    if child is not None:
-                        links.append(child)
-                out_links[i] = links
+                hs = extract_hrefs(html)
+                all_hrefs += hs
+                parent += [i] * len(hs)
+            resolved = resolve_batch(
+                all_hrefs, [urls[i] for i in parent])
+            for i, child in zip(parent, resolved):
+                if child is not None:
+                    out_links[i].append(child)
         else:
             _t3 = _time.time()
         if _dbg:
@@ -456,13 +469,15 @@ def explode_links(batch: pa.Table, num_parts: int) -> pa.Table:
 
 def finalize_links(batch: pa.Table, num_parts: int) -> pa.Table:
     """Add host / url_hash / part to deduplicated link rows (urls are
-    already canonical — resolve() canonicalizes)."""
+    already canonical — resolve() canonicalizes).  Host extraction is
+    the vectorized RE2 kernel (host_of_batch == host_of per row on
+    canonical urls, hypothesis-tested)."""
     urls = batch["canonical_url"].to_pylist()
     h = hash64_many(urls) if urls else np.array([], dtype=np.int64)
     return pa.table(
         {
             "canonical_url": batch["canonical_url"],
-            "host": pa.array([host_of(u) for u in urls], pa.string()),
+            "host": host_of_batch(batch["canonical_url"]),
             "priority": batch["priority"],
             "url_hash": pa.array(h, pa.int64()),
             "part": pa.array((h % num_parts).astype(np.int32), pa.int32()),

@@ -223,3 +223,81 @@ class TestTokenHash:
             if s in seen:
                 assert seen[s] == v
             seen[s] = v
+
+
+class TestBatchUrlKernels:
+    """resolve_batch / host_of_batch must equal the per-row kernels
+    EXACTLY (the conformance contract routes every crawl link through
+    them — shared-kernel rule)."""
+
+    def test_fast_paths_hit_and_match(self):
+        from spider_ray.common.urlnorm import resolve, resolve_batch
+
+        base = "http://host001.example/p/1"
+        hrefs = [
+            "/p/2", "/p/2/", "/", "/a/b.html", "/x%20y/z",
+            "http://host002.example/p/3",
+            "http://offsite3.invalid/x/44",
+            "https://a.b-c.example/d/e.f",
+            "/missing/9", "/priv/..hidden/ok", "/...",
+        ]
+        got = resolve_batch(hrefs, [base] * len(hrefs))
+        exp = [resolve(base, h) for h in hrefs]
+        assert got == exp
+        # every one of these must have taken a fast path AND round-trip
+        # exactly (already canonical / origin-concat)
+        for g in got:
+            assert g is not None
+
+    def test_slow_paths_match(self):
+        from spider_ray.common.urlnorm import resolve, resolve_batch
+
+        base = "http://host001.example/p/1?b=2&a=1"
+        hrefs = [
+            "", "  ", "#frag", "mailto:x@y", "javascript:void(0)",
+            "data:text/plain,x", "p/rel", "../up", "./here", "//proto.rel/x",
+            "HTTP://UPPER.CASE/Path", "http://host:80/x", "http://host:8080/x",
+            "/has space", "/q?b=2&a=1", "/dot/./seg", "/dotdot/../seg",
+            "/double//slash", "/trail.", "/trail..", "http://tráiling.unicode/x",
+            "/ends　", "http://h.example/p　", "?onlyquery=1",
+            "http://h.example", "http://h.example./x", "http://-h.example/x",
+        ]
+        got = resolve_batch(hrefs, [base] * len(hrefs))
+        exp = [resolve(base, h) for h in hrefs]
+        assert got == exp
+
+    @given(st.lists(st.text(min_size=0, max_size=40), max_size=40))
+    @settings(max_examples=150, deadline=None)
+    def test_resolve_batch_equals_per_row(self, hrefs):
+        from spider_ray.common.urlnorm import resolve, resolve_batch
+
+        base = "http://host001.example/p/1"
+        got = resolve_batch(hrefs, [base] * len(hrefs))
+        exp = [resolve(base, h) for h in hrefs]
+        assert got == exp
+
+    @given(st.lists(st.text(min_size=1, max_size=60), max_size=30))
+    @settings(max_examples=150, deadline=None)
+    def test_host_of_batch_equals_per_row(self, raws):
+        from spider_ray.common.urlnorm import (canonicalize, host_of,
+                                               host_of_batch)
+
+        canon = [c for c in (canonicalize(r) for r in raws) if c is not None]
+        canon += ["http://a.example/x", "https://b.example:8080/y?q=1"]
+        got = host_of_batch(canon).to_pylist()
+        assert got == [host_of(u) for u in canon]
+
+    @given(st.lists(st.text(
+        alphabet="abAB019./:?#&=%~ _-\t　" + "h{tp}s",
+        min_size=0, max_size=50), max_size=40))
+    @settings(max_examples=300, deadline=None)
+    def test_resolve_batch_urlish_alphabet(self, hrefs):
+        from spider_ray.common.urlnorm import resolve, resolve_batch
+
+        # bias toward strings that can reach the fast paths
+        hrefs = hrefs + ["http://" + h.lstrip("/") for h in hrefs[:10]] \
+            + ["/" + h for h in hrefs[:10]]
+        base = "http://host001.example/p/1"
+        got = resolve_batch(hrefs, [base] * len(hrefs))
+        exp = [resolve(base, h) for h in hrefs]
+        assert got == exp
