@@ -138,6 +138,30 @@ def _next_frontier_part(part: int, frontier_files: list[str],
     return out.num_rows
 
 
+def _merge_order_shard(handles, idx: int, epoch: int, seq_offset: int,
+                       path: str) -> dict:
+    """Gather ONE host-range's slices from every fetch actor's stashed
+    sorted order run, merge-sort them (each slice is already sorted —
+    the sort here is a k-way merge in practice), seq-stamp with the
+    range's global prefix offset and persist.  Replaces the round-2
+    Ray Data sort+materialize execution with P plain tasks; the driver
+    only ever sees per-range integers."""
+    import ray
+
+    pa.set_cpu_count(1)
+    parts = [t for t in ray.get([h.take_order_range.remote(idx)
+                                 for h in handles])
+             if t is not None and t.num_rows]
+    if not parts:
+        return {"ok": 0, "miss": 0, "robots": 0}
+    df = pa.concat_tables(parts).to_pandas()
+    df = (df.assign(neg_priority=-df["priority"])
+          .sort_values(["host", "neg_priority", "canonical_url"],
+                       kind="mergesort")
+          .drop(columns=["neg_priority"]))
+    return _write_order_shard(df, epoch, seq_offset, path)
+
+
 def _push_admitted_part(part_files: list[str], shards) -> int:
     """Phase-2 seen admission for ONE partition: read this part's
     admitted delta (hash + url) and push each slice straight to its
@@ -178,6 +202,7 @@ def _remote_fns() -> dict:
         # schedulable ALONGSIDE the persistent fetch-actor reservations
         _RFNS = {
             "order": ray.remote(num_cpus=0.25)(_write_order_shard),
+            "order_merge": ray.remote(num_cpus=0.25)(_merge_order_shard),
             "frontier": ray.remote(num_cpus=0.25)(_next_frontier_part),
             "push": ray.remote(num_cpus=0.25)(_push_admitted_part),
         }
@@ -305,11 +330,19 @@ class CrawlEngine:
         return t
 
     def _write_frontier(self, ds_or_table, e: int) -> str:
-        """Write frontier for epoch e+1 under epoch=e/frontier/."""
+        """Write frontier for epoch e+1 under epoch=e/frontier/, one file
+        per part (part-%05d.parquet) — the SAME layout the distributed
+        frontier tasks produce, so the next epoch's per-part readers can
+        open exactly one file instead of filtering every shard."""
         out = os.path.join(self._epoch_dir(e), "frontier")
         if isinstance(ds_or_table, pa.Table):
             os.makedirs(out, exist_ok=True)
-            pq.write_table(ds_or_table, os.path.join(out, "frontier.parquet"))
+            t = ds_or_table
+            parts = np.asarray(t["part"])
+            for p in np.unique(parts):
+                sub = t.filter(pa.array(parts == p))
+                pq.write_table(sub, os.path.join(
+                    out, f"part-{int(p):05d}.parquet"))
         else:
             ds_or_table.write_parquet(out, mode="overwrite")
         return out
@@ -657,53 +690,60 @@ class CrawlEngine:
         _mark("select")
 
         # 2. fetch: each actor pulls its OWN partitions from the staged
-        # selection (partition-aligned read, no shuffle, no driver hop)
+        # selection (partition-aligned read, no shuffle, no driver hop);
+        # with stash_order=True the actor keeps an order-sorted run of
+        # its outcomes and returns only a small host-sample table
         pool = self._fetch_pool
         by_rank: dict[int, dict[int, list[str]]] = {}
         for p, fl in part_files.items():
             by_rank.setdefault(p % len(pool), {})[p] = fl
-        outcome_refs, link_refs, flush_refs = [], [], []
+        sample_refs, link_refs = [], []
+        active = []
         for rank in sorted(by_rank):
-            texts_path = os.path.join(edir, "texts", f"shard-{rank:04d}.parquet")
-            oref, lref = pool[rank].fetch_stash_paths.options(
-                num_returns=2).remote(by_rank[rank], self.num_parts)
-            flush_refs.append(pool[rank].flush_texts.remote(texts_path))
-            outcome_refs.append(oref)
+            sref, lref = pool[rank].fetch_stash_paths.options(
+                num_returns=2).remote(by_rank[rank], self.num_parts,
+                                      stash_order=True)
+            sample_refs.append(sref)
             link_refs.append(lref)
+            active.append(rank)
         _mark("fetch_submit")
 
-        # 3. crawl-order record, written distributed: outcomes (already
-        # carrying host/priority) are range-sorted by the deterministic
-        # order key, then each sorted block is seq-stamped with the
-        # prefix sum of preceding block row counts and persisted by its
-        # own task.  The driver sees block refs + row counts only.
+        # 3. crawl-order record, written distributed WITHOUT a Ray Data
+        # sort execution: host-range boundaries are planned from the
+        # actors' samples, each actor slices its sorted run at the
+        # boundaries (a host never straddles a range, and selection is
+        # budget-bounded per host, so no range can be skewed beyond
+        # hosts_per_range × B), and per-range merge tasks k-way-merge
+        # the slices, seq-stamp with prefix-sum offsets and persist.
         order_dir = os.path.join(edir, "order")
         os.makedirs(order_dir, exist_ok=True)
-
-        def _add_negp(df: pd.DataFrame) -> pd.DataFrame:
-            return df.assign(neg_priority=-df["priority"])
-
-        blocks: list[tuple] = []  # (ref, num_rows) in sorted order
-        if outcome_refs:
-            ord_ds = (
-                rd.from_arrow_refs(outcome_refs)
-                .map_batches(_add_negp, batch_format="pandas",
-                             zero_copy_batch=True)
-                .sort(["host", "neg_priority", "canonical_url"])
-                .materialize()
-            )
-            for bundle in ord_ds.iter_internal_ref_bundles():
-                for ref, md in bundle.blocks:
-                    if md.num_rows:
-                        blocks.append((ref, md.num_rows))
+        samples = np.sort(np.concatenate(
+            [np.asarray(t["host"].to_pylist(), dtype=object)
+             for t in ray.get(sample_refs)] or
+            [np.zeros(0, dtype=object)]))
         _mark("fetch_wait_outcomes")
-        n_sel = int(sum(n for _, n in blocks))
-        shard_futs = []
-        off = self._seq
-        for i, (ref, n) in enumerate(blocks):
-            shard_futs.append(rfns["order"].remote(
-                ref, e, off, os.path.join(order_dir, f"shard-{i:05d}.parquet")))
-            off += n
+        n_ranges = min(self.num_parts, max(1, len(samples)))
+        bcuts = (len(samples) * np.arange(1, n_ranges)) // n_ranges
+        boundaries = np.unique(samples[bcuts]).tolist() if len(samples) else []
+        handles = [pool[r] for r in active]
+        counts_mat = np.asarray(ray.get(
+            [h.split_order.remote(boundaries) for h in handles]))
+        # queue texts flush behind split_order on each actor: it runs
+        # while the driver drives the order merge + link dedup below
+        flush_refs = [
+            pool[r].flush_texts.remote(
+                os.path.join(edir, "texts", f"shard-{r:04d}.parquet"))
+            for r in active]
+        range_counts = (counts_mat.sum(axis=0) if len(counts_mat)
+                        else np.zeros(1, dtype=np.int64))
+        n_sel = int(range_counts.sum())
+        offsets = self._seq + np.concatenate(
+            [[0], np.cumsum(range_counts)[:-1]]).astype(np.int64)
+        shard_futs = [
+            rfns["order_merge"].remote(
+                handles, i, e, int(offsets[i]),
+                os.path.join(order_dir, f"shard-{i:05d}.parquet"))
+            for i in range(len(range_counts)) if range_counts[i]]
         counts = {"ok": 0, "miss": 0, "robots": 0}
         for c in ray.get(shard_futs):
             for k, v in c.items():
@@ -718,14 +758,6 @@ class CrawlEngine:
         adm_dir = os.path.join(edir, "admitted")
         os.makedirs(adm_dir, exist_ok=True)
         links = rd.from_arrow_refs(link_refs) if link_refs else             rd.from_arrow(explode_links(_empty_fetch_table(), self.num_parts))
-        uniq = (
-            links.groupby("canonical_url")
-            .aggregate(Max("priority", alias_name="priority"))
-            .map_batches(lambda t: finalize_links(t, self.num_parts),
-                         batch_format="pyarrow")
-            .materialize()
-        )
-        n_unique_links = uniq.count()  # metadata count on materialized data
 
         def seen_admit(t: pa.Table) -> pa.Table:
             m = checker.check(np.asarray(t["url_hash"]),
@@ -734,14 +766,25 @@ class CrawlEngine:
             return t.append_column(
                 "first_epoch", pa.array([e + 1] * t.num_rows, pa.int32()))
 
-        # ONE execution: filter-by-seen and persist the admitted delta;
-        # the admitted count comes from parquet metadata, and phase-2
-        # admission is pushed by P partition-aligned tasks, each reading
-        # only its own part's admitted shard and routing hash slices
-        # straight to the owning shard actors — no admitted row ever
-        # transits the driver (the round-2 readback at this spot did)
-        uniq.map_batches(seen_admit, batch_format="pyarrow") \
-            .write_parquet(adm_dir, partition_cols=["part"], mode="overwrite")
+        # ONE execution for dedup + seen-filter + admitted write (the
+        # round-2 chain paid a separate materialize execution just to
+        # count unique links; that count now comes from the seen shards'
+        # check counters — every deduped link passes through exactly one
+        # check() call in this window.  Caveat: a Ray-retried map task
+        # would re-check its batch and inflate this METRIC (never the
+        # data — admission stays two-phase idempotent)).
+        checked_before = checker.checked_total()
+        (links.groupby("canonical_url")
+         .aggregate(Max("priority", alias_name="priority"))
+         .map_batches(lambda t: finalize_links(t, self.num_parts),
+                      batch_format="pyarrow")
+         .map_batches(seen_admit, batch_format="pyarrow")
+         .write_parquet(adm_dir, partition_cols=["part"], mode="overwrite"))
+        n_unique_links = checker.checked_total() - checked_before
+        # phase-2 admission is pushed by P partition-aligned tasks, each
+        # reading only its own part's admitted shard and routing hash
+        # slices straight to the owning shard actors — no admitted row
+        # ever transits the driver (the round-2 readback here did)
         adm_part_files = {
             p: self._parquet_files(os.path.join(adm_dir, f"part={p}"))
             for p in range(self.num_parts)}
@@ -757,10 +800,24 @@ class CrawlEngine:
         # p's admitted shard, and writes part p's next-frontier file.  The
         # driver collects P integers.
         fr_dir = os.path.join(edir, "frontier")
+        # route each part task ONLY its own frontier file when the
+        # previous epoch used the per-part layout (it always does now);
+        # fall back to the full list + predicate pushdown otherwise
+        import re as _re
+
+        by_part_f: dict[int, list[str]] = {}
+        layout_ok = True
+        for f in ffiles:
+            m = _re.fullmatch(r"part-(\d+)\.parquet", os.path.basename(f))
+            if m is None:
+                layout_ok = False
+                break
+            by_part_f.setdefault(int(m.group(1)), []).append(f)
         futs = []
         for p in range(self.num_parts):
+            ff = by_part_f.get(p, []) if layout_ok else ffiles
             futs.append(rfns["frontier"].remote(
-                p, ffiles, part_files.get(p, []), adm_part_files[p],
+                p, ff, part_files.get(p, []), adm_part_files[p],
                 os.path.join(fr_dir, f"part-{p:05d}.parquet")))
         n_frontier_after = int(sum(ray.get(futs)))
 

@@ -368,8 +368,8 @@ class FetchWorker:
         fetched = self(batch)
         return fetched, fetched.select(["canonical_url", "outcome"])
 
-    def fetch_stash(self, batch: pa.Table,
-                    num_parts: int) -> tuple[pa.Table, pa.Table]:
+    def fetch_stash(self, batch: pa.Table, num_parts: int,
+                    stash_order: bool = False) -> tuple[pa.Table, pa.Table]:
         """Fused fetch + link fan-out, with the texts payload STASHED in
         actor memory for a separate flush_texts() call: the driver gets
         (outcomes, links) as soon as extraction finishes and does its
@@ -378,9 +378,15 @@ class FetchWorker:
         fetch and before the next epoch's fetch.  The wide `text` column
         never crosses the object store.
 
-        The outcome projection keeps host + priority so the distributed
-        order writer can sort + seq-stamp outcomes directly, without
-        joining back to the selection."""
+        stash_order=False (driver epoch): the outcome projection keeps
+        host + priority so the caller can order-stamp directly.
+        stash_order=True (distributed epoch): the actor ALSO sorts its
+        outcomes by the deterministic crawl-order key and keeps the
+        sorted run in actor state; the first return value is then only a
+        small HOST SAMPLE table (every ~64th host) — the driver plans
+        host-range merge boundaries from the samples and the sorted rows
+        flow actor→merge-task, never through the driver (the round-2
+        path ran a whole Ray Data sort execution for this)."""
         import time as _time
 
         _t0 = _time.time()
@@ -393,11 +399,44 @@ class FetchWorker:
                    .select(["canonical_url", "text"])
                    .rename_columns(["url", "text"]))
         links = explode_links(fetched, num_parts)
-        return fetched.select(
-            ["canonical_url", "host", "priority", "outcome"]), links
+        outcomes = fetched.select(
+            ["canonical_url", "host", "priority", "outcome"])
+        if not stash_order:
+            return outcomes, links
+        df = outcomes.to_pandas()
+        df = (df.assign(neg_priority=-df["priority"])
+              .sort_values(["host", "neg_priority", "canonical_url"],
+                           kind="mergesort")
+              .drop(columns=["neg_priority"]))
+        self._order_sorted = pa.Table.from_pandas(df, preserve_index=False)
+        step = max(1, len(df) // 64)
+        return pa.table({"host": pa.array(
+            df["host"].to_numpy()[::step], pa.string())}), links
+
+    def split_order(self, boundaries: list[str]) -> np.ndarray:
+        """Slice the stashed sorted order run at the given host
+        boundaries (rows with host >= boundary[i] fall into range i+1).
+        Returns the per-range row counts; slices stay in actor state for
+        take_order_range (idempotent — a merge-task retry re-takes)."""
+        t = getattr(self, "_order_sorted", None)
+        if t is None or t.num_rows == 0:
+            n = len(boundaries) + 1
+            self._order_slices = [None] * n
+            return np.zeros(n, dtype=np.int64)
+        hosts = np.asarray(t["host"].to_pylist(), dtype=object)
+        cuts = np.concatenate([
+            [0], np.searchsorted(hosts, np.asarray(boundaries, dtype=object)),
+            [len(hosts)]]).astype(np.int64)
+        self._order_slices = [t.slice(int(cuts[i]), int(cuts[i + 1] - cuts[i]))
+                              for i in range(len(cuts) - 1)]
+        return np.diff(cuts)
+
+    def take_order_range(self, idx: int) -> pa.Table | None:
+        return self._order_slices[idx]
 
     def fetch_stash_paths(self, part_files: dict[int, list[str]],
-                          num_parts: int) -> tuple[pa.Table, pa.Table]:
+                          num_parts: int,
+                          stash_order: bool = False) -> tuple[pa.Table, pa.Table]:
         """Distributed-epoch entry point: the actor PULLS its own
         partitions from the staged per-part selection parquet (hive
         layout, so `part` rides in the directory name) — selection rows
@@ -417,7 +456,7 @@ class FetchWorker:
             "url_hash": pa.array([], pa.int64()),
             "part": pa.array([], pa.int32()),
         })
-        return self.fetch_stash(batch, num_parts)
+        return self.fetch_stash(batch, num_parts, stash_order=stash_order)
 
     def flush_texts(self, texts_path: str) -> int:
         """Write the stashed texts shard (one parquet file per actor per

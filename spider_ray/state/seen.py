@@ -180,6 +180,10 @@ class SeenShardState:
         self._run_seq = 0
         # cuckoo insert failures (rare) — sorted array for np.isin
         self.overflow = np.zeros(0, dtype=np.int64)
+        # cumulative rows seen by check() — the engine differences this
+        # across one execution to get per-epoch unique-link counts
+        # without a separate counting execution (metrics only)
+        self.checked = 0
 
     # ----------------------------------------------------------- exact layer
     def _pending_hashes(self) -> np.ndarray:
@@ -273,6 +277,7 @@ class SeenShardState:
         """True = NEW (not seen). Pure read, fully vectorized."""
         hashes = np.asarray(hashes, dtype=np.int64)
         n = len(hashes)
+        self.checked += n
         if n == 0:
             return np.zeros(0, dtype=bool)
         urls = _as_url_array(urls, n)
@@ -337,6 +342,9 @@ class SeenShardState:
         """Exact-layer entries currently held in MEMORY (tests assert the
         spill bound with this)."""
         return self.pending_count + len(self.mem)
+
+    def checked_count(self) -> int:
+        return self.checked
 
     def dump(self) -> np.ndarray:
         """All hashes in this shard (sorted) — for checkpoint/debug; reads
@@ -410,3 +418,8 @@ class SeenChecker:
         import ray
 
         return sum(ray.get([s.size.remote() for s in self.shards]))
+
+    def checked_total(self) -> int:
+        import ray
+
+        return sum(ray.get([s.checked_count.remote() for s in self.shards]))
