@@ -262,30 +262,82 @@ class FlowRuntime:
             for _ in range(n_ticks)
         ])
 
-    def run(self, triggers: list[dict]) -> dict[str, list[dict]]:
-        """BFS to fixpoint; returns {"outputs": [...], "leaves": [...],
-        "errors": [...]} sorted deterministically.  Draft flows refuse to
-        run (`pkg/spider/flow.go:11-15` status model: only active flows
-        are runnable)."""
+    def _run_ds(self, seed_table: pa.Table):
+        """BFS to fixpoint with the frontier CARRIED AS A DATASET: each
+        hop materializes into the object store (spillable), the settled
+        rows (output/leaf/error) stay there as Dataset parts, and only
+        per-hop COUNTS reach the driver — the round-2 per-hop take_all()
+        made the driver hold every in-flight row of every hop.  Returns
+        the union Dataset of all settled rows (lazy over materialized
+        blocks) — callers stream it to parquet or collect small results.
+        """
         import ray.data as rd
 
         if self.spec.status != "active":
             raise ValueError(
                 f"flow {self.spec.workflow_id!r} is {self.spec.status!r}, "
                 "not active — drafts are not runnable")
-
-        rows = self._seed_rows(triggers)
-        done: list[dict] = []
         hop = self._hop_fn()
+
+        def keep(kind_is_input: bool):
+            def fn(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+                m = pc.equal(t["kind"], "input")
+                return t.filter(m if kind_is_input else pc.invert(m))
+            return fn
+
+        ds = rd.from_arrow(seed_table)
+        done_parts = []
         hops = 0
-        while rows:
+        n_inputs = seed_table.num_rows
+        while n_inputs:
             if hops >= self.max_hops:
-                raise RuntimeError(f"flow exceeded max_hops={self.max_hops} (cycle?)")
-            ds = rd.from_arrow(pa.Table.from_pylist(rows, schema=_ROW_SCHEMA))
-            result = ds.map_batches(hop, batch_format="pyarrow").take_all()
-            rows = [r for r in result if r["kind"] == "input"]
-            done += [r for r in result if r["kind"] != "input"]
+                raise RuntimeError(
+                    f"flow exceeded max_hops={self.max_hops} (cycle?)")
+            mat = (ds.map_batches(hop, batch_format="pyarrow")
+                   .materialize())
+            done_parts.append(mat.map_batches(keep(False),
+                                              batch_format="pyarrow"))
+            ds = mat.map_batches(keep(True), batch_format="pyarrow")
+            n_inputs = ds.count()
             hops += 1
+        if not done_parts:
+            return rd.from_arrow(pa.Table.from_pylist([], schema=_ROW_SCHEMA))
+        out = done_parts[0]
+        for p in done_parts[1:]:
+            out = out.union(p)
+        return out
+
+    def run_streaming(self, triggers: list[dict], out_dir: str) -> dict:
+        """Streaming leaf sink (round-3): settled rows go straight from
+        the object store to parquet under out_dir — no row ever lands on
+        the driver; returns {"dir", "counts", "rows"}.  This is the
+        10⁵-trigger-scale surface (a leaf-table consumer reads the
+        parquet); run() below keeps the small-result dict contract."""
+        done = self._run_ds(pa.Table.from_pylist(
+            self._seed_rows(triggers), schema=_ROW_SCHEMA))
+        done.write_parquet(out_dir, mode="overwrite")
+        counts: dict[str, int] = {"output": 0, "leaf": 0, "error": 0}
+        cdf = done.groupby("kind").count().to_pandas()
+        for k, n in zip(cdf["kind"], cdf["count()"]):
+            counts[str(k)] = int(n)
+        return {"dir": out_dir, "counts": counts,
+                "rows": int(sum(counts.values()))}
+
+    def run(self, triggers: list[dict]) -> dict[str, list[dict]]:
+        """BFS to fixpoint; returns {"outputs": [...], "leaves": [...],
+        "errors": [...]} sorted deterministically.  Draft flows refuse to
+        run (`pkg/spider/flow.go:11-15` status model: only active flows
+        are runnable).  Hops run via the Dataset-carried frontier
+        (_run_ds); only the FINAL settled rows are collected — use
+        run_streaming for results too large to collect."""
+        import ray
+
+        refs = self._run_ds(pa.Table.from_pylist(
+            self._seed_rows(triggers), schema=_ROW_SCHEMA)).to_arrow_refs()
+        tbls = [t.select(_ROW_FIELDS).cast(_ROW_SCHEMA)
+                for t in ray.get(refs) if t.num_rows]
+        done = (pa.concat_tables(tbls).to_pylist() if tbls else [])
         key_fn = lambda r: (r["session_id"], r["task_id"])
         return {
             "outputs": sorted((r for r in done if r["kind"] == "output"), key=key_fn),
