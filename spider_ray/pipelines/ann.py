@@ -250,14 +250,66 @@ def _kmeans(sample: np.ndarray, n_cells: int, iters: int = 10,
     return cent
 
 
+def _kmeans_distributed(path: str, n_cells: int, init: np.ndarray,
+                        iters: int = 3) -> np.ndarray:
+    """Distributed Lloyd iterations (round-2 verdict item 6): each
+    iteration is ONE streaming pass — map_batches computes per-batch
+    (cell, count, sum-vector) partials (n_cells rows per block, tiny),
+    the driver reduces them into new centroids.  Removes the driver
+    sample cap: every corpus vector votes, only kilobyte partials move.
+    Empty cells keep their previous centroid (deterministic)."""
+    import ray
+    import ray.data as rd
+
+    cent = init.copy()
+    n_cells = len(cent)
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            m = _normalize(np.stack(
+                t["embedding"].to_numpy(zero_copy_only=False))
+                .astype(np.float64))
+            a = np.argmax(m @ c.T, axis=1)
+            dim = m.shape[1]
+            sums = np.zeros((len(c), dim))
+            np.add.at(sums, a, m)
+            counts = np.bincount(a, minlength=len(c))
+            return pa.table({
+                "cell": pa.array(np.arange(len(c), dtype=np.int32)),
+                "count": pa.array(counts.astype(np.int64)),
+                "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+            })
+
+        parts = (rd.read_parquet(path, columns=["embedding"])
+                 .map_batches(partial, batch_format="pyarrow").to_pandas())
+        counts = np.zeros(n_cells, dtype=np.int64)
+        sums = np.zeros_like(cent)
+        for cell, cnt, vs in zip(parts["cell"], parts["count"],
+                                 parts["vsum"]):
+            counts[cell] += cnt
+            sums[cell] += np.asarray(vs)
+        new = cent.copy()
+        nz = counts > 0
+        new[nz] = _normalize(sums[nz] / counts[nz, None])
+        if np.allclose(new, cent):
+            break
+        cent = new
+    return cent
+
+
 def build_ivf_index(sf_dir: str, n_cells: int = 16,
                     train_cap: int = 4096,
+                    train_distributed: bool | None = None,
                     index_root: str = "/tmp/spider_ray_ivf") -> tuple[str, np.ndarray]:
-    """One-time IVF index build: train centroids on a deterministic
-    modulo sample (bounded driver collect), then ONE streaming pass
-    assigns every vector to its nearest cell and writes the corpus
-    hive-partitioned by cell — a materialized, resumable inverted file.
-    Probes then read only their cells' files.  Idempotent via marker."""
+    """One-time IVF index build: train centroids (driver-sample Lloyd
+    by default; train_distributed=True — auto above 200k rows — refines
+    the sample init with full-corpus distributed Lloyd iterations), then
+    ONE streaming pass assigns every vector to its nearest cell and
+    writes the corpus hive-partitioned by cell — a materialized,
+    resumable inverted file.  Probes then read only their cells' files.
+    Idempotent via marker."""
     import json as _json
     import os as _os
 
@@ -270,7 +322,8 @@ def build_ivf_index(sf_dir: str, n_cells: int = 16,
     key = _json.dumps({"src": _os.path.abspath(path),
                        "mtime": _st.st_mtime, "size": _st.st_size,
                        "rows": pq.ParquetFile(path).metadata.num_rows,
-                       "cells": n_cells, "cap": train_cap, "v": 2},
+                       "cells": n_cells, "cap": train_cap,
+                       "dist": bool(train_distributed), "v": 3},
                       sort_keys=True)
     index_dir = _os.path.join(
         index_root,
@@ -298,7 +351,14 @@ def build_ivf_index(sf_dir: str, n_cells: int = 16,
     sample = _normalize(np.concatenate(
         [np.stack(t["embedding"].to_numpy(zero_copy_only=False))
          for t in parts]).astype(np.float64))[:train_cap]
-    cent = _kmeans(sample, n_cells)
+    if train_distributed is None:
+        train_distributed = n_total > 200_000
+    if train_distributed:
+        # sample kmeans seeds the full-corpus distributed iterations
+        cent = _kmeans(sample, n_cells, iters=3)
+        cent = _kmeans_distributed(path, n_cells, cent, iters=3)
+    else:
+        cent = _kmeans(sample, n_cells)
     cent_ref = ray.put(cent)
 
     def assign(t: pa.Table) -> pa.Table:
@@ -320,6 +380,7 @@ def build_ivf_index(sf_dir: str, n_cells: int = 16,
 
 def ann_ivf_topk(sf_dir: str, n_queries: int = 10, k: int = 5,
                  n_cells: int = 16, nprobe: int = 4,
+                 train_distributed: bool | None = None,
                  log_stats: bool = True):
     """IVF approximate top-k: queries probe only their nprobe nearest
     cells, and only those cells' index files are READ (hive partition
@@ -332,7 +393,8 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 10, k: int = 5,
     import ray.data as rd
 
     q_ids, q_mat = _load_queries(sf_dir, n_queries)
-    index_dir, cent = build_ivf_index(sf_dir, n_cells=n_cells)
+    index_dir, cent = build_ivf_index(sf_dir, n_cells=n_cells,
+                                      train_distributed=train_distributed)
     q_cells = np.argsort(-(q_mat @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
     probe = sorted({int(c) for row in q_cells for c in row})
     probe_dirs = [d for d in (f"{index_dir}/cell={c}" for c in probe)
@@ -399,6 +461,7 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 10, k: int = 5,
 
 def dedup_embedding_ivf(sf_dir: str, threshold: float = 0.40,
                         n_cells: int = 16, n_assign: int = 2,
+                        train_distributed: bool | None = None,
                         log_stats: bool = True):
     """IVF-bucketed embedding near-dup pairs — the scale path for
     pipelines.dedup.dedup_embedding's all-pairs blocked matmul: every
@@ -415,7 +478,8 @@ def dedup_embedding_ivf(sf_dir: str, threshold: float = 0.40,
     import ray
     import ray.data as rd
 
-    _, cent = build_ivf_index(sf_dir, n_cells=n_cells)
+    _, cent = build_ivf_index(sf_dir, n_cells=n_cells,
+                              train_distributed=train_distributed)
     cent_ref = ray.put(cent)
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",

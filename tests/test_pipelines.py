@@ -373,6 +373,27 @@ class TestIVF:
         d2, c2 = build_ivf_index(highsim_corpus)  # marker hit, no rebuild
         assert d1 == d2 and (c1 == c2).all()
 
+    def test_distributed_kmeans_non_regressing(self, highsim_corpus):
+        """Round-3 verdict item 6: full-corpus distributed Lloyd must be
+        deterministic and at least as good as the driver-sample path on
+        the clustered corpus (recall bound unchanged)."""
+        from spider_ray.pipelines.ann import (ann_ivf_topk,
+                                              ann_topk_bruteforce,
+                                              build_ivf_index)
+
+        d = highsim_corpus
+        _, c1 = build_ivf_index(d, train_distributed=True)
+        _, c2 = build_ivf_index(d, train_distributed=True)
+        assert (c1 == c2).all()           # idempotent marker hit
+        import shutil
+        shutil.rmtree(_, ignore_errors=True)
+        _, c3 = build_ivf_index(d, train_distributed=True)
+        assert np.allclose(c1, c3)        # deterministic rebuild
+        bf = ann_topk_bruteforce(d, n_queries=20, k=4).to_pandas()
+        ivf = ann_ivf_topk(d, n_queries=20, k=4, n_cells=16, nprobe=4,
+                           train_distributed=True).to_pandas()
+        assert self._recall(bf, ivf) >= 0.9
+
     def test_ivf_dedup_recall_and_precision(self, highsim_corpus):
         from spider_ray.pipelines.ann import dedup_embedding_ivf
         from spider_ray.pipelines.dedup import dedup_embedding
