@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_feature_stats": mm.multimodal_feature_stats,
         # -- composed end-to-end training-data prep ------------------------
         "training_data_prep": prep.training_data_prep,
+        "training_data_prep_fuzzy": prep.training_data_prep_fuzzy,
     }
 
 
@@ -226,7 +227,7 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(length(text), 1), 4) AS quality
             FROM documents
         """,
-        "text_normalize": """
+        "text_normalize": r"""
             SELECT doc_id,
                    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
             FROM documents
@@ -381,6 +382,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT f.doc_id, f.lang, f.n_tokens, f.quality, d.dup_count
             FROM filtered f JOIN dedup d ON f.doc_id = d.keep_id
             ORDER BY f.doc_id
+        """,
+        # Composed prep INCLUDING the fuzzy stage: the whole chain
+        # (score -> filter -> exact dedup -> MinHash+LSH word-3-gram
+        # near-dup over the survivors -> drop the higher-id side of
+        # every >=0.8 pair) mirrored by ONE statement whose near-dup
+        # stage is exact all-pairs Jaccard over the same survivor set;
+        # equality certifies 100% LSH recall through the composition.
+        "training_data_prep_fuzzy": """
+            WITH scored AS (
+              SELECT doc_id, lang, text,
+                     len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                         AS n_tokens,
+                     round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                           / greatest(length(text), 1)
+                           - length(regexp_replace(text, '[^0-9]', '', 'g'))
+                           / greatest(length(text), 1), 4) AS quality
+              FROM documents
+            ),
+            filtered AS (
+              SELECT * FROM scored
+              WHERE quality >= 0.80 AND lang IN ('en', 'es', 'de', 'fr')
+            ),
+            dedup AS (
+              SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+              FROM filtered GROUP BY text
+            ),
+            kept AS (
+              SELECT f.doc_id, f.lang, f.n_tokens, f.quality,
+                     d.dup_count, f.text
+              FROM filtered f JOIN dedup d ON f.doc_id = d.keep_id
+            ),
+            toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+              FROM kept
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+              FROM toks,
+                   UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            neardup_b AS (
+              SELECT DISTINCT doc_b
+              FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                         JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+            )
+            SELECT doc_id, lang, n_tokens, quality, dup_count
+            FROM kept
+            WHERE doc_id NOT IN (SELECT doc_b FROM neardup_b)
+            ORDER BY doc_id
         """,
         "ann_topk_bruteforce": """
             SELECT query_id, neighbor_id, round(cosine, 4) AS cosine

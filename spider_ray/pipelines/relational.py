@@ -203,7 +203,7 @@ def hash_join_priority_revenue(sf_dir: str):
 
 def _semi_anti(left_ds, key_ds, left_key: str, right_key: str,
                anti: bool, distributed: bool | None,
-               key_threshold: int, num_partitions: int = 16):
+               key_threshold: int, num_partitions: int | None = None):
     """Size-adaptive semi/anti join (mirrors dedup._verify_dispatch):
 
     * key side below `key_threshold` rows -> broadcast the sorted key
@@ -232,6 +232,12 @@ def _semi_anti(left_ds, key_ds, left_key: str, right_key: str,
 
         return left_ds.map_batches(fn, batch_format="pyarrow")
 
+    if num_partitions is None:
+        # a join runs num_partitions hash-shuffle aggregator ACTORS; a
+        # graph chaining several joins can deadlock an oversubscribed
+        # node (same sizing rule as dedup._verify_pairs_distributed)
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(16, cpus // 2))
     left_cols = left_ds.schema().names
     # distinct keys + a hit marker (Dataset.join drops the right key
     # column, so the anti null-probe needs an explicit non-key column)

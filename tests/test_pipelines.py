@@ -417,7 +417,9 @@ class TestTrainingDataPrep:
 
     @pytest.mark.parametrize("sf", ["/root/testdata/sf0.001",
                                     "/root/testdata/sf0.01"])
-    def test_matches_composed_oracle(self, sf):
+    @pytest.mark.parametrize("name", ["training_data_prep",
+                                      "training_data_prep_fuzzy"])
+    def test_matches_composed_oracle(self, sf, name):
         import duckdb
         import os
         import sys
@@ -428,8 +430,8 @@ class TestTrainingDataPrep:
         con = duckdb.connect()
         con.execute("create view documents as select * from "
                     f"read_parquet('{sf}/documents.parquet')")
-        r = E.queries()["training_data_prep"](sf).to_pandas()
-        o = con.execute(E.oracle_sql()["training_data_prep"]).fetchdf()
+        r = E.queries()[name](sf).to_pandas()
+        o = con.execute(E.oracle_sql()[name]).fetchdf()
         pd.testing.assert_frame_equal(
             r[sorted(r.columns)].reset_index(drop=True),
             o[sorted(o.columns)].reset_index(drop=True),
@@ -437,6 +439,18 @@ class TestTrainingDataPrep:
         # the pipeline actually filters and dedups (non-trivial output)
         n_docs = con.execute("select count(*) from documents").fetchone()[0]
         assert 0 < len(r) < n_docs
+
+    def test_fuzzy_paths_agree(self):
+        """Forced-broadcast and forced-distributed (Dataset.join semi/
+        anti + distributed pair verify) produce identical survivor sets."""
+        from spider_ray.pipelines.prep import training_data_prep_fuzzy
+        sf = "/root/testdata/sf0.001"
+        a = training_data_prep_fuzzy(sf, verify_distributed=False).to_pandas()
+        b = training_data_prep_fuzzy(sf, verify_distributed=True).to_pandas()
+        pd.testing.assert_frame_equal(
+            a.reset_index(drop=True), b.reset_index(drop=True),
+            check_dtype=False)
+        assert len(a) > 0
 
 
 @pytest.mark.usefixtures("ray_session")
