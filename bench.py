@@ -65,7 +65,9 @@ def bench_crawl(sf_dir: str, num_cpus: int) -> dict:
     index_dir = os.path.join(root, "pages_index")  # shared across runs
     eng = CrawlEngine(paths["pages"], pol, ckpt, num_parts=num_parts,
                       seen_shards=8, fetch_concurrency=num_cpus,
-                      seen_capacity_per_shard=1 << 20, index_dir=index_dir)
+                      seen_capacity_per_shard=1 << 20, index_dir=index_dir,
+                      force_distributed=bool(
+                          os.environ.get("SPIDER_RAY_FORCE_DISTRIBUTED")))
     build_pages_index(paths["pages"], eng.index_dir, num_parts)  # untimed ingest
     # bench seeds: every 3rd page url -> a frontier that is large from
     # epoch 0, so throughput measures steady-state work, not ramp-up

@@ -757,7 +757,11 @@ class CrawlEngine:
         checker = self._checker
         adm_dir = os.path.join(edir, "admitted")
         os.makedirs(adm_dir, exist_ok=True)
-        links = rd.from_arrow_refs(link_refs) if link_refs else             rd.from_arrow(explode_links(_empty_fetch_table(), self.num_parts))
+        links = (rd.from_arrow_refs(link_refs) if link_refs
+                 else rd.from_arrow(pa.table({
+                     "canonical_url": pa.array([], pa.string()),
+                     "priority": pa.array([], pa.float64()),
+                     "url_hash": pa.array([], pa.int64())})))
 
         def seen_admit(t: pa.Table) -> pa.Table:
             m = checker.check(np.asarray(t["url_hash"]),
@@ -774,7 +778,11 @@ class CrawlEngine:
         # would re-check its batch and inflate this METRIC (never the
         # data — admission stays two-phase idempotent)).
         checked_before = checker.checked_total()
-        (links.groupby("canonical_url")
+        # groupby keys int64-first: the shuffle partitions and sorts on
+        # the actor-computed url_hash, comparing URL strings only on
+        # hash ties (collision correctness) — same groups as the driver
+        # kernel's canonical_url groupby since hash is a function of url
+        (links.groupby(["url_hash", "canonical_url"])
          .aggregate(Max("priority", alias_name="priority"))
          .map_batches(lambda t: finalize_links(t, self.num_parts),
                       batch_format="pyarrow")

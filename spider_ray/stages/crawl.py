@@ -403,6 +403,16 @@ class FetchWorker:
             ["canonical_url", "host", "priority", "outcome"])
         if not stash_order:
             return outcomes, links
+        # distributed path: hash links actor-side (parallel, overlapped
+        # with fetch) so the link-dedup groupby keys on int64 first —
+        # sorting/partitioning 64-bit ints instead of URL strings; the
+        # string key stays second for hash-collision correctness
+        if links.num_rows:
+            links = links.append_column("url_hash", pa.array(
+                hash64_many(links["canonical_url"].to_pylist()), pa.int64()))
+        else:
+            links = links.append_column("url_hash",
+                                        pa.array([], pa.int64()))
         df = outcomes.to_pandas()
         df = (df.assign(neg_priority=-df["priority"])
               .sort_values(["host", "neg_priority", "canonical_url"],
@@ -511,8 +521,11 @@ def finalize_links(batch: pa.Table, num_parts: int) -> pa.Table:
     already canonical — resolve() canonicalizes).  Host extraction is
     the vectorized RE2 kernel (host_of_batch == host_of per row on
     canonical urls, hypothesis-tested)."""
-    urls = batch["canonical_url"].to_pylist()
-    h = hash64_many(urls) if urls else np.array([], dtype=np.int64)
+    if "url_hash" in batch.column_names:  # distributed path pre-hashed
+        h = np.asarray(batch["url_hash"], dtype=np.int64)
+    else:
+        urls = batch["canonical_url"].to_pylist()
+        h = hash64_many(urls) if urls else np.array([], dtype=np.int64)
     return pa.table(
         {
             "canonical_url": batch["canonical_url"],
