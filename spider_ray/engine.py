@@ -44,10 +44,8 @@ from .scheduler import _topb_pandas, select_epoch_ds
 from .stages.crawl import (
     FRONTIER_SCHEMA,
     FetchWorker,
-    _empty_fetch_table,
     build_pages_index,
     canon_table,
-    explode_links,
     finalize_links,
 )
 from .state.seen import SeenChecker, make_seen_shards
@@ -103,17 +101,97 @@ def _write_order_shard(block, epoch: int, seq_offset: int, path: str) -> dict:
     return counts
 
 
-def _next_frontier_part(part: int, frontier_files: list[str],
-                        selected_files: list[str], admitted_files: list[str],
-                        out_path: str) -> int:
-    """Partition-aligned frontier update for ONE part:
-    next_p = (frontier_p − selected_p) ∪ admitted_p.
+def _admit_frontier_part(part: int, link_refs: list, frontier_files: list[str],
+                         selected_files: list[str], shards, epoch: int,
+                         adm_path: str, out_path: str) -> dict:
+    """Fused per-partition epoch tail for ONE part: link dedup → two-phase
+    seen admission → admitted checkpoint → next-frontier write, all in a
+    single partition-aligned task.
 
-    No shuffle, no driver data: P of these run in parallel, each reading
-    only its own part's rows (parquet predicate pushdown on `part` skips
-    whole files when the previous epoch already wrote per-part files).
-    Returns the part's new row count (an int)."""
+    The link stream is ALREADY partitioned by the one global key
+    (url_hash % P) at the producer — the fetch actors locally dedup and
+    split their links by part — so the global groupby the round-2/3 chain
+    ran (a full sort shuffle + its own Ray Data execution, ~2-6 s/epoch
+    constant) is redundant: P of these tasks reduce disjoint key ranges.
+
+    Idempotent replay (Ray task retry AND cross-run resume of an
+    incomplete epoch): the admitted checkpoint is written atomically
+    BEFORE phase-2 `add`, and a replay that finds it reuses its committed
+    phase-1 verdicts instead of re-checking (re-checking after our own
+    adds would wrongly see these urls as seen).  Verdicts depend only on
+    the part's own urls (disjoint across parts) and epoch-start seen
+    state, so concurrent adds from sibling parts never change them —
+    deterministic under any interleaving.  The unique-link count rides in
+    the file's parquet metadata so replays return the same counters."""
+    import ray
+
+    from .stages.crawl import host_of_batch
+
     pa.set_cpu_count(1)
+    if os.path.exists(adm_path):
+        f = pq.ParquetFile(adm_path)
+        kv = f.metadata.metadata or {}
+        n_links = int(kv.get(b"n_links_unique", b"0"))
+        at = f.read()
+    else:
+        tbls = [t for t in (ray.get(list(link_refs)) if link_refs else [])
+                if t is not None and t.num_rows]
+        if tbls:
+            links = pa.concat_tables(tbls)
+            # cross-actor dedup (actors already deduped locally): key on
+            # the int64 hash, url kept for hash-collision correctness
+            uniq = (pa.TableGroupBy(links, ["url_hash", "canonical_url"])
+                    .aggregate([("priority", "max")])
+                    .rename_columns(["url_hash", "canonical_url", "priority"]))
+        else:
+            uniq = pa.table({"url_hash": pa.array([], pa.int64()),
+                             "canonical_url": pa.array([], pa.string()),
+                             "priority": pa.array([], pa.float64())})
+        n_links = uniq.num_rows
+        h = np.asarray(uniq["url_hash"], dtype=np.int64)
+        # phase-1 check, routed straight to the owning shard actors
+        mask = np.zeros(len(h), dtype=bool)
+        if len(h):
+            s = len(shards)
+            sid = h % s
+            calls = []
+            urls_np = np.empty(len(h), dtype=object)
+            urls_np[:] = uniq["canonical_url"].to_pylist()
+            for j in range(s):
+                m = sid == j
+                if m.any():
+                    calls.append((np.nonzero(m)[0],
+                                  shards[j].check.remote(h[m], urls_np[m])))
+            for idx, fut in calls:
+                mask[idx] = ray.get(fut)
+        adm = uniq.filter(pa.array(mask)) if len(h) else uniq
+        at = pa.table({
+            "canonical_url": adm["canonical_url"],
+            "host": host_of_batch(adm["canonical_url"]),
+            "priority": adm["priority"],
+            "url_hash": adm["url_hash"],
+            "part": pa.array(np.full(adm.num_rows, part, np.int32)),
+            "first_epoch": pa.array([epoch + 1] * adm.num_rows, pa.int32()),
+        })
+        os.makedirs(os.path.dirname(adm_path), exist_ok=True)
+        tmp = adm_path + ".tmp"
+        pq.write_table(at.replace_schema_metadata(
+            {"n_links_unique": str(n_links)}), tmp)
+        os.replace(tmp, adm_path)
+    # phase-2 add (idempotent set insert; replay-safe)
+    if at.num_rows:
+        h = np.asarray(at["url_hash"], dtype=np.int64)
+        urls_np = np.empty(len(h), dtype=object)
+        urls_np[:] = at["canonical_url"].to_pylist()
+        s = len(shards)
+        sid = h % s
+        futs = []
+        for j in range(s):
+            m = sid == j
+            if m.any():
+                futs.append(shards[j].add.remote(h[m], urls_np[m]))
+        ray.get(futs)
+    # next frontier for this part = (frontier_p − selected_p) ∪ admitted_p
     ft = pq.read_table(frontier_files, columns=list(FRONTIER_SCHEMA.names),
                        filters=[("part", "==", part)], use_threads=False) \
         if frontier_files else pa.Table.from_pylist([], schema=FRONTIER_SCHEMA)
@@ -122,20 +200,15 @@ def _next_frontier_part(part: int, frontier_files: list[str],
                                          use_threads=False)["url_hash"])
         keep = ~np.isin(np.asarray(ft["url_hash"]), sel_h)
         ft = ft.filter(pa.array(keep))
-    parts = [ft.cast(FRONTIER_SCHEMA)]
-    if admitted_files:
-        at = pq.read_table(admitted_files,
-                           columns=["canonical_url", "host", "priority", "url_hash"],
-                           use_threads=False)
-        at = at.append_column(
-            "part", pa.array(np.full(at.num_rows, part, np.int32)))
-        parts.append(at.select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA))
-    out = pa.concat_tables(parts)
+    out = pa.concat_tables([ft.cast(FRONTIER_SCHEMA),
+                            at.select(FRONTIER_SCHEMA.names)
+                              .cast(FRONTIER_SCHEMA)])
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     tmp = out_path + ".tmp"
     pq.write_table(out, tmp)
     os.replace(tmp, out_path)
-    return out.num_rows
+    return {"links": int(n_links), "admitted": int(at.num_rows),
+            "frontier": int(out.num_rows)}
 
 
 def _merge_order_shard(handles, idx: int, epoch: int, seq_offset: int,
@@ -162,34 +235,6 @@ def _merge_order_shard(handles, idx: int, epoch: int, seq_offset: int,
     return _write_order_shard(df, epoch, seq_offset, path)
 
 
-def _push_admitted_part(part_files: list[str], shards) -> int:
-    """Phase-2 seen admission for ONE partition: read this part's
-    admitted delta (hash + url) and push each slice straight to its
-    owning shard actor (h % S).  P of these run in parallel; the driver
-    collects P integers and never sees an admitted hash — this replaces
-    the round-2 driver readback (VERDICT r2 'What's wrong #1'), which
-    at a 10^10 frontier would hop 10⁸–10⁹ hashes through the driver
-    every epoch."""
-    import ray
-
-    pa.set_cpu_count(1)
-    t = pq.read_table(part_files, columns=["url_hash", "canonical_url"],
-                      use_threads=False)
-    if t.num_rows == 0:
-        return 0
-    h = np.asarray(t["url_hash"], dtype=np.int64)
-    urls = np.empty(len(h), dtype=object)
-    urls[:] = t["canonical_url"].to_pylist()
-    s = len(shards)
-    sid = h % s
-    futs = []
-    for j in range(s):
-        m = sid == j
-        if m.any():
-            futs.append(shards[j].add.remote(h[m], urls[m]))
-    return int(sum(ray.get(futs)))
-
-
 _RFNS: dict | None = None
 
 
@@ -203,8 +248,7 @@ def _remote_fns() -> dict:
         _RFNS = {
             "order": ray.remote(num_cpus=0.25)(_write_order_shard),
             "order_merge": ray.remote(num_cpus=0.25)(_merge_order_shard),
-            "frontier": ray.remote(num_cpus=0.25)(_next_frontier_part),
-            "push": ray.remote(num_cpus=0.25)(_push_admitted_part),
+            "admit_frontier": ray.remote(num_cpus=0.25)(_admit_frontier_part),
         }
     return _RFNS
 
@@ -670,7 +714,6 @@ class CrawlEngine:
         the small-epoch kernels mirror."""
         import ray
         import ray.data as rd
-        from ray.data.aggregate import Max
 
         edir = self._epoch_dir(e)
         rfns = _remote_fns()
@@ -697,14 +740,12 @@ class CrawlEngine:
         by_rank: dict[int, dict[int, list[str]]] = {}
         for p, fl in part_files.items():
             by_rank.setdefault(p % len(pool), {})[p] = fl
-        sample_refs, link_refs = [], []
-        active = []
+        sample_refs, active = [], []
         for rank in sorted(by_rank):
-            sref, lref = pool[rank].fetch_stash_paths.options(
+            sref, _lref = pool[rank].fetch_stash_paths.options(
                 num_returns=2).remote(by_rank[rank], self.num_parts,
                                       stash_order=True)
             sample_refs.append(sref)
-            link_refs.append(lref)
             active.append(rank)
         _mark("fetch_submit")
 
@@ -728,12 +769,15 @@ class CrawlEngine:
         handles = [pool[r] for r in active]
         counts_mat = np.asarray(ray.get(
             [h.split_order.remote(boundaries) for h in handles]))
-        # queue texts flush behind split_order on each actor: it runs
-        # while the driver drives the order merge + link dedup below
-        flush_refs = [
-            pool[r].flush_texts.remote(
-                os.path.join(edir, "texts", f"shard-{r:04d}.parquet"))
-            for r in active]
+        # queue the link split right behind split_order (AHEAD of the
+        # zstd texts flush) on each actor: the fused admit/frontier tasks
+        # below need these slices early; the flush only gates epoch commit
+        if self.num_parts == 1:
+            link_split = [[pool[r].split_links.remote(1)] for r in active]
+        else:
+            link_split = [pool[r].split_links.options(
+                num_returns=self.num_parts).remote(self.num_parts)
+                for r in active]
         range_counts = (counts_mat.sum(axis=0) if len(counts_mat)
                         else np.zeros(1, dtype=np.int64))
         n_sel = int(range_counts.sum())
@@ -749,65 +793,30 @@ class CrawlEngine:
             for k, v in c.items():
                 counts[k] += v
         self._seq += n_sel
+        # queue the zstd texts flush only AFTER the order merges are done:
+        # actor method calls serialize, so a flush submitted earlier would
+        # block every merge task's take_order_range behind ~seconds of
+        # compression (measured +4.7 s on the epoch's order span).  Here it
+        # overlaps the fused admit/frontier wave below, which never touches
+        # the fetch actors.
+        flush_refs = [
+            pool[r].flush_texts.remote(
+                os.path.join(edir, "texts", f"shard-{r:04d}.parquet"))
+            for r in active]
         _mark("order_write")
 
-        # 4. link dedup (per-epoch max-priority) -> two-phase seen
-        # admission, all as Dataset stages; admitted lands hive-partitioned
-        # by part so the frontier tasks below can read only their slice.
-        checker = self._checker
+        # 4+5 fused: P partition-aligned tasks — each gathers its part's
+        # locally-deduped link slices from every fetch actor, finishes
+        # the dedup over its DISJOINT key range (the link stream is
+        # already partitioned by the one global key at the producer, so
+        # the global groupby shuffle the round-2/3 chain ran — a full Ray
+        # Data execution, ~2-6 s/epoch constant — is redundant), runs
+        # two-phase seen admission straight against the owning shard
+        # actors, checkpoints its admitted delta and writes its
+        # next-frontier file.  The driver collects P count dicts.
         adm_dir = os.path.join(edir, "admitted")
-        os.makedirs(adm_dir, exist_ok=True)
-        links = (rd.from_arrow_refs(link_refs) if link_refs
-                 else rd.from_arrow(pa.table({
-                     "canonical_url": pa.array([], pa.string()),
-                     "priority": pa.array([], pa.float64()),
-                     "url_hash": pa.array([], pa.int64())})))
-
-        def seen_admit(t: pa.Table) -> pa.Table:
-            m = checker.check(np.asarray(t["url_hash"]),
-                              t["canonical_url"])
-            t = t.filter(pa.array(m))
-            return t.append_column(
-                "first_epoch", pa.array([e + 1] * t.num_rows, pa.int32()))
-
-        # ONE execution for dedup + seen-filter + admitted write (the
-        # round-2 chain paid a separate materialize execution just to
-        # count unique links; that count now comes from the seen shards'
-        # check counters — every deduped link passes through exactly one
-        # check() call in this window.  Caveat: a Ray-retried map task
-        # would re-check its batch and inflate this METRIC (never the
-        # data — admission stays two-phase idempotent)).
-        checked_before = checker.checked_total()
-        # groupby keys int64-first: the shuffle partitions and sorts on
-        # the actor-computed url_hash, comparing URL strings only on
-        # hash ties (collision correctness) — same groups as the driver
-        # kernel's canonical_url groupby since hash is a function of url
-        (links.groupby(["url_hash", "canonical_url"])
-         .aggregate(Max("priority", alias_name="priority"))
-         .map_batches(lambda t: finalize_links(t, self.num_parts),
-                      batch_format="pyarrow")
-         .map_batches(seen_admit, batch_format="pyarrow")
-         .write_parquet(adm_dir, partition_cols=["part"], mode="overwrite"))
-        n_unique_links = checker.checked_total() - checked_before
-        # phase-2 admission is pushed by P partition-aligned tasks, each
-        # reading only its own part's admitted shard and routing hash
-        # slices straight to the owning shard actors — no admitted row
-        # ever transits the driver (the round-2 readback here did)
-        adm_part_files = {
-            p: self._parquet_files(os.path.join(adm_dir, f"part={p}"))
-            for p in range(self.num_parts)}
-        n_admitted = sum(pq.ParquetFile(f).metadata.num_rows
-                         for fl in adm_part_files.values() for f in fl)
-        push_futs = [rfns["push"].remote(fl, checker.shards)
-                     for fl in adm_part_files.values() if fl]
-        _mark("links_seen_admit")
-
-        # 5. next frontier = (frontier − selected) ∪ admitted, built by P
-        # partition-aligned tasks — each reads only part p's frontier rows
-        # (predicate pushdown), part p's staged selection hashes and part
-        # p's admitted shard, and writes part p's next-frontier file.  The
-        # driver collects P integers.
         fr_dir = os.path.join(edir, "frontier")
+        os.makedirs(adm_dir, exist_ok=True)
         # route each part task ONLY its own frontier file when the
         # previous epoch used the per-part layout (it always does now);
         # fall back to the full list + predicate pushdown otherwise
@@ -824,14 +833,18 @@ class CrawlEngine:
         futs = []
         for p in range(self.num_parts):
             ff = by_part_f.get(p, []) if layout_ok else ffiles
-            futs.append(rfns["frontier"].remote(
-                p, ff, part_files.get(p, []), adm_part_files[p],
+            futs.append(rfns["admit_frontier"].remote(
+                p, [ls[p] for ls in link_split], ff, part_files.get(p, []),
+                self._checker.shards, e,
+                os.path.join(adm_dir, f"part-{p:05d}.parquet"),
                 os.path.join(fr_dir, f"part-{p:05d}.parquet")))
-        n_frontier_after = int(sum(ray.get(futs)))
+        part_stats = ray.get(futs)
+        n_unique_links = sum(s["links"] for s in part_stats)
+        n_admitted = sum(s["admitted"] for s in part_stats)
+        n_frontier_after = sum(s["frontier"] for s in part_stats)
+        _mark("links_seen_admit")
 
-        # seen-state + texts durable BEFORE the epoch is committed (the
-        # push tasks ran concurrently with the frontier tasks above)
-        ray.get(push_futs)
+        # texts durable BEFORE the epoch is committed
         ray.get(flush_refs)
         _mark("frontier_write")
         return {

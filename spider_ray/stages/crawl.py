@@ -386,14 +386,15 @@ class FetchWorker:
         small HOST SAMPLE table (every ~64th host) — the driver plans
         host-range merge boundaries from the samples and the sorted rows
         flow actor→merge-task, never through the driver (the round-2
-        path ran a whole Ray Data sort execution for this)."""
+        path ran a whole Ray Data sort execution for this).  Links are
+        STASHED too (second return value is an empty placeholder): the
+        fused epoch tail pulls them per-part via split_links(), so the
+        full link set never forms one big object-store table."""
         import time as _time
 
         _t0 = _time.time()
         fetched = self(batch)
-        if os.environ.get("SPIDER_RAY_FETCH_DEBUG"):
-            print(f"[fetch_stash] rows={batch.num_rows} "
-                  f"call={_time.time() - _t0:.2f}s", flush=True)
+        _t1 = _time.time()
         self._pending_texts = (
             fetched.filter(pc.equal(fetched["outcome"], "ok"))
                    .select(["canonical_url", "text"])
@@ -413,6 +414,7 @@ class FetchWorker:
         else:
             links = links.append_column("url_hash",
                                         pa.array([], pa.int64()))
+        self._links = links
         df = outcomes.to_pandas()
         df = (df.assign(neg_priority=-df["priority"])
               .sort_values(["host", "neg_priority", "canonical_url"],
@@ -420,8 +422,38 @@ class FetchWorker:
               .drop(columns=["neg_priority"]))
         self._order_sorted = pa.Table.from_pandas(df, preserve_index=False)
         step = max(1, len(df) // 64)
+        if os.environ.get("SPIDER_RAY_FETCH_DEBUG"):
+            print(f"[fetch_stash] rows={batch.num_rows} "
+                  f"call={_t1 - _t0:.2f}s tail={_time.time() - _t1:.2f}s "
+                  f"t_end={_time.time():.2f}", flush=True)
         return pa.table({"host": pa.array(
-            df["host"].to_numpy()[::step], pa.string())}), links
+            df["host"].to_numpy()[::step], pa.string())}), _EMPTY_LINKS
+
+    def split_links(self, num_parts: int):
+        """Locally dedup the stashed link set (max priority per url) and
+        split it by the ONE global key part = url_hash % P.  Called with
+        num_returns=num_parts so each slice is its own object — the P
+        fused admit/frontier tasks each fetch ONLY their part's slices
+        from every actor, finishing the dedup over disjoint key ranges
+        with no global shuffle.  Returns the bare table when
+        num_parts == 1 (Ray num_returns=1 doesn't unpack).  The stash is
+        kept until the next fetch overwrites it (idempotent re-split,
+        like take_order_range)."""
+        links = getattr(self, "_links", None)
+        if links is None or links.num_rows == 0:
+            return _EMPTY_LINKS if num_parts == 1 else [_EMPTY_LINKS] * num_parts
+        uniq = (pa.TableGroupBy(links, ["url_hash", "canonical_url"])
+                .aggregate([("priority", "max")])
+                .rename_columns(["url_hash", "canonical_url", "priority"]))
+        if num_parts == 1:
+            return uniq
+        part = (np.asarray(uniq["url_hash"], dtype=np.int64)
+                % num_parts).astype(np.int64)
+        order = np.argsort(part, kind="stable")
+        srt = uniq.take(pa.array(order))
+        cuts = np.searchsorted(part[order], np.arange(num_parts + 1))
+        return [srt.slice(int(cuts[p]), int(cuts[p + 1] - cuts[p]))
+                for p in range(num_parts)]
 
     def split_order(self, boundaries: list[str]) -> np.ndarray:
         """Slice the stashed sorted order run at the given host
@@ -452,13 +484,20 @@ class FetchWorker:
         layout, so `part` rides in the directory name) — selection rows
         route actor-side, never through the driver."""
         tables = []
+        import time as _time
+        _r0 = _time.time()
+        nfiles = 0
         for p in sorted(part_files):
             t = pq.read_table(
                 part_files[p],
                 columns=["canonical_url", "host", "priority", "url_hash"],
                 use_threads=False)
+            nfiles += len(part_files[p])
             tables.append(t.append_column(
                 "part", pa.array(np.full(t.num_rows, p, np.int32))))
+        if os.environ.get("SPIDER_RAY_FETCH_DEBUG"):
+            print(f"[stash_paths] start={_r0:.2f} files={nfiles} "
+                  f"read={_time.time() - _r0:.2f}s", flush=True)
         batch = pa.concat_tables(tables) if tables else pa.table({
             "canonical_url": pa.array([], pa.string()),
             "host": pa.array([], pa.string()),
@@ -485,6 +524,14 @@ class FetchWorker:
         pq.write_table(texts, tmp, compression="zstd")
         os.replace(tmp, texts_path)
         return texts.num_rows
+
+
+# schema of split_links slices (and their concat in the fused epoch tail)
+_EMPTY_LINKS = pa.table({
+    "url_hash": pa.array([], pa.int64()),
+    "canonical_url": pa.array([], pa.string()),
+    "priority": pa.array([], pa.float64()),
+})
 
 
 def _empty_fetch_table() -> pa.Table:

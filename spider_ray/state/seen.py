@@ -15,7 +15,7 @@ SURVEY.md §4.1):
            no within-epoch duplicate can be double-admitted.
   phase 2  `add(hashes, urls)`    idempotent insert of the final admitted
            set, pushed per-partition by tasks that route straight to the
-           owning shard actor (engine._push_admitted_part) — the driver
+           owning shard actor (engine._admit_frontier_part) — the driver
            never sees the admitted hashes.
 
 Layered check (never a false negative, false positives resolved):
