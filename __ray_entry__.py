@@ -69,6 +69,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_deterministic": rel.sample_deterministic,
         "stratified_sample_by_lang": rel.stratified_sample_by_lang,
         "top_docs_per_lang": rel.top_docs_per_lang,
+        "left_outer_join_customer_spend": rel.left_outer_join_customer_spend,
+        "full_outer_join_nation_actors": rel.full_outer_join_nation_actors,
+        "quantile_chars_by_lang": rel.quantile_chars_by_lang,
+        "rank_docs_by_length_in_lang": rel.rank_docs_by_length_in_lang,
         "approx_distinct_tokens": sk.approx_distinct_tokens,
         # -- text analysis -------------------------------------------------
         "text_doc_stats_by_lang": ts.doc_stats_by_lang,
@@ -247,6 +251,56 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY n_chars DESC, doc_id) AS rn
                 FROM documents) t
             WHERE rn <= 5 ORDER BY lang, doc_id
+        """,
+        "left_outer_join_customer_spend": """
+            SELECT c.c_custkey, c.c_name,
+                   coalesce(o.n_orders, 0) AS n_orders,
+                   round(coalesce(o.total_spend, 0.0), 2) AS total_spend
+            FROM customer c LEFT JOIN (
+                SELECT o_custkey, count(*) AS n_orders,
+                       sum(o_totalprice) AS total_spend
+                FROM orders WHERE o_totalprice > 250000
+                GROUP BY o_custkey) o
+              ON c.c_custkey = o.o_custkey
+            ORDER BY c.c_custkey
+        """,
+        "full_outer_join_nation_actors": """
+            WITH s AS (SELECT s_nationkey AS nationkey,
+                              count(*) AS n_rich_supp
+                       FROM supplier WHERE s_acctbal > 5000
+                       GROUP BY s_nationkey),
+                 c AS (SELECT c_nationkey AS nationkey,
+                              count(*) AS n_poor_cust
+                       FROM customer WHERE c_acctbal < 0
+                       GROUP BY c_nationkey)
+            SELECT coalesce(s.nationkey, c.nationkey) AS nationkey,
+                   coalesce(s.n_rich_supp, 0) AS n_rich_supp,
+                   coalesce(c.n_poor_cust, 0) AS n_poor_cust
+            FROM s FULL OUTER JOIN c ON s.nationkey = c.nationkey
+            ORDER BY nationkey
+        """,
+        # value at rank floor(q*(n-1)) of each group's sorted values:
+        "quantile_chars_by_lang": """
+            WITH ranked AS (
+              SELECT lang, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars) - 1 AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM documents)
+            SELECT lang, max(n) AS n_docs,
+                   max(CASE WHEN rn = CAST(floor(0.25 * (n - 1)) AS BIGINT)
+                            THEN n_chars END) AS p25,
+                   max(CASE WHEN rn = CAST(floor(0.50 * (n - 1)) AS BIGINT)
+                            THEN n_chars END) AS p50,
+                   max(CASE WHEN rn = CAST(floor(0.90 * (n - 1)) AS BIGINT)
+                            THEN n_chars END) AS p90
+            FROM ranked GROUP BY lang ORDER BY lang
+        """,
+        "rank_docs_by_length_in_lang": """
+            SELECT doc_id, lang, n_chars,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY n_chars DESC, doc_id) AS rnk
+            FROM documents ORDER BY lang, rnk
         """,
         # Replicates pipelines.textstats.LangId exactly: CJK chars ->
         # zh; else stopword-occurrence argmax over en/de/fr/es with the

@@ -475,3 +475,131 @@ def top_docs_per_lang(sf_dir: str, k: int = 5):
             .groupby("lang")
             .map_groups(final_topk, batch_format="pandas")
             .sort(["lang", "doc_id"]))
+
+
+def left_outer_join_customer_spend(sf_dir: str, min_price: float = 250_000.0):
+    """LEFT OUTER join preserving unmatched left rows (customers with no
+    qualifying big order keep n_orders = 0 / total_spend = 0): orders
+    are filtered and pre-aggregated per custkey BEFORE the join, so the
+    shuffle moves at most one row per customer instead of every order —
+    the outer-join analogue of hash_join's pre-aggregation rule."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    nparts = max(2, min(16, cpus // 2))
+    spend = (_rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+             .map_batches(lambda t: t.filter(
+                 pc.greater(t["o_totalprice"], min_price)),
+                 batch_format="pyarrow")
+             .groupby("o_custkey")
+             .aggregate(Count(alias_name="n_orders"),
+                        Sum("o_totalprice", alias_name="total_spend")))
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_name"])
+    joined = cust.join(spend, join_type="left_outer", num_partitions=nparts,
+                       on=("c_custkey",), right_on=("o_custkey",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "c_name": t["c_name"],
+            "n_orders": pc.fill_null(t["n_orders"], 0),
+            "total_spend": pc.round(
+                pc.fill_null(t["total_spend"], 0.0), ndigits=2,
+                round_mode="half_towards_infinity"),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def full_outer_join_nation_actors(sf_dir: str):
+    """FULL OUTER equi-join of two grouped aggregates with genuinely
+    partial key coverage on both sides (rich suppliers vs overdrawn
+    customers by nation), so unmatched keys survive from BOTH inputs
+    with zero-filled counts.
+
+    Executed as union + grouped merge — for keyed AGGREGATES this is the
+    shuffle-optimal full-outer plan (one grouped reduce over two tiny
+    inputs, no join partitioning at all), and it sidesteps a Ray 2.49
+    hash-shuffle join failure on sparse inputs (a hash partition that
+    receives zero left-side blocks loses its schema and Acero rejects
+    the key field).  Dataset.join(full_outer) remains the plan for
+    joining NON-aggregated wide tables."""
+    from ray.data.aggregate import Count, Sum
+
+    def tag(key: str, mine: str, other: str):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:  # sparse groupby emits schema-less blocks
+                return pa.table({"nationkey": pa.array([], pa.int64()),
+                                 "n_rich_supp": pa.array([], pa.int64()),
+                                 "n_poor_cust": pa.array([], pa.int64())})
+            cnt = pc.cast(t["cnt"], pa.int64())
+            zero = pa.array(np.zeros(t.num_rows, np.int64))
+            return pa.table({"nationkey": pc.cast(t[key], pa.int64()),
+                             mine: cnt, other: zero})
+        return fn
+
+    supp = (_rp(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+            .map_batches(lambda t: t.filter(
+                pc.greater(t["s_acctbal"], 5000.0)), batch_format="pyarrow")
+            .groupby("s_nationkey")
+            .aggregate(Count(alias_name="cnt"))
+            .map_batches(tag("s_nationkey", "n_rich_supp", "n_poor_cust"),
+                         batch_format="pyarrow"))
+    cust = (_rp(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+            .map_batches(lambda t: t.filter(
+                pc.less(t["c_acctbal"], 0.0)), batch_format="pyarrow")
+            .groupby("c_nationkey")
+            .aggregate(Count(alias_name="cnt"))
+            .map_batches(tag("c_nationkey", "n_poor_cust", "n_rich_supp"),
+                         batch_format="pyarrow"))
+    return (supp.union(cust)
+            .groupby("nationkey")
+            .aggregate(Sum("n_rich_supp", alias_name="n_rich_supp"),
+                       Sum("n_poor_cust", alias_name="n_poor_cust"))
+            .sort("nationkey"))
+
+
+def quantile_chars_by_lang(sf_dir: str, qs=(0.25, 0.5, 0.9)):
+    """Exact grouped order-statistic quantiles (p25/p50/p90 of document
+    length per language): value at rank floor(q·(n−1)) of the group's
+    sorted values — a rank rule both engines implement verbatim, so the
+    oracle hash-matches (no interpolation-semantics drift).
+
+    Partitioning assumption: one group's VALUES fit a worker (numpy
+    partition per group).  At corpus scale with few huge groups, swap
+    the group kernel for a two-pass distributed rank-select (histogram
+    bound then exact scan of the bounding bucket); the group contract
+    and rank rule stay identical."""
+
+    ds = _rp(sf_dir, "documents", ["lang", "n_chars"])
+
+    def group_q(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(df["n_chars"].to_numpy())
+        n = len(v)
+        row = {"lang": df["lang"].iloc[0], "n_docs": n}
+        for q in qs:
+            row[f"p{int(q * 100)}"] = int(v[int(np.floor(q * (n - 1)))])
+        return pd.DataFrame([row])
+
+    return (ds.groupby("lang").map_groups(group_q, batch_format="pandas")
+            .sort("lang"))
+
+
+def rank_docs_by_length_in_lang(sf_dir: str):
+    """Window-function coverage: row_number() per group (docs ranked by
+    length desc, doc_id tie-break, within language).  Group-parallel:
+    each language ranks independently in its own task; a rank over one
+    giant group would instead reuse the engine's per-block prefix-sum
+    stamping (see engine._write_order_shard)."""
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def group_rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.assign(neg=-df["n_chars"])
+              .sort_values(["neg", "doc_id"], kind="mergesort")
+              .drop(columns=["neg"]))
+        return df.assign(rnk=np.arange(1, len(df) + 1, dtype=np.int64))
+
+    return (ds.groupby("lang").map_groups(group_rank, batch_format="pandas")
+            .sort(["lang", "rnk"]))

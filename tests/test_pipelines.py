@@ -544,3 +544,48 @@ class TestSemiAntiAdaptive:
                 WHERE o_totalprice > 400000)
             ORDER BY c_custkey""").fetchdf()
         pd.testing.assert_frame_equal(r, o, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestOuterJoinsQuantilesRank:
+    """Outer joins (unmatched-row preservation on either/both sides),
+    exact grouped order-statistic quantiles, and per-group row_number
+    vs their DuckDB oracles."""
+
+    @pytest.mark.parametrize("name,keys", [
+        ("left_outer_join_customer_spend", ["c_custkey"]),
+        ("full_outer_join_nation_actors", ["nationkey"]),
+        ("quantile_chars_by_lang", ["lang"]),
+        ("rank_docs_by_length_in_lang", ["lang", "rnk"]),
+    ])
+    def test_matches_oracle(self, name, keys):
+        import duckdb
+        import os
+        import sys
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        import __ray_entry__ as E
+
+        con = duckdb.connect()
+        for t in ("customer", "orders", "supplier", "documents"):
+            con.execute(f"create view {t} as select * from "
+                        f"read_parquet('{SF}/{t}.parquet')")
+        r = E.queries()[name](SF).to_pandas()
+        o = con.execute(E.oracle_sql()[name]).fetchdf()
+        r = (r[sorted(r.columns)].sort_values(keys)
+             .reset_index(drop=True))
+        o = (o[sorted(o.columns)].sort_values(keys)
+             .reset_index(drop=True))
+        pd.testing.assert_frame_equal(r, o, check_dtype=False)
+
+    def test_outer_joins_preserve_unmatched(self):
+        """The sf0.001 data must actually exercise the null paths."""
+        from spider_ray.pipelines.relational import (
+            full_outer_join_nation_actors,
+            left_outer_join_customer_spend,
+        )
+        lj = left_outer_join_customer_spend(SF).to_pandas()
+        assert (lj["n_orders"] == 0).any(), "no orderless customer in play"
+        fo = full_outer_join_nation_actors(SF).to_pandas()
+        assert ((fo["n_rich_supp"] == 0) | (fo["n_poor_cust"] == 0)).any(), \
+            "full-outer null path unexercised"
