@@ -10,9 +10,12 @@ epoch loop over Ray Datasets:
     fetch    actor-pool FetchWorker  (partition-aligned pages join, robots)
     route    outcome ports ok/miss/robots  (meta_output routing, §2 #10)
     fan-out  explode_links (1 page → k urls, §2 #9)
-    dedup    groupby(canonical_url).max(priority)  (per-epoch, links only)
-    seen     two-phase check/add against sharded bloom+cuckoo actors
-    next     frontier_{e+1} = (frontier_e − selected) ∪ admitted
+    tail     P fused partition-aligned tasks (_admit_frontier_part), one
+             per part = url_hash % P: link dedup (max priority) →
+             two-phase check/add against sharded bloom+cuckoo actors →
+             admitted delta → frontier_{e+1} = (frontier_e − selected)
+             ∪ admitted — actors pre-split links by part, so the tail
+             reduces disjoint key ranges with no global shuffle
     ckpt     epoch_e/{order,texts,admitted,frontier}/ + manifest
 
 The reference's per-hop Mongo session contexts become in-band columns
