@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "left_outer_join_customer_spend": rel.left_outer_join_customer_spend,
         "full_outer_join_nation_actors": rel.full_outer_join_nation_actors,
         "quantile_chars_by_lang": rel.quantile_chars_by_lang,
+        "quantile_event_value_global": rel.quantile_event_value_global,
         "rank_docs_by_length_in_lang": rel.rank_docs_by_length_in_lang,
         "approx_distinct_tokens": sk.approx_distinct_tokens,
         # -- text analysis -------------------------------------------------
@@ -295,6 +296,21 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN rn = CAST(floor(0.90 * (n - 1)) AS BIGINT)
                             THEN n_chars END) AS p90
             FROM ranked GROUP BY lang ORDER BY lang
+        """,
+        "quantile_event_value_global": """
+            WITH ranked AS (
+              SELECT value AS v,
+                     row_number() OVER (ORDER BY value) - 1 AS rn,
+                     count(*) OVER () AS n
+              FROM events)
+            SELECT max(n) AS n_events,
+                   max(CASE WHEN rn = CAST(floor(0.50 * (n - 1)) AS BIGINT)
+                            THEN v END) AS p50,
+                   max(CASE WHEN rn = CAST(floor(0.90 * (n - 1)) AS BIGINT)
+                            THEN v END) AS p90,
+                   max(CASE WHEN rn = CAST(floor(0.99 * (n - 1)) AS BIGINT)
+                            THEN v END) AS p99
+            FROM ranked
         """,
         "rank_docs_by_length_in_lang": """
             SELECT doc_id, lang, n_chars,

@@ -586,6 +586,95 @@ def quantile_chars_by_lang(sf_dir: str, qs=(0.25, 0.5, 0.9)):
             .sort("lang"))
 
 
+def quantile_event_value_global(sf_dir: str, qs=(0.5, 0.9, 0.99),
+                                bins: int = 4096, cap: int = 200_000):
+    """EXACT global quantiles over a large column by distributed
+    rank-select — the scale path quantile_chars_by_lang's docstring
+    promises.  No sort, no shuffle, nothing data-sized on the driver:
+
+      pass 1  Min/Max/Count aggregate (streaming).
+      pass 2  per-block histograms over `bins` equal-width buckets; the
+              driver folds num_blocks × bins ints (constant in rows) and
+              locates each target rank's bucket by prefix sum.
+      pass 3  gather ONLY the values in the needed buckets (≤ cap each
+              after refinement) and pick the exact order statistic at
+              rank − count_below(bucket).
+
+    A bucket holding a target rank but more than `cap` values is
+    recursively re-histogrammed over its own value range (each level
+    divides the candidate count by up to `bins`); equal-value pileups
+    that cannot subdivide are resolved directly (every candidate equals
+    the answer).  Rank rule: value at floor(q·(n−1)) of the sorted
+    column — identical in the SQL oracle, and the result is an element
+    of the column, so float bits match exactly."""
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = _rp(sf_dir, "events", ["value"])
+    stats = ds.aggregate(Min("value", alias_name="lo"),
+                         Max("value", alias_name="hi"),
+                         Count(alias_name="n"))
+    lo, hi, n = float(stats["lo"]), float(stats["hi"]), int(stats["n"])
+    ranks = [int(np.floor(q * (n - 1))) for q in qs]
+
+    # bucket membership is ALWAYS this clip-index rule — histogram counts
+    # and candidate gathers share it verbatim, so float edge rounding can
+    # never put a value in one pass's bucket and outside the other's
+    def _members(v: np.ndarray, chain) -> np.ndarray:
+        for l, w, b in chain:
+            idx = np.clip(((v - l) / w * bins).astype(np.int64), 0, bins - 1)
+            v = v[idx == b]
+        return v
+
+    def _hist(chain, l: float, w: float) -> np.ndarray:
+        def fn(t: pa.Table) -> pa.Table:
+            v = _members(np.asarray(t["value"], dtype=np.float64), chain)
+            c = (np.bincount(np.clip(((v - l) / w * bins).astype(np.int64),
+                                     0, bins - 1), minlength=bins)
+                 if len(v) else np.zeros(bins, np.int64))
+            return pa.table({"h": pa.array([c.tolist()],
+                                           pa.list_(pa.int64()))})
+
+        rows = ds.map_batches(fn, batch_format="pyarrow").take_all()
+        return (np.sum([np.asarray(r["h"]) for r in rows], axis=0)
+                if rows else np.zeros(bins, np.int64))
+
+    h0 = _hist([], lo, hi - lo) if n and hi > lo else None
+
+    def _select(rank: int) -> float:
+        if h0 is None:
+            return lo
+        chain: list = []
+        lo_, w, below, h = lo, hi - lo, 0, h0
+        while True:
+            cum = below + np.cumsum(h)
+            b = int(np.searchsorted(cum, rank + 1))
+            b_below = int(cum[b - 1]) if b else below
+            b_lo = lo_ + w * b / bins
+            b_w = w / bins
+            chain_b = chain + [(lo_, w, b)]
+            if int(h[b]) > cap and b_w > 0 and b_lo + b_w > np.nextafter(
+                    b_lo, np.inf):
+                chain, lo_, w, below = chain_b, b_lo, b_w, b_below
+                h = _hist(chain, lo_, w)
+                continue
+
+            def gather(t: pa.Table) -> pa.Table:
+                v = _members(np.asarray(t["value"], dtype=np.float64),
+                             chain_b)
+                return pa.table({"value": pa.array(v, pa.float64())})
+
+            vals = np.sort(np.concatenate(
+                [np.asarray(t["value"], dtype=np.float64) for t in
+                 ds.map_batches(gather, batch_format="pyarrow")
+                   .iter_batches(batch_format="pyarrow")] or [np.zeros(0)]))
+            return float(vals[rank - b_below])
+
+    out = {"n_events": pa.array([n], pa.int64())}
+    for q, r in zip(qs, ranks):
+        out[f"p{int(q * 100)}"] = pa.array([_select(r)], pa.float64())
+    return pa.table(out)
+
+
 def rank_docs_by_length_in_lang(sf_dir: str):
     """Window-function coverage: row_number() per group (docs ranked by
     length desc, doc_id tie-break, within language).  Group-parallel:

@@ -589,3 +589,37 @@ class TestOuterJoinsQuantilesRank:
         fo = full_outer_join_nation_actors(SF).to_pandas()
         assert ((fo["n_rich_supp"] == 0) | (fo["n_poor_cust"] == 0)).any(), \
             "full-outer null path unexercised"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGlobalRankSelect:
+    """Distributed exact global quantiles (histogram rank-select)."""
+
+    def test_matches_oracle(self):
+        import duckdb
+        import os
+        import sys
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        import __ray_entry__ as E
+
+        con = duckdb.connect()
+        con.execute("create view events as select * from "
+                    f"read_parquet('{SF}/events.parquet')")
+        r = E.queries()["quantile_event_value_global"](SF).to_pandas()
+        o = con.execute(
+            E.oracle_sql()["quantile_event_value_global"]).fetchdf()
+        pd.testing.assert_frame_equal(
+            r[sorted(r.columns)], o[sorted(o.columns)], check_dtype=False)
+
+    def test_refinement_path_exact(self):
+        """A tiny candidate cap forces multi-level histogram refinement
+        (and a tiny bin count forces deep chains); every configuration
+        must return the identical exact order statistics."""
+        from spider_ray.pipelines.relational import (
+            quantile_event_value_global,
+        )
+        base = quantile_event_value_global(SF).to_pandas()
+        for kw in (dict(cap=50), dict(cap=10, bins=16)):
+            forced = quantile_event_value_global(SF, **kw).to_pandas()
+            pd.testing.assert_frame_equal(base, forced)
