@@ -438,7 +438,16 @@ class FetchWorker:
         with no global shuffle.  Returns the bare table when
         num_parts == 1 (Ray num_returns=1 doesn't unpack).  The stash is
         kept until the next fetch overwrites it (idempotent re-split,
-        like take_order_range)."""
+        like take_order_range).
+
+        Scale note: this is the classic M×N shuffle-fragment layout
+        (A actors × P parts objects per epoch).  At num_parts ≈ cluster
+        cores (jobs/run_crawl.py sizing) that is ≤ ~10⁵–10⁶ small
+        objects — fine for Ray's store — but if P×A grows past that,
+        coarsen: return one object per RANGE of parts (parts_per_range
+        = ceil(P×A / budget)) and let each admit task slice its part
+        out, trading one extra zero-copy slice for P×A/parts_per_range
+        fewer store entries."""
         links = getattr(self, "_links", None)
         if links is None or links.num_rows == 0:
             return _EMPTY_LINKS if num_parts == 1 else [_EMPTY_LINKS] * num_parts

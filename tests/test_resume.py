@@ -92,3 +92,46 @@ def test_resume_across_execution_paths(smoke_fixture, tmp_path):
         assert p2.seen_table().equals(full.seen_table()), name
         assert p2.order_table().equals(full.order_table()), name
         assert p2.text_table().equals(full.text_table()), name
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fused_admit_task_replay_idempotent(tmp_path):
+    """A Ray retry of the fused per-partition epoch-tail task must not
+    change data or counters: the replay finds the atomically-written
+    admitted checkpoint and reuses its committed phase-1 verdicts
+    (re-checking after its own phase-2 adds would wrongly reject every
+    url it just admitted)."""
+    import ray
+    import numpy as np
+    import pyarrow as pa
+
+    from spider_ray.engine import _admit_frontier_part
+    from spider_ray.state.seen import SeenChecker, make_seen_shards
+
+    shards = make_seen_shards(2, capacity_per_shard=1 << 12)
+    checker = SeenChecker(shards)
+    urls = [f"http://h{i}.example/p{i}" for i in range(40)]
+    from spider_ray.common.hashing import hash64_many
+    h = hash64_many(urls)
+    # pre-seed half as already seen
+    checker.add(h[:20], np.asarray(urls[:20], dtype=object))
+    links = pa.table({
+        "url_hash": pa.array(h, pa.int64()),
+        "canonical_url": pa.array(urls, pa.string()),
+        "priority": pa.array([1.0] * 40, pa.float64()),
+    })
+    args = (0, [ray.put(links)], [], [], shards, 3,
+            str(tmp_path / "adm" / "part-00000.parquet"),
+            str(tmp_path / "fr" / "part-00000.parquet"))
+    first = _admit_frontier_part(*args)
+    assert first == {"links": 40, "admitted": 20, "frontier": 20}
+    seen_after_first = checker.total()
+    fr_bytes = open(args[7], "rb").read()
+    # replay: same args, checkpoint present, shards already contain the
+    # admitted urls — counters and files must be unchanged
+    second = _admit_frontier_part(*args)
+    assert second == first
+    assert checker.total() == seen_after_first
+    assert open(args[7], "rb").read() == fr_bytes
+    for s in shards:
+        ray.kill(s)
