@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_event_value_global": rel.quantile_event_value_global,
         "rank_docs_by_length_in_lang": rel.rank_docs_by_length_in_lang,
         "approx_distinct_tokens": sk.approx_distinct_tokens,
+        "heavy_hitter_tokens": sk.heavy_hitter_tokens,
         # -- text analysis -------------------------------------------------
         "text_doc_stats_by_lang": ts.doc_stats_by_lang,
         "text_token_count": ts.token_count,
@@ -161,6 +162,14 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS token
                   FROM documents) t
             GROUP BY token ORDER BY n DESC, token LIMIT 50
+        """,
+        # exact whenever the k-th count clears N/(capacity+1) — the
+        # engine prints both sides of that check per run
+        "heavy_hitter_tokens": """
+            SELECT token, count(*) AS n
+            FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS token
+                  FROM documents) t
+            GROUP BY token ORDER BY n DESC, token LIMIT 20
         """,
         "window_hourly_user_value": """
             SELECT user_id, date_trunc('hour', ts) AS hour,

@@ -82,3 +82,87 @@ def approx_distinct_tokens(sf_dir: str, p: int = 12):
             merged.merge(other)
     return pa.table({"approx_distinct_tokens":
                      pa.array([int(round(merged.estimate()))], pa.int64())})
+
+
+def heavy_hitter_tokens(sf_dir: str, k: int = 20, capacity: int = 8192):
+    """Exact top-k token frequencies at stream scale via the mergeable
+    Misra-Gries heavy-hitters sketch (Misra & Gries 1982) + an exact
+    second pass:
+
+      pass 1  each block emits its Misra-Gries summary — exact block
+              counts compressed to `capacity` entries by subtracting the
+              (capacity+1)-th largest count — and a distributed
+              groupby(token).sum merges the summaries (summed MG lower
+              bounds; kilobytes per block, never the raw token stream).
+              Guarantee: a block's decrement is ≤ n_block/(capacity+1),
+              so any token with TOTAL count > N/(capacity+1) survives in
+              at least one summary and is a candidate.
+      pass 2  exact counts for the candidate set only (sorted candidate
+              array broadcast via ray.put, np.isin membership per
+              block), exact top-k by (count desc, token asc).
+
+    The result is EXACT (and DuckDB-hash-matched) whenever the k-th
+    count clears the N/(capacity+1) bound; both sides of that check are
+    printed so a miss is visible, mirroring the ANN pruned-fraction
+    logs."""
+    import ray
+    import ray.data as rd
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    from ..common.tokens import split_tokens
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def mg_summary(t: pa.Table) -> pa.Table:
+        flat, _ = split_tokens(t["text"], lower=False)
+        if len(flat) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64()),
+                             "n_tok": pa.array([], pa.int64())})
+        vc = pd.Series(np.asarray(flat, dtype=object)).value_counts()
+        n_tok = int(vc.sum())
+        if len(vc) > capacity:
+            d = int(vc.iloc[capacity])
+            vc = vc.iloc[:capacity] - d
+            vc = vc[vc > 0]
+        # the block's token total rides on its FIRST summary row (zeros
+        # elsewhere, so Σ n_tok over all rows = N) — out-of-band in a
+        # column, never a sentinel row (ADVICE r2)
+        n_col = np.zeros(len(vc), np.int64)
+        n_col[0] = n_tok
+        return pa.table({"token": pa.array(vc.index.to_numpy(dtype=object),
+                                           pa.string()),
+                         "cnt": pa.array(vc.to_numpy(), pa.int64()),
+                         "n_tok": pa.array(n_col, pa.int64())})
+
+    # materialize: summary-sized (≤ capacity × blocks rows), and it is
+    # consumed twice (candidate top-k + the N total) — without this the
+    # corpus would be re-tokenized per consumer
+    merged = (ds.map_batches(mg_summary, batch_format="pyarrow")
+              .groupby("token")
+              .aggregate(Sum("cnt", alias_name="cnt_lb"),
+                         Sum("n_tok", alias_name="n_part"))
+              .materialize())
+    # candidates: generous over-provision above k; N = Σ block totals
+    cand_tbl = merged.sort([("cnt_lb"), ("token")],
+                           descending=[True, False]).limit(max(4 * k, 64))
+    n_total = int(merged.aggregate(Sum("n_part", alias_name="N"))["N"])
+    cand = sorted(cand_tbl.to_pandas()["token"])
+    cand_ref = ray.put(np.asarray(cand, dtype=object))
+
+    def exact_counts(t: pa.Table) -> pa.Table:
+        flat, _ = split_tokens(t["text"], lower=False)
+        v = np.asarray(flat, dtype=object)
+        keep = np.isin(v, ray.get(cand_ref))
+        return pa.table({"token": pa.array(v[keep], pa.string())})
+
+    out = (ds.map_batches(exact_counts, batch_format="pyarrow")
+           .groupby("token").aggregate(Count(alias_name="n"))
+           .sort([("n"), ("token")], descending=[True, False]).limit(k)
+           .to_pandas())
+    bound = n_total / (capacity + 1)
+    kth = int(out["n"].iloc[-1]) if len(out) else 0
+    print(f"[heavy_hitters] N={n_total} bound=N/(C+1)={bound:.1f} "
+          f"kth_count={kth} exact_guaranteed={kth > bound}", flush=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -623,3 +623,34 @@ class TestGlobalRankSelect:
         for kw in (dict(cap=50), dict(cap=10, bins=16)):
             forced = quantile_event_value_global(SF, **kw).to_pandas()
             pd.testing.assert_frame_equal(base, forced)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHeavyHitters:
+    """Misra-Gries candidates + exact second pass == SQL exact top-k."""
+
+    def test_matches_oracle_and_compressed_path(self):
+        import duckdb
+        import os
+        import sys
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        import __ray_entry__ as E
+        from spider_ray.pipelines.sketches import heavy_hitter_tokens
+
+        con = duckdb.connect()
+        con.execute("create view documents as select * from "
+                    f"read_parquet('{SF}/documents.parquet')")
+        o = con.execute(E.oracle_sql()["heavy_hitter_tokens"]).fetchdf()
+        r = E.queries()["heavy_hitter_tokens"](SF).to_pandas()
+        pd.testing.assert_frame_equal(r, o, check_dtype=False)
+        # a capacity small enough to force per-block MG compression but
+        # with the guarantee bound still under the kth count: the sketch
+        # path must stay EXACT (the whole point of the second pass)
+        kth = int(o["n"].iloc[-1])
+        n_total = con.execute(
+            "select count(*) from (select unnest(regexp_extract_all("
+            "text, '[A-Za-z0-9_]+')) from documents)").fetchone()[0]
+        cap = max(64, int(n_total / max(kth - 1, 1)) + 1)
+        forced = heavy_hitter_tokens(SF, capacity=cap).to_pandas()
+        pd.testing.assert_frame_equal(forced, o, check_dtype=False)
