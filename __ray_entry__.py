@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_chars_by_lang": rel.quantile_chars_by_lang,
         "quantile_event_value_global": rel.quantile_event_value_global,
         "rank_docs_by_length_in_lang": rel.rank_docs_by_length_in_lang,
+        "pivot_status_by_priority": rel.pivot_status_by_priority,
         "approx_distinct_tokens": sk.approx_distinct_tokens,
         "heavy_hitter_tokens": sk.heavy_hitter_tokens,
         # -- text analysis -------------------------------------------------
@@ -305,6 +306,15 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN rn = CAST(floor(0.90 * (n - 1)) AS BIGINT)
                             THEN n_chars END) AS p90
             FROM ranked GROUP BY lang ORDER BY lang
+        """,
+        "pivot_status_by_priority": """
+            SELECT o_orderstatus,
+                   count(*) FILTER (o_orderpriority = '1-URGENT') AS n_p1,
+                   count(*) FILTER (o_orderpriority = '2-HIGH') AS n_p2,
+                   count(*) FILTER (o_orderpriority = '3-MEDIUM') AS n_p3,
+                   count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS n_p4,
+                   count(*) FILTER (o_orderpriority = '5-LOW') AS n_p5
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
         """,
         "quantile_event_value_global": """
             WITH ranked AS (

@@ -586,6 +586,36 @@ def quantile_chars_by_lang(sf_dir: str, qs=(0.25, 0.5, 0.9)):
             .sort("lang"))
 
 
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def pivot_status_by_priority(sf_dir: str):
+    """PIVOT (wide conditional aggregation): one count column per order
+    priority, grouped by order status.  Executed as vectorized indicator
+    columns inside map_batches + a grouped sum — the pre-aggregation
+    pattern again, so the shuffle carries one row per (status, block).
+    The pivot domain is declared up front (the relational norm); a
+    dynamic domain needs one extra distinct pass to discover it."""
+    from ray.data.aggregate import Sum
+
+    ds = _rp(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+    names = [f"n_p{i + 1}" for i in range(len(_PRIORITIES))]
+
+    def indicators(t: pa.Table) -> pa.Table:
+        cols = {"o_orderstatus": t["o_orderstatus"]}
+        for name, val in zip(names, _PRIORITIES):
+            cols[name] = pc.cast(pc.equal(t["o_orderpriority"], val),
+                                 pa.int64())
+        g = pa.TableGroupBy(pa.table(cols), ["o_orderstatus"]).aggregate(
+            [(n, "sum") for n in names])
+        return g.rename_columns(["o_orderstatus"] + names)
+
+    return (ds.map_batches(indicators, batch_format="pyarrow")
+            .groupby("o_orderstatus")
+            .aggregate(*[Sum(n, alias_name=n) for n in names])
+            .sort("o_orderstatus"))
+
+
 def quantile_event_value_global(sf_dir: str, qs=(0.5, 0.9, 0.99),
                                 bins: int = 4096, cap: int = 200_000):
     """EXACT global quantiles over a large column by distributed

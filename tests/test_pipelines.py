@@ -654,3 +654,20 @@ class TestHeavyHitters:
         cap = max(64, int(n_total / max(kth - 1, 1)) + 1)
         forced = heavy_hitter_tokens(SF, capacity=cap).to_pandas()
         pd.testing.assert_frame_equal(forced, o, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pivot_status_by_priority_matches_oracle():
+    import duckdb
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import __ray_entry__ as E
+
+    con = duckdb.connect()
+    con.execute("create view orders as select * from "
+                f"read_parquet('{SF}/orders.parquet')")
+    r = E.queries()["pivot_status_by_priority"](SF).to_pandas()
+    o = con.execute(E.oracle_sql()["pivot_status_by_priority"]).fetchdf()
+    pd.testing.assert_frame_equal(r, o, check_dtype=False)
