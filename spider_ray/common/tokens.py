@@ -146,42 +146,24 @@ def word_shingle_hashes(col, k: int = 3,
                         lower: bool = True) -> tuple[np.ndarray, np.ndarray]:
     """Distinct word-k-gram hashes per doc over a whole column:
     splitmix64-chains each window of k token hashes, masking windows that
-    cross doc boundaries.  Docs with 1..k-1 tokens contribute ONE shingle
-    (the chain over all their tokens); empty docs contribute none.
+    cross doc boundaries.  Docs with fewer than k tokens contribute NO
+    shingles — the standard k-shingle semantics, and what the SQL
+    conformance oracles' generate_series(1, len-k+1) produces, so short
+    docs are never near-dup candidates in either system (round-3 review:
+    the earlier one-chained-shingle special case made two distinct short
+    docs with equal token sequences jaccard-1.0 in the engine only).
     Returns (int64 shingle hashes, parent doc index), sorted per doc."""
     col = _as_array(col)
     th, parent = token_hashes(col, lower=lower)
     n = len(th)
-    if n == 0:
-        return np.zeros(0, np.int64), parent
-    if n >= k:
-        m = n - k + 1
-        acc = _splitmix64(th[:m])
-        valid = parent[:m] == parent[k - 1:]
-        for j in range(1, k):
-            acc = _splitmix64(acc ^ th[j:m + j])
-        sh, sp = acc[valid], parent[:m][valid]
-    else:
-        sh = np.zeros(0, np.uint64)
-        sp = np.zeros(0, np.int64)
-    # short docs (0 < tokens < k): one chained shingle over all tokens
-    counts = np.bincount(parent, minlength=len(col))
-    short = np.nonzero((counts > 0) & (counts < k))[0]
-    if len(short):
-        in_short = np.isin(parent, short)
-        sh_th, sh_par = th[in_short], parent[in_short]
-        # chain sequentially within doc: positions within doc are
-        # consecutive in the flat array
-        starts = np.searchsorted(sh_par, short)
-        accs = []
-        for s, doc in zip(starts, short):
-            c = counts[doc]
-            a = _splitmix64(sh_th[s:s + 1])
-            for t in sh_th[s + 1:s + c]:
-                a = _splitmix64(a ^ t)
-            accs.append(a[0])
-        sh = np.concatenate([sh, np.asarray(accs, dtype=np.uint64)])
-        sp = np.concatenate([sp, short])
+    if n < k:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    m = n - k + 1
+    acc = _splitmix64(th[:m])
+    valid = parent[:m] == parent[k - 1:]
+    for j in range(1, k):
+        acc = _splitmix64(acc ^ th[j:m + j])
+    sh, sp = acc[valid], parent[:m][valid]
     return _unique_per_doc(sh & _MASK63, sp, len(col))
 
 

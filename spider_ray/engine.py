@@ -152,21 +152,12 @@ def _admit_frontier_part(part: int, link_refs: list, frontier_files: list[str],
                              "priority": pa.array([], pa.float64())})
         n_links = uniq.num_rows
         h = np.asarray(uniq["url_hash"], dtype=np.int64)
-        # phase-1 check, routed straight to the owning shard actors
-        mask = np.zeros(len(h), dtype=bool)
-        if len(h):
-            s = len(shards)
-            sid = h % s
-            calls = []
-            urls_np = np.empty(len(h), dtype=object)
-            urls_np[:] = uniq["canonical_url"].to_pylist()
-            for j in range(s):
-                m = sid == j
-                if m.any():
-                    calls.append((np.nonzero(m)[0],
-                                  shards[j].check.remote(h[m], urls_np[m])))
-            for idx, fut in calls:
-                mask[idx] = ray.get(fut)
+        # phase-1 check, routed straight to the owning shard actors via
+        # the same facade the driver paths use (ONE home for the
+        # hash-%-num_shards routing rule)
+        checker = SeenChecker(shards)
+        mask = (checker.check(h, uniq["canonical_url"]) if len(h)
+                else np.zeros(0, dtype=bool))
         adm = uniq.filter(pa.array(mask)) if len(h) else uniq
         at = pa.table({
             "canonical_url": adm["canonical_url"],
@@ -183,17 +174,8 @@ def _admit_frontier_part(part: int, link_refs: list, frontier_files: list[str],
         os.replace(tmp, adm_path)
     # phase-2 add (idempotent set insert; replay-safe)
     if at.num_rows:
-        h = np.asarray(at["url_hash"], dtype=np.int64)
-        urls_np = np.empty(len(h), dtype=object)
-        urls_np[:] = at["canonical_url"].to_pylist()
-        s = len(shards)
-        sid = h % s
-        futs = []
-        for j in range(s):
-            m = sid == j
-            if m.any():
-                futs.append(shards[j].add.remote(h[m], urls_np[m]))
-        ray.get(futs)
+        SeenChecker(shards).add(np.asarray(at["url_hash"], dtype=np.int64),
+                                at["canonical_url"])
     # next frontier for this part = (frontier_p − selected_p) ∪ admitted_p
     ft = pq.read_table(frontier_files, columns=list(FRONTIER_SCHEMA.names),
                        filters=[("part", "==", part)], use_threads=False) \

@@ -289,9 +289,13 @@ class _Handler(BaseHTTPRequestHandler):
         from .runtime import FlowRuntime
 
         p = self._body()
+        # PEEK the queue (don't pop yet): a failed run — draft flow,
+        # max-hops cycle guard — must not discard queued triggers; the
+        # broker analogue is ack-after-process
         with self.state.lock:
             spec = self.state.store.get(tenant_id, flow_id)
-            queued = self.state.pending.pop(flow_id, [])
+            queued = list(self.state.pending.get(flow_id, []))
+
         def as_json_str(v) -> str:
             return v if isinstance(v, str) else json.dumps(v or {})
 
@@ -304,7 +308,18 @@ class _Handler(BaseHTTPRequestHandler):
         if not triggers:
             self._json(400, {"error": "no triggers queued or provided"})
             return
-        result = FlowRuntime(spec).run(triggers)
+        try:
+            result = FlowRuntime(spec).run(triggers)
+        except (ValueError, RuntimeError) as ex:
+            self._json(400, {"error": str(ex)})  # queued triggers kept
+            return
+        with self.state.lock:
+            # ack: drop exactly what this run consumed (new triggers may
+            # have been queued concurrently — keep those)
+            rest = self.state.pending.get(flow_id, [])
+            self.state.pending[flow_id] = rest[len(queued):]
+            if not self.state.pending[flow_id]:
+                self.state.pending.pop(flow_id, None)
         self._json(200, {"counts": {k: len(v) for k, v in result.items()},
                          "leaves": result["leaves"],
                          "errors": result["errors"]})

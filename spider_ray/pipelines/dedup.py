@@ -140,6 +140,20 @@ class MinHasher:
         return (acc >> np.uint64(1)).astype(np.int64)
 
 
+def _sketch_bands(ids: np.ndarray, sh: np.ndarray, par: np.ndarray,
+                  n: int, hasher: "MinHasher", bands: int) -> pa.Table:
+    """Signatures -> band rows for one batch, emitting rows ONLY for docs
+    that produced at least one shingle: shingle-less docs (fewer tokens/
+    chars than the gram width) all share the sentinel signature and would
+    otherwise flood a single LSH bucket with O(s²) candidate pairs —
+    and the exact verify (and the SQL oracles) define them as never-dup
+    anyway."""
+    sigs = hasher.signatures(sh, par, n)
+    present = (np.bincount(par, minlength=n) > 0 if len(par)
+               else np.zeros(n, dtype=bool))
+    return _band_rows(ids[present], sigs[present], bands)
+
+
 def _band_rows(ids: np.ndarray, sigs: np.ndarray, bands: int) -> pa.Table:
     """Fold signatures into per-band hashes -> (id, band_id, band_hash)."""
     n, perms = sigs.shape
@@ -368,8 +382,7 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, num_perms: int = 64,
     def sketch(t: pa.Table) -> pa.Table:
         ids = np.asarray(t["doc_id"])
         sh, par = word_shingle_hashes(t["text"])
-        sigs = hasher.signatures(sh, par, t.num_rows)
-        return _band_rows(ids, sigs, bands)
+        return _sketch_bands(ids, sh, par, t.num_rows, hasher, bands)
 
     cand = _candidate_pairs_ds(
         ds.map_batches(sketch, batch_format="pyarrow", batch_size=4096))
@@ -389,8 +402,7 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.8,
     def sketch(t: pa.Table) -> pa.Table:
         ids = np.asarray(t["doc_id"])
         sh, par = char_ngram_hashes(t["text"], 4)
-        sigs = hasher.signatures(sh, par, t.num_rows)
-        return _band_rows(ids, sigs, 16)
+        return _sketch_bands(ids, sh, par, t.num_rows, hasher, 16)
 
     cand = _candidate_pairs_ds(
         ds.map_batches(sketch, batch_format="pyarrow", batch_size=4096))

@@ -112,7 +112,7 @@ def training_data_prep_fuzzy(sf_dir: str, min_quality: float = 0.80,
     """
     import ray.data as rd
 
-    from .dedup import (MinHasher, _band_rows, _candidate_pairs_ds,
+    from .dedup import (MinHasher, _candidate_pairs_ds, _sketch_bands,
                         _verify_dispatch)
     from .relational import _semi_anti
     from ..common.tokens import word_shingle_hashes
@@ -137,8 +137,7 @@ def training_data_prep_fuzzy(sf_dir: str, min_quality: float = 0.80,
     def sketch(t: pa.Table) -> pa.Table:
         ids = np.asarray(t["doc_id"])
         sh, par = word_shingle_hashes(t["text"])
-        sigs = hasher.signatures(sh, par, t.num_rows)
-        return _band_rows(ids, sigs, 16)
+        return _sketch_bands(ids, sh, par, t.num_rows, hasher, 16)
 
     cand = _candidate_pairs_ds(
         docs.map_batches(sketch, batch_format="pyarrow", batch_size=4096))

@@ -101,10 +101,14 @@ def heavy_hitter_tokens(sf_dir: str, k: int = 20, capacity: int = 8192):
               array broadcast via ray.put, np.isin membership per
               block), exact top-k by (count desc, token asc).
 
-    The result is EXACT (and DuckDB-hash-matched) whenever the k-th
-    count clears the N/(capacity+1) bound; both sides of that check are
-    printed so a miss is visible, mirroring the ANN pruned-fraction
-    logs."""
+    Candidate rule (sound, not a silent top-M cut): with D = N/(C+1)
+    bounding the total decrement, any true top-k token t satisfies
+    cnt_lb(t) ≥ c(t) − D ≥ c_kth − D ≥ L_k − D where L_k is the k-th
+    largest merged lower bound — so candidates = {cnt_lb ≥ L_k − D}.
+    The result is then EXACT (and DuckDB-hash-matched) whenever the
+    k-th count clears the bound; both sides of that check, and any
+    candidate-cap fallback, are printed so a miss is visible,
+    mirroring the ANN pruned-fraction logs."""
     import ray
     import ray.data as rd
     import pandas as pd
@@ -120,12 +124,20 @@ def heavy_hitter_tokens(sf_dir: str, k: int = 20, capacity: int = 8192):
             return pa.table({"token": pa.array([], pa.string()),
                              "cnt": pa.array([], pa.int64()),
                              "n_tok": pa.array([], pa.int64())})
-        vc = pd.Series(np.asarray(flat, dtype=object)).value_counts()
+        arr = np.asarray(flat, dtype=object)
+        vc = pd.Series(arr).value_counts()
         n_tok = int(vc.sum())
         if len(vc) > capacity:
             d = int(vc.iloc[capacity])
             vc = vc.iloc[:capacity] - d
             vc = vc[vc > 0]
+        if len(vc) == 0:
+            # a fully-decremented block (every count equals the cutoff,
+            # e.g. all-unique tokens) must still report its n_tok or the
+            # guarantee bound N/(C+1) is computed from an undercounted N
+            # — carry it on one zero-count row (cnt 0 adds nothing to
+            # any token's lower bound)
+            vc = pd.Series([0], index=[arr[0]])
         # the block's token total rides on its FIRST summary row (zeros
         # elsewhere, so Σ n_tok over all rows = N) — out-of-band in a
         # column, never a sentinel row (ADVICE r2)
@@ -144,11 +156,26 @@ def heavy_hitter_tokens(sf_dir: str, k: int = 20, capacity: int = 8192):
               .aggregate(Sum("cnt", alias_name="cnt_lb"),
                          Sum("n_tok", alias_name="n_part"))
               .materialize())
-    # candidates: generous over-provision above k; N = Σ block totals
-    cand_tbl = merged.sort([("cnt_lb"), ("token")],
-                           descending=[True, False]).limit(max(4 * k, 64))
     n_total = int(merged.aggregate(Sum("n_part", alias_name="N"))["N"])
-    cand = sorted(cand_tbl.to_pandas()["token"])
+    bound = n_total / (capacity + 1)
+    topk_lb = (merged.sort([("cnt_lb"), ("token")],
+                           descending=[True, False]).limit(k).to_pandas())
+    l_k = int(topk_lb["cnt_lb"].iloc[-1]) if len(topk_lb) >= k else 0
+    thresh = l_k - bound
+
+    import pyarrow.compute as pc
+
+    cand_df = (merged.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["cnt_lb"], thresh)),
+        batch_format="pyarrow").to_pandas())
+    cand_sound = True
+    max_cand = 1_000_000
+    if len(cand_df) > max_cand:   # near-flat distribution: cap loudly
+        print(f"[heavy_hitters] candidate cap hit: {len(cand_df)} -> "
+              f"{max_cand}; exactness no longer guaranteed", flush=True)
+        cand_df = cand_df.nlargest(max_cand, "cnt_lb")
+        cand_sound = False
+    cand = sorted(cand_df["token"])
     cand_ref = ray.put(np.asarray(cand, dtype=object))
 
     def exact_counts(t: pa.Table) -> pa.Table:
@@ -161,8 +188,8 @@ def heavy_hitter_tokens(sf_dir: str, k: int = 20, capacity: int = 8192):
            .groupby("token").aggregate(Count(alias_name="n"))
            .sort([("n"), ("token")], descending=[True, False]).limit(k)
            .to_pandas())
-    bound = n_total / (capacity + 1)
     kth = int(out["n"].iloc[-1]) if len(out) else 0
     print(f"[heavy_hitters] N={n_total} bound=N/(C+1)={bound:.1f} "
-          f"kth_count={kth} exact_guaranteed={kth > bound}", flush=True)
+          f"L_k={l_k} candidates={len(cand)} "
+          f"exact_guaranteed={cand_sound and kth > bound}", flush=True)
     return pa.Table.from_pandas(out, preserve_index=False)

@@ -110,14 +110,20 @@ class _SortedRun:
         seen = np.zeros(n, dtype=bool)
         if n == 0 or self.num_rows == 0:
             return seen
-        gi = np.searchsorted(self.maxs, hashes, side="left")
-        cand = (gi < len(self.mins)) & (hashes >= self.mins[
-            np.minimum(gi, len(self.mins) - 1)])
+        # a probe can match MULTIPLE row groups when its equal-hash range
+        # straddles a group boundary (relevant exactly for the collision
+        # resolution this layer exists for): groups [g_lo, g_hi) have
+        # min <= h <= max
+        g_lo = np.searchsorted(self.maxs, hashes, side="left")
+        g_hi = np.searchsorted(self.mins, hashes, side="right")
+        cand = g_lo < g_hi
         if not cand.any():
             return seen
         pf = pq.ParquetFile(self.path)
-        for g in np.unique(gi[cand]):
-            m = cand & (gi == g)
+        for g in range(int(g_lo[cand].min()), int(g_hi[cand].max())):
+            m = cand & (g_lo <= g) & (g < g_hi) & ~seen
+            if not m.any():
+                continue
             cols = ["url_hash"] if urls is None else ["url_hash",
                                                       "canonical_url"]
             t = pf.read_row_group(int(g), columns=cols, use_threads=False)
@@ -180,10 +186,6 @@ class SeenShardState:
         self._run_seq = 0
         # cuckoo insert failures (rare) — sorted array for np.isin
         self.overflow = np.zeros(0, dtype=np.int64)
-        # cumulative rows seen by check() — the engine differences this
-        # across one execution to get per-epoch unique-link counts
-        # without a separate counting execution (metrics only)
-        self.checked = 0
 
     # ----------------------------------------------------------- exact layer
     def _pending_hashes(self) -> np.ndarray:
@@ -277,7 +279,6 @@ class SeenShardState:
         """True = NEW (not seen). Pure read, fully vectorized."""
         hashes = np.asarray(hashes, dtype=np.int64)
         n = len(hashes)
-        self.checked += n
         if n == 0:
             return np.zeros(0, dtype=bool)
         urls = _as_url_array(urls, n)
@@ -302,8 +303,19 @@ class SeenShardState:
         if len(hashes) == 0:
             return 0
         urls = _as_url_array(urls, len(hashes))
-        uh, first = np.unique(hashes, return_index=True)
-        uu = urls[first] if urls is not None else None
+        if urls is None:
+            uh = np.unique(hashes)
+            uu = None
+        else:
+            # dedup on the (hash, url) PAIR: two distinct urls colliding
+            # in hash64 within one batch must both record their url
+            # string, or the collision-support layer loses one of them
+            import pandas as pd
+
+            df = (pd.DataFrame({"h": hashes, "u": urls})
+                  .drop_duplicates().sort_values("h", kind="mergesort"))
+            uh = df["h"].to_numpy(np.int64)
+            uu = df["u"].to_numpy(dtype=object)
         maybe = self.bloom.contains_many(uh)
         fresh = ~maybe
         if maybe.any():
@@ -342,9 +354,6 @@ class SeenShardState:
         """Exact-layer entries currently held in MEMORY (tests assert the
         spill bound with this)."""
         return self.pending_count + len(self.mem)
-
-    def checked_count(self) -> int:
-        return self.checked
 
     def dump(self) -> np.ndarray:
         """All hashes in this shard (sorted) — for checkpoint/debug; reads
@@ -419,7 +428,4 @@ class SeenChecker:
 
         return sum(ray.get([s.size.remote() for s in self.shards]))
 
-    def checked_total(self) -> int:
-        import ray
 
-        return sum(ray.get([s.checked_count.remote() for s in self.shards]))

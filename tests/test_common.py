@@ -301,3 +301,14 @@ class TestBatchUrlKernels:
         got = resolve_batch(hrefs, [base] * len(hrefs))
         exp = [resolve(base, h) for h in hrefs]
         assert got == exp
+
+
+def test_short_docs_have_no_word_shingles():
+    """Docs with fewer than k tokens emit NO k-shingles (the SQL
+    conformance oracles' generate_series semantics): two distinct short
+    docs with equal token sequences must not become jaccard-1.0 dups."""
+    from spider_ray.common.tokens import word_shingle_hashes
+
+    sh, par = word_shingle_hashes(["The cat", "the cat", "", "one two three"])
+    assert set(par.tolist()) == {3}, "only the 3-token doc shingles"
+    assert len(sh) == 1

@@ -181,3 +181,28 @@ class TestWebhookAndRun:
         assert [json.loads(r["values"]) for r in res["leaves"]] == \
                [json.loads(r["values"]) for r in direct["leaves"]]
         assert res["counts"]["outputs"] == len(direct["outputs"])
+
+
+class TestRunFailureKeepsTriggers:
+    def test_draft_run_does_not_discard_queue(self, server):
+        """A failed run must NOT drain the webhook queue (ack-after-
+        process): run on a draft flow -> 400, triggers preserved; after
+        activation the same triggers run to completion."""
+        draft = dict(BASIC_FLOW, status="draft")
+        _req(server, "POST", "/tenants/t3/flows", draft)
+        code, _ = _req(server, "POST", "/trigger",
+                       {"workflow_id": "wa", "key": "a1", "value": "kept"})
+        assert code == 200
+        code, err = _req(server, "POST", "/tenants/t3/flows/wa/run")
+        assert code == 400 and "active" in err["error"]
+        # triggers survived the failed run: activate, then run succeeds
+        code, _ = _req(server, "PUT", "/tenants/t3/flows/wa",
+                       {"name": "basic", "status": "active"})
+        assert code == 200
+        code, res = _req(server, "POST", "/tenants/t3/flows/wa/run")
+        assert code == 200
+        leaves = [json.loads(row["values"]) for row in res["leaves"]]
+        assert leaves == [{"value": "kept_updatedx1_updatedx2"}]
+        # and the successful run acked them
+        code, _ = _req(server, "POST", "/tenants/t3/flows/wa/run")
+        assert code == 400

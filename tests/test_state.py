@@ -198,3 +198,49 @@ class TestSeenSpill:
         s._merge_pending()
         s._spill()
         assert not s.check(h).any()  # no urls -> hash-keyed membership
+
+
+class TestCollisionResolution:
+    """hash64-collision handling in the spillable exact layer (round-3
+    review findings: row-group straddle + same-batch pair dedup)."""
+
+    def test_sorted_run_straddling_equal_hash_range(self, tmp_path):
+        """An equal-hash range split across a row-group boundary must be
+        probed in EVERY covering group, not just the first."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from spider_ray.state.seen import _SortedRun
+
+        t = pa.table({"url_hash": pa.array([1, 5, 5, 9], pa.int64()),
+                      "canonical_url": pa.array(["x", "A", "B", "y"])})
+        path = str(tmp_path / "run.parquet")
+        pq.write_table(t, path, row_group_size=2)
+        run = _SortedRun(path)
+        probes = np.array([5, 5, 5, 2], dtype=np.int64)
+        urls = np.array(["A", "B", "C", "nope"], dtype=object)
+        seen = run.contains(probes, urls)
+        assert seen.tolist() == [True, True, False, False]
+
+    def test_same_batch_collision_pair_both_recorded(self, tmp_path):
+        """Two DISTINCT urls sharing a hash64 added in ONE batch must both
+        record their url string, so after spilling neither is re-admitted."""
+        s = SeenShardState(capacity=1 << 12, spill_dir=str(tmp_path / "sp"),
+                           mem_capacity=4, run_target=2)
+        h = np.array([42, 42], dtype=np.int64)
+        urls = np.array(["http://a/", "http://b/"], dtype=object)
+        added = s.add(h, urls)
+        assert added == 2
+        # force the pair out of the resident levels onto disk
+        filler_h = np.arange(100, 200, dtype=np.int64)
+        filler_u = np.array([f"http://f{i}/" for i in range(100)],
+                            dtype=object)
+        s.add(filler_h, filler_u)
+        s._merge_pending()
+        s._spill()
+        assert s.resident_exact() == 0
+        new = s.check(h, urls)
+        assert new.tolist() == [False, False], \
+            "both colliding urls must be recorded as seen"
+        # a THIRD url on the same hash is still new (collision resolution)
+        assert s.check(np.array([42], dtype=np.int64),
+                       np.array(["http://c/"], dtype=object)).tolist() == [True]
