@@ -43,7 +43,8 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from .common.hashing import hash64_many
-from .scheduler import _topb_pandas, select_epoch_ds
+from .scheduler import (_topb_pandas, select_epoch_ds, select_map_part,
+                        select_reduce_bucket)
 from .stages.crawl import (
     FRONTIER_SCHEMA,
     FetchWorker,
@@ -234,6 +235,8 @@ def _remote_fns() -> dict:
             "order": ray.remote(num_cpus=0.25)(_write_order_shard),
             "order_merge": ray.remote(num_cpus=0.25)(_merge_order_shard),
             "admit_frontier": ray.remote(num_cpus=0.25)(_admit_frontier_part),
+            "select_map": ray.remote(num_cpus=0.25)(select_map_part),
+            "select_reduce": ray.remote(num_cpus=0.25)(select_reduce_bucket),
         }
     return _RFNS
 
@@ -703,12 +706,53 @@ class CrawlEngine:
         edir = self._epoch_dir(e)
         rfns = _remote_fns()
 
-        # 1. distributed politeness selection, staged straight to per-part
-        # parquet (hive layout) — the ONE partitioning key again
+        # per-part frontier file routing, computed once: used by the
+        # fused selection below AND the fused admit/frontier tail (the
+        # previous epoch always writes part-%05d files; fall back to the
+        # whole list + predicate pushdown if a foreign layout appears)
+        import re as _re
+
+        by_part_f: dict[int, list[str]] = {}
+        layout_ok = True
+        for f in ffiles:
+            m = _re.fullmatch(r"part-(\d+)\.parquet", os.path.basename(f))
+            if m is None:
+                layout_ok = False
+                break
+            by_part_f.setdefault(int(m.group(1)), []).append(f)
+
+        # 1. distributed politeness selection, staged to per-part parquet
+        # (hive layout) — the ONE partitioning key again.  Default path:
+        # P map tasks (local top-B per host per part, split by host
+        # bucket) + H reduce tasks (final per-host top-B, staged per
+        # part) — plain partition-aligned tasks, no Ray Data execution
+        # (~1.4 s/epoch constant removed).  The salted-scheduler variant
+        # (mega-host splitting) stays on the Dataset path; both produce
+        # the identical selected set (scheduler.select_map_part
+        # docstring) and both are conformance-tested.
         sel_dir = os.path.join(edir, "selected")
-        sel_ds = select_epoch_ds(rd.read_parquet(ffiles), self.budget,
-                                 force_salted=self.force_salted)
-        sel_ds.write_parquet(sel_dir, partition_cols=["part"], mode="overwrite")
+        if layout_ok and not self.force_salted:
+            os.makedirs(sel_dir, exist_ok=True)
+            hb = min(64, max(1, self.num_parts))
+            maps = []
+            for p in range(self.num_parts):
+                ff_p = by_part_f.get(p, [])
+                if not ff_p:
+                    continue
+                if hb == 1:
+                    maps.append([rfns["select_map"].remote(
+                        ff_p, self.budget, 1)])
+                else:
+                    maps.append(rfns["select_map"].options(
+                        num_returns=hb).remote(ff_p, self.budget, hb))
+            ray.get([rfns["select_reduce"].remote(
+                [m[h] for m in maps], self.budget, sel_dir, h)
+                for h in range(hb)])
+        else:
+            sel_ds = select_epoch_ds(rd.read_parquet(ffiles), self.budget,
+                                     force_salted=self.force_salted)
+            sel_ds.write_parquet(sel_dir, partition_cols=["part"],
+                                 mode="overwrite")
         part_files: dict[int, list[str]] = {}
         for name in sorted(os.listdir(sel_dir)):
             if name.startswith("part="):
@@ -802,19 +846,6 @@ class CrawlEngine:
         adm_dir = os.path.join(edir, "admitted")
         fr_dir = os.path.join(edir, "frontier")
         os.makedirs(adm_dir, exist_ok=True)
-        # route each part task ONLY its own frontier file when the
-        # previous epoch used the per-part layout (it always does now);
-        # fall back to the full list + predicate pushdown otherwise
-        import re as _re
-
-        by_part_f: dict[int, list[str]] = {}
-        layout_ok = True
-        for f in ffiles:
-            m = _re.fullmatch(r"part-(\d+)\.parquet", os.path.basename(f))
-            if m is None:
-                layout_ok = False
-                break
-            by_part_f.setdefault(int(m.group(1)), []).append(f)
         futs = []
         for p in range(self.num_parts):
             ff = by_part_f.get(p, []) if layout_ok else ffiles

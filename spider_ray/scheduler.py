@@ -94,6 +94,75 @@ def select_epoch_ds(frontier_ds, budget: int, salt_groups: int = 16,
     )
 
 
+def select_map_part(part_files: list[str], budget: int,
+                    buckets: int) -> list:
+    """Task-fused selection, map side for ONE frontier partition: local
+    top-B per host, split by the SAME deterministic host bucket rule as
+    select_epoch_ds.add_bucket.  Returns `buckets` tables (the caller
+    uses num_returns=buckets so each reduce task fetches only its
+    bucket's slice — the bare table when buckets == 1, matching Ray's
+    num_returns=1 non-unpacking).
+
+    Set-equivalence to the Dataset path: top-B of the union of per-part
+    top-Bs equals the global per-host top-B (any globally-selected row
+    is necessarily in its own part's top-B), so the fused and Dataset
+    selections produce the identical set at any partitioning — the
+    engine's conformance tests pin this end-to-end."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pa.set_cpu_count(1)
+    t = pq.read_table(part_files,
+                      columns=["canonical_url", "host", "priority",
+                               "url_hash", "part"],
+                      use_threads=False)
+    df = t.to_pandas().assign(neg_priority=-t["priority"].to_pandas())
+    sel = _topb_pandas(df, budget).drop(columns=["neg_priority"])
+    hb = (pd.util.hash_array(sel["host"].to_numpy(dtype=object))
+          % buckets).astype(np.int64)
+    order = np.argsort(hb, kind="stable")
+    sel = sel.iloc[order]
+    cuts = np.searchsorted(hb[order], np.arange(buckets + 1))
+    out = [pa.Table.from_pandas(sel.iloc[cuts[h]:cuts[h + 1]],
+                                preserve_index=False)
+           for h in range(buckets)]
+    return out[0] if buckets == 1 else out
+
+
+def select_reduce_bucket(slice_refs: list, budget: int,
+                         sel_dir: str, bucket: int) -> int:
+    """Task-fused selection, reduce side for ONE host bucket: gather the
+    bucket's per-part slices, finish the per-host top-B, stage the
+    result per part (sel_dir/part=P/bucket-*.parquet — the same hive
+    layout the Dataset path's write_parquet(partition_cols) produces,
+    so every downstream consumer is unchanged).  Atomic renames +
+    deterministic content => replay-safe."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    pa.set_cpu_count(1)
+    parts = [t for t in ray.get(list(slice_refs))
+             if t is not None and t.num_rows]
+    if not parts:
+        return 0
+    df = pa.concat_tables(parts).to_pandas()
+    df = df.assign(neg_priority=-df["priority"])
+    sel = _topb_pandas(df, budget).drop(columns=["neg_priority"])
+    pcol = sel["part"].to_numpy()
+    for p in np.unique(pcol):
+        sub = sel[pcol == p].drop(columns=["part"])
+        d = os.path.join(sel_dir, f"part={int(p)}")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"bucket-{bucket:05d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(pa.Table.from_pandas(sub, preserve_index=False), tmp)
+        os.replace(tmp, path)
+    return len(sel)
+
+
 def select_epoch(frontier_ds, budget: int, salt_groups: int = 16,
                  force_salted: bool = False) -> pd.DataFrame:
     """Driver-side convenience wrapper (tests / tools): run the
