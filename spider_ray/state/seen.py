@@ -135,10 +135,25 @@ class _SortedRun:
             if urls is None:
                 res = hit
             else:
-                ru = t["canonical_url"]
+                ru = t["canonical_url"].combine_chunks()
                 pu = urls[m]
                 res = np.zeros(len(ph), dtype=bool)
-                for j in np.nonzero(hit)[0]:
+                # fast path: singleton equal-hash range (everything but
+                # actual collisions) — ONE vectorized take + object-array
+                # compare instead of a per-hit Python loop with pyarrow
+                # scalar reads (true re-encounters all land here, i.e.
+                # most of every epoch's link probes)
+                one = hit & (hi - lo == 1)
+                if one.any():
+                    ru_sel = np.asarray(
+                        ru.take(pa.array(lo[one])).to_pylist(), dtype=object)
+                    pu_sel = pu[one]
+                    eq = (ru_sel == pu_sel)
+                    # url-less probe / stored null: hash decides
+                    eq |= np.array([s is None for s in ru_sel])
+                    eq |= np.array([p is None for p in pu_sel])
+                    res[one] = eq
+                for j in np.nonzero(hit & ~one)[0]:
                     if pu[j] is None:
                         res[j] = True  # url-less probe: hash decides
                         continue
