@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from spider_ray.pipelines import prep
     from spider_ray.pipelines import relational as rel
     from spider_ray.pipelines import sketches as sk
+    from spider_ray.pipelines import sources as src
     from spider_ray.pipelines import textstats as ts
 
     return {
@@ -75,6 +76,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_event_value_global": rel.quantile_event_value_global,
         "rank_docs_by_length_in_lang": rel.rank_docs_by_length_in_lang,
         "pivot_status_by_priority": rel.pivot_status_by_priority,
+        "lag_event_gap": rel.lag_event_gap,
+        "cumsum_value_by_user": rel.cumsum_value_by_user,
+        "rollup_orders_status_priority": rel.rollup_orders_status_priority,
+        "stats_quantity_price_by_flag": rel.stats_quantity_price_by_flag,
+        "range_join_clicks_before_purchase": rel.range_join_clicks_before_purchase,
         "approx_distinct_tokens": sk.approx_distinct_tokens,
         "heavy_hitter_tokens": sk.heavy_hitter_tokens,
         # -- text analysis -------------------------------------------------
@@ -84,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_normalize": ts.normalize_text,
         "text_lang_id": ts.lang_id,
         "text_fingerprints": ts.fingerprints,
+        "pii_scrub_props": ts.pii_scrub_props,
+        "json_extract_props_stats": ts.json_extract_props_stats,
         # -- deduplication -------------------------------------------------
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
@@ -95,6 +103,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": ann.ann_lsh_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,
         "dedup_embedding_ivf": ann.dedup_embedding_ivf,
+        # -- alternative source/sink formats (roundtrip-certified) ---------
+        "csv_source_doc_stats": src.csv_source_doc_stats,
+        "jsonl_source_token_stats": src.jsonl_source_token_stats,
         # -- multimodal plumbing (deterministic fake codec) ----------------
         "multimodal_features": mm.multimodal_features,
         "multimodal_feature_stats": mm.multimodal_feature_stats,
@@ -330,6 +341,88 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN rn = CAST(floor(0.99 * (n - 1)) AS BIGINT)
                             THEN v END) AS p99
             FROM ranked
+        """,
+        "lag_event_gap": """
+            SELECT event_id, user_id,
+                   coalesce(date_diff('microsecond',
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id),
+                       ts), -1) AS gap_us
+            FROM events
+        """,
+        # integer cents accumulate exactly, so the distributed prefix sum
+        # hash-matches the SQL window at any accumulation order
+        "cumsum_value_by_user": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum_cents
+            FROM events
+        """,
+        "rollup_orders_status_priority": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                   coalesce(o_orderpriority, 'ALL') AS priority,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+            ORDER BY status, priority
+        """,
+        "stats_quantity_price_by_flag": """
+            SELECT l_returnflag, count(*) AS n_items,
+                   round(stddev_samp(l_quantity), 4) AS stddev_qty,
+                   round(stddev_samp(l_extendedprice), 4) AS stddev_price,
+                   round(covar_samp(l_quantity, l_extendedprice), 4)
+                       AS covar_qty_price,
+                   round(corr(l_quantity, l_extendedprice), 4)
+                       AS corr_qty_price
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "range_join_clicks_before_purchase": """
+            SELECT p.event_id AS purchase_event_id, p.user_id,
+                   count(c.event_id) AS n_clicks
+            FROM events p LEFT JOIN events c
+              ON c.user_id = p.user_id AND c.event_type = 'click'
+             AND c.ts > p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id, p.user_id
+        """,
+        # identical RE2 pattern chain as pipelines.textstats.PII_PATTERNS
+        "pii_scrub_props": r"""
+            SELECT event_id, clean_props, clean_props <> props AS changed
+            FROM (
+                SELECT event_id, props,
+                       regexp_replace(regexp_replace(regexp_replace(props,
+                           '[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\.[A-Za-z0-9.-]+',
+                           '<EMAIL>', 'g'),
+                           '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g'),
+                           '[0-9]+', '<NUM>', 'g') AS clean_props
+                FROM events) t
+        """,
+        "json_extract_props_stats": """
+            WITH j AS (SELECT event_type,
+                              CAST(json_extract_string(props, '$.k')
+                                   AS BIGINT) AS k
+                       FROM events)
+            SELECT event_type,
+                   count(k) AS n_with_k,
+                   CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k,
+                   round(avg(k), 4) AS avg_k
+            FROM j GROUP BY event_type ORDER BY event_type
+        """,
+        # oracles for the format-roundtrip sources run on the ORIGINAL
+        # parquet view — equality certifies the CSV/JSONL sink+source
+        "csv_source_doc_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS total_text_chars
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "jsonl_source_token_stats": """
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9_]+')))
+                        AS BIGINT) AS total_tokens
+            FROM documents GROUP BY source ORDER BY source
         """,
         "rank_docs_by_length_in_lang": """
             SELECT doc_id, lang, n_chars,

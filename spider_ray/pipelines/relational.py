@@ -705,6 +705,197 @@ def quantile_event_value_global(sf_dir: str, qs=(0.5, 0.9, 0.99),
     return pa.table(out)
 
 
+def lag_event_gap(sf_dir: str):
+    """Window-function coverage: LAG — per-event gap (µs) to the user's
+    previous event in (ts, event_id) order; first event per user gets
+    −1 (the oracle's coalesce).  Group-parallel like the other window
+    ops: the diff never crosses a user boundary, so partitioning by
+    user_id hash is the whole scale story."""
+    ds = _rp(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        gap = (g["ts"].diff().dt.total_seconds() * 1_000_000)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            "gap_us": gap.round().fillna(-1).astype(np.int64).to_numpy(),
+        })
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def cumsum_value_by_user(sf_dir: str):
+    """Window-function coverage: running total per user (SUM OVER rows
+    unbounded-preceding).  The value is quantized to integer cents
+    BEFORE accumulating — int64 prefix sums are exact and
+    order-independent, so the distributed result hash-matches the SQL
+    window verbatim (a float cumsum would drift in the low bits under
+    different accumulation orders)."""
+    ds = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        # half-away-from-zero to match the oracle's round(value*100)
+        v = g["value"].to_numpy()
+        cents = (np.floor(np.abs(v) * 100 + 0.5) * np.sign(v)).astype(np.int64)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            "cum_cents": np.cumsum(cents),
+        })
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def rollup_orders_status_priority(sf_dir: str):
+    """ROLLUP (hierarchical subtotals): (status, priority) → (status) →
+    grand total, each level labelled 'ALL'.  Executed as ONE finest-level
+    grouped aggregate (pre-aggregated per block as usual); the coarser
+    levels re-aggregate the finest AGGREGATE — group-count-sized inputs,
+    so the subtotal passes are free at any data scale."""
+    from ray.data.aggregate import Sum
+
+    ds = _rp(sf_dir, "orders", ["o_orderstatus", "o_orderpriority",
+                                "o_totalprice"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["o_orderstatus", "o_orderpriority"]).aggregate(
+            [("o_totalprice", "sum"), ("o_totalprice", "count")])
+        return g.rename_columns(
+            ["o_orderstatus", "o_orderpriority", "rev", "n"])
+
+    finest = (ds.map_batches(partials, batch_format="pyarrow")
+              .groupby(["o_orderstatus", "o_orderpriority"])
+              .aggregate(Sum("rev", alias_name="rev"),
+                         Sum("n", alias_name="n"))
+              .materialize())
+
+    def relabel(status_all: bool, prio_all: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            alls = pa.array(["ALL"] * t.num_rows)
+            return pa.table({
+                "status": alls if status_all else t["o_orderstatus"],
+                "priority": alls if prio_all else t["o_orderpriority"],
+                "rev": t["rev"], "n": t["n"],
+            })
+        return fn
+
+    level0 = finest.map_batches(relabel(False, False), batch_format="pyarrow")
+    level1 = (finest.groupby("o_orderstatus")
+              .aggregate(Sum("rev", alias_name="rev"), Sum("n", alias_name="n"))
+              .map_batches(relabel(False, True), batch_format="pyarrow"))
+    level2 = (finest.groupby("o_orderstatus")
+              .aggregate(Sum("rev", alias_name="rev"), Sum("n", alias_name="n"))
+              .groupby(None).aggregate(Sum("rev", alias_name="rev"),
+                                       Sum("n", alias_name="n"))
+              .map_batches(lambda t: pa.table(
+                  {"status": pa.array(["ALL"] * t.num_rows),
+                   "priority": pa.array(["ALL"] * t.num_rows),
+                   "rev": t["rev"], "n": t["n"]}), batch_format="pyarrow"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "status": t["status"], "priority": t["priority"],
+            "revenue": pc.round(t["rev"], ndigits=2,
+                                round_mode="half_towards_infinity"),
+            "n_orders": pc.cast(t["n"], pa.int64()),
+        })
+
+    return (level0.union(level1).union(level2)
+            .map_batches(finish, batch_format="pyarrow")
+            .sort(["status", "priority"]))
+
+
+def stats_quantity_price_by_flag(sf_dir: str):
+    """Statistical aggregates: sample stddev, sample covariance and
+    Pearson correlation of (l_quantity, l_extendedprice) per return
+    flag, via the textbook moment decomposition — per-block partial
+    sums (n, Σx, Σy, Σx², Σy², Σxy) inside map_batches, a tiny grouped
+    reduce over the partials, then closed-form finalization.  One
+    streaming pass, nothing but per-flag moment rows in the shuffle;
+    results rounded (4 dp) in both engines so the algebraically
+    different (but equally accurate) accumulation orders agree."""
+    from ray.data.aggregate import Sum
+
+    ds = _rp(sf_dir, "lineitem",
+             ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        x = t["l_quantity"]
+        y = t["l_extendedprice"]
+        t2 = pa.table({
+            "flag": t["l_returnflag"],
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+            "sx": x, "sy": y,
+            "sxx": pc.multiply(x, x), "syy": pc.multiply(y, y),
+            "sxy": pc.multiply(x, y),
+        })
+        g = pa.TableGroupBy(t2, ["flag"]).aggregate(
+            [(c, "sum") for c in ("n", "sx", "sy", "sxx", "syy", "sxy")])
+        return g.rename_columns(["flag", "n", "sx", "sy", "sxx", "syy", "sxy"])
+
+    merged = (ds.map_batches(partials, batch_format="pyarrow")
+              .groupby("flag")
+              .aggregate(*[Sum(c, alias_name=c)
+                           for c in ("n", "sx", "sy", "sxx", "syy", "sxy")]))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["n"], dtype=np.float64)
+        sx, sy = np.asarray(t["sx"]), np.asarray(t["sy"])
+        sxx, syy = np.asarray(t["sxx"]), np.asarray(t["syy"])
+        sxy = np.asarray(t["sxy"])
+        var_x = (sxx - sx * sx / n) / (n - 1)
+        var_y = (syy - sy * sy / n) / (n - 1)
+        cov = (sxy - sx * sy / n) / (n - 1)
+        corr = cov / np.sqrt(var_x * var_y)
+        rnd = lambda v, p: np.floor(np.abs(v) * 10**p + 0.5) / 10**p * np.sign(v)
+        return pa.table({
+            "l_returnflag": t["flag"],
+            "n_items": pc.cast(t["n"], pa.int64()),
+            "stddev_qty": pa.array(rnd(np.sqrt(var_x), 4)),
+            "stddev_price": pa.array(rnd(np.sqrt(var_y), 4)),
+            "covar_qty_price": pa.array(rnd(cov, 4)),
+            "corr_qty_price": pa.array(rnd(corr, 4)),
+        })
+
+    return merged.map_batches(finalize, batch_format="pyarrow").sort("l_returnflag")
+
+
+def range_join_clicks_before_purchase(sf_dir: str,
+                                      window_min: int = 10):
+    """Range (interval) join: for every purchase, count the same user's
+    clicks in the trailing window (p.ts − 10 min, p.ts].  Executed
+    per-user-group with two vectorized searchsorted probes over the
+    group's sorted click timestamps — O((P+C)·log C) per group instead
+    of the O(P·C) nested-loop a naive interval join costs, and state
+    never crosses user boundaries (same partitioning story as the as-of
+    join; a global-window variant would bucket by time range instead)."""
+    ds = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    win = np.timedelta64(window_min * 60 * 1_000_000, "us")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["event_type"] == "purchase"].sort_values(["ts", "event_id"])
+        if len(p) == 0:
+            return pd.DataFrame({
+                "purchase_event_id": pd.Series([], dtype=np.int64),
+                "user_id": pd.Series([], dtype=np.int64),
+                "n_clicks": pd.Series([], dtype=np.int64),
+            })
+        c_ts = np.sort(g.loc[g["event_type"] == "click", "ts"]
+                       .to_numpy(dtype="datetime64[us]"))
+        p_ts = p["ts"].to_numpy(dtype="datetime64[us]")
+        hi = np.searchsorted(c_ts, p_ts, side="right")
+        lo = np.searchsorted(c_ts, p_ts - win, side="right")
+        return pd.DataFrame({
+            "purchase_event_id": p["event_id"].to_numpy(),
+            "user_id": p["user_id"].to_numpy(),
+            "n_clicks": (hi - lo).astype(np.int64),
+        })
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
 def rank_docs_by_length_in_lang(sf_dir: str):
     """Window-function coverage: row_number() per group (docs ranked by
     length desc, doc_id tie-break, within language).  Group-parallel:

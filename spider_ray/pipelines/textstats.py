@@ -187,3 +187,81 @@ def fingerprints(sf_dir: str):
     """Rolling-hash winnowing fingerprints (rows-only)."""
     return _rp(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         Fingerprinter, batch_format="pandas", concurrency=2, num_cpus=1)
+
+
+# PII scrub patterns, applied IN ORDER (emails before bare digit runs so
+# an address is one <EMAIL>, not letters plus a <NUM>).  RE2 syntax only
+# — the same strings run verbatim in pyarrow (RE2) and the DuckDB oracle
+# (also RE2), so the scrub is hash-checkable end to end.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\.[A-Za-z0-9.-]+", "<EMAIL>"),
+    (r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+", "<IP>"),
+    (r"[0-9]+", "<NUM>"),
+]
+
+
+def pii_scrub_props(sf_dir: str):
+    """PII / identifier scrubbing — the redaction stage a training-data
+    pipeline runs before publishing text.  Chained vectorized RE2
+    replacements (email → IP → digit-run) over the events `props`
+    payload column; `changed` marks rows the scrub touched.  Pure
+    per-batch map, no shuffle, no Python row loop."""
+    ds = _rp(sf_dir, "events", ["event_id", "props"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        clean = t["props"]
+        for pat, repl in PII_PATTERNS:
+            clean = pc.replace_substring_regex(clean, pattern=pat,
+                                               replacement=repl)
+        return pa.table({
+            "event_id": t["event_id"],
+            "clean_props": clean,
+            "changed": pc.not_equal(clean, t["props"]),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def json_extract_props_stats(sf_dir: str):
+    """JSON payload extraction + aggregate — the reference's records ARE
+    free-form JSON strings (`Values`, SURVEY.md §1.1), and this is the
+    rebuild's vectorized path for pulling a typed field out of such a
+    column: an RE2 capture of the flat key (`"k": <int>`) executed as
+    one Arrow extract_regex kernel, then the usual per-block
+    pre-aggregation before a tiny grouped reduce.  (Nested / non-flat
+    JSON would swap the kernel for an orjson actor stage; the pipeline
+    shape is unchanged.)"""
+    from ray.data.aggregate import Sum
+
+    ds = _rp(sf_dir, "events", ["event_type", "props"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], pattern=r'"k":\s*(?P<k>-?[0-9]+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        t2 = pa.table({
+            "event_type": t["event_type"],
+            "n": pc.cast(pc.is_valid(k), pa.int64()),
+            "sum_k": pc.coalesce(k, pa.scalar(0, pa.int64())),
+        })
+        g = pa.TableGroupBy(t2, ["event_type"]).aggregate(
+            [("n", "sum"), ("sum_k", "sum")])
+        return g.rename_columns(["event_type", "n", "sum_k"])
+
+    merged = (ds.map_batches(partials, batch_format="pyarrow")
+              .groupby("event_type")
+              .aggregate(Sum("n", alias_name="n_with_k"),
+                         Sum("sum_k", alias_name="sum_k")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        avg = pc.divide(pc.cast(t["sum_k"], pa.float64()),
+                        pc.cast(t["n_with_k"], pa.float64()))
+        return pa.table({
+            "event_type": t["event_type"],
+            "n_with_k": pc.cast(t["n_with_k"], pa.int64()),
+            "sum_k": pc.cast(t["sum_k"], pa.int64()),
+            "avg_k": pc.round(avg, ndigits=4,
+                              round_mode="half_towards_infinity"),
+        })
+
+    return (merged.map_batches(finish, batch_format="pyarrow")
+            .sort("event_type"))

@@ -657,6 +657,73 @@ class TestHeavyHitters:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestRound3LateOperators:
+    """Window lag/cumsum, ROLLUP, moment aggregates, range join, PII
+    scrub, JSON extraction and the CSV/JSONL format roundtrips — each
+    vs its DuckDB oracle (the sources' oracles run on the ORIGINAL
+    parquet, so equality certifies the whole sink+source roundtrip)."""
+
+    @pytest.mark.parametrize("name,keys", [
+        ("lag_event_gap", ["event_id"]),
+        ("cumsum_value_by_user", ["event_id"]),
+        ("rollup_orders_status_priority", ["status", "priority"]),
+        ("stats_quantity_price_by_flag", ["l_returnflag"]),
+        ("range_join_clicks_before_purchase", ["purchase_event_id"]),
+        ("pii_scrub_props", ["event_id"]),
+        ("json_extract_props_stats", ["event_type"]),
+        ("csv_source_doc_stats", ["lang"]),
+        ("jsonl_source_token_stats", ["source"]),
+    ])
+    def test_matches_oracle(self, name, keys):
+        import duckdb
+        import os
+        import sys
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        import __ray_entry__ as E
+
+        con = duckdb.connect()
+        for t in ("orders", "lineitem", "events", "documents"):
+            con.execute(f"create view {t} as select * from "
+                        f"read_parquet('{SF}/{t}.parquet')")
+        r = E.queries()[name](SF).to_pandas()
+        o = con.execute(E.oracle_sql()[name]).fetchdf()
+        r = r[sorted(r.columns)].sort_values(keys).reset_index(drop=True)
+        o = o[sorted(o.columns)].sort_values(keys).reset_index(drop=True)
+        pd.testing.assert_frame_equal(r, o, check_dtype=False)
+
+    def test_rollup_levels_are_consistent(self):
+        """Subtotals must re-aggregate exactly: each status row equals
+        the sum of its priority rows, the ALL/ALL row equals the sum of
+        the status rows."""
+        from spider_ray.pipelines.relational import (
+            rollup_orders_status_priority)
+        df = rollup_orders_status_priority(SF).to_pandas()
+        fine = df[(df["status"] != "ALL") & (df["priority"] != "ALL")]
+        mid = df[(df["status"] != "ALL") & (df["priority"] == "ALL")]
+        top = df[(df["status"] == "ALL")]
+        assert len(top) == 1
+        assert int(top["n_orders"].iloc[0]) == int(fine["n_orders"].sum())
+        for _, row in mid.iterrows():
+            sub = fine[fine["status"] == row["status"]]
+            assert int(row["n_orders"]) == int(sub["n_orders"].sum())
+
+    def test_pii_scrub_touches_rows_and_is_idempotent(self):
+        """The sf corpus must actually exercise the scrub (props carry
+        digits), and scrubbing already-scrubbed text is a no-op."""
+        import pyarrow.compute as pc
+        from spider_ray.pipelines.textstats import PII_PATTERNS, pii_scrub_props
+
+        df = pii_scrub_props(SF).to_pandas()
+        assert df["changed"].any()
+        clean = pa.array(df["clean_props"])
+        for pat, repl in PII_PATTERNS:
+            clean = pc.replace_substring_regex(clean, pattern=pat,
+                                               replacement=repl)
+        assert clean.to_pylist() == df["clean_props"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_pivot_status_by_priority_matches_oracle():
     import duckdb
     import os
