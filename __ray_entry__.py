@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_orders_status_priority": rel.rollup_orders_status_priority,
         "stats_quantity_price_by_flag": rel.stats_quantity_price_by_flag,
         "range_join_clicks_before_purchase": rel.range_join_clicks_before_purchase,
+        "sources_per_lang": rel.sources_per_lang,
+        "histogram_event_value": rel.histogram_event_value,
         "approx_distinct_tokens": sk.approx_distinct_tokens,
         "heavy_hitter_tokens": sk.heavy_hitter_tokens,
         # -- text analysis -------------------------------------------------
@@ -92,6 +94,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprints": ts.fingerprints,
         "pii_scrub_props": ts.pii_scrub_props,
         "json_extract_props_stats": ts.json_extract_props_stats,
+        "tfidf_top_terms_per_lang": ts.tfidf_top_terms_per_lang,
+        "repeated_shingles_topk": ts.repeated_shingles_topk,
         # -- deduplication -------------------------------------------------
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
@@ -410,6 +414,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k,
                    round(avg(k), 4) AS avg_k
             FROM j GROUP BY event_type ORDER BY event_type
+        """,
+        # ordering by the ROUNDED score in both engines: a last-ulp ln()
+        # difference can never flip the top-k cutoff
+        "tfidf_top_terms_per_lang": """
+            WITH tok AS (SELECT doc_id, lang,
+                                unnest(regexp_extract_all(lower(text),
+                                       '[a-z0-9_]+')) AS token
+                         FROM documents),
+            tf AS (SELECT lang, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+            df AS (SELECT token, count(DISTINCT doc_id) AS df
+                   FROM tok GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM documents)
+            SELECT lang, token, CAST(tf AS BIGINT) AS tf,
+                   round(tf * ln(CAST(n AS DOUBLE) / df), 4) AS tfidf
+            FROM tf JOIN df USING (token) CROSS JOIN n
+            QUALIFY row_number() OVER (PARTITION BY lang
+                     ORDER BY round(tf * ln(CAST(n AS DOUBLE) / df), 4) DESC,
+                              token) <= 10
+            ORDER BY lang, token
+        """,
+        "repeated_shingles_topk": """
+            WITH tok AS (SELECT doc_id,
+                                regexp_extract_all(lower(text),
+                                                   '[a-z0-9_]+') AS t
+                         FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                          t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '
+                          ||t[i+4] AS shingle
+                   FROM tok,
+                        UNNEST(generate_series(1, greatest(len(t) - 4, 0)))
+                            AS u(i))
+            SELECT shingle, count(*) AS n_docs FROM sh
+            GROUP BY shingle HAVING count(*) > 1
+            ORDER BY n_docs DESC, shingle LIMIT 20
+        """,
+        "sources_per_lang": """
+            SELECT lang, count(DISTINCT source) AS n_sources,
+                   string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "histogram_event_value": """
+            SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+                   count(*) AS n,
+                   round(min(value), 2) AS lo, round(max(value), 2) AS hi
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         # oracles for the format-roundtrip sources run on the ORIGINAL
         # parquet view — equality certifies the CSV/JSONL sink+source

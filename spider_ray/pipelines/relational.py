@@ -896,6 +896,58 @@ def range_join_clicks_before_purchase(sf_dir: str,
     return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
 
 
+def sources_per_lang(sf_dir: str):
+    """Grouped collect (SQL string_agg): the distinct sources per
+    language, sorted and comma-joined.  Distinct pairs first (a tiny
+    composite-key groupby), then the per-group join — the collect only
+    ever sees one group's distinct values, so a hot language cannot
+    concentrate raw rows anywhere."""
+    ds = _rp(sf_dir, "documents", ["lang", "source"])
+    distinct = ds.groupby(["lang", "source"]).count().drop_columns(["count()"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        vals = sorted(g["source"])
+        return pd.DataFrame({"lang": [g["lang"].iloc[0]],
+                             "n_sources": [len(vals)],
+                             "sources": [",".join(vals)]})
+
+    return (distinct.groupby("lang").map_groups(agg, batch_format="pandas")
+            .sort("lang"))
+
+
+def histogram_event_value(sf_dir: str, width: float = 50.0):
+    """Equal-width histogram of events.value (bucket = floor(v/width))
+    with per-bucket min/max: per-block (bucket → count/min/max)
+    partials, then a tiny grouped reduce — the same per-block-histogram
+    shape the engine's distributed rank-select quantiles build on."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _rp(sf_dir, "events", ["value"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["value"], dtype=np.float64)
+        b = np.floor(v / width).astype(np.int64)
+        g = pa.TableGroupBy(pa.table({
+            "bucket": pa.array(b), "n": pa.array(np.ones(len(v), np.int64)),
+            "lo": pa.array(v), "hi": pa.array(v),
+        }), ["bucket"]).aggregate([("n", "sum"), ("lo", "min"), ("hi", "max")])
+        return g.rename_columns(["bucket", "n", "lo", "hi"])
+
+    out = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("bucket")
+           .aggregate(Sum("n", alias_name="n"), Min("lo", alias_name="lo"),
+                      Max("hi", alias_name="hi")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        rnd = lambda c: pc.round(c, ndigits=2,
+                                 round_mode="half_towards_infinity")
+        return pa.table({"bucket": t["bucket"],
+                         "n": pc.cast(t["n"], pa.int64()),
+                         "lo": rnd(t["lo"]), "hi": rnd(t["hi"])})
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("bucket")
+
+
 def rank_docs_by_length_in_lang(sf_dir: str):
     """Window-function coverage: row_number() per group (docs ranked by
     length desc, doc_id tie-break, within language).  Group-parallel:

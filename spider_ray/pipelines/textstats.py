@@ -189,6 +189,118 @@ def fingerprints(sf_dir: str):
         Fingerprinter, batch_format="pandas", concurrency=2, num_cpus=1)
 
 
+def tfidf_top_terms_per_lang(sf_dir: str, k: int = 10):
+    """Corpus-level TF-IDF: top-k terms per language by
+    tf(lang, token) · ln(N / df(token)).  Three streaming aggregates —
+    term counts per (lang, token); document frequency per token, where
+    distinct-within-batch IS globally distinct because a document's
+    tokens never split across batches; and the corpus size — joined
+    hash-partitioned on token, then the group-wise top-k combiner.
+    Ordering uses the ROUNDED score in both engines so a last-ulp ln()
+    difference can never flip the cutoff."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..common.tokens import split_tokens
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "lang", "text"])
+    n_docs = _rp(sf_dir, "documents", ["doc_id"]).count()
+
+    def tf_partials(t: pa.Table) -> pa.Table:
+        flat, parent = split_tokens(t["text"], lower=True)
+        g = pa.TableGroupBy(pa.table({
+            "lang": pc.take(t["lang"], pa.array(parent)),
+            "token": flat,
+        }), ["lang", "token"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "token", "tf"])
+
+    def df_partials(t: pa.Table) -> pa.Table:
+        flat, parent = split_tokens(t["text"], lower=True)
+        pair = pa.table({"token": flat, "d": pa.array(parent)})
+        distinct = pa.TableGroupBy(pair, ["token", "d"]).aggregate([])
+        g = pa.TableGroupBy(distinct, ["token"]).aggregate([([], "count_all")])
+        return g.rename_columns(["token", "df"])
+
+    tf = (ds.map_batches(tf_partials, batch_format="pyarrow")
+          .groupby(["lang", "token"]).aggregate(Sum("tf", alias_name="tf")))
+    df = (ds.map_batches(df_partials, batch_format="pyarrow")
+          .groupby("token").aggregate(Sum("df", alias_name="df")))
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    joined = tf.join(df, join_type="inner",
+                     num_partitions=max(2, min(16, cpus // 2)),
+                     on=("token",))
+
+    def score(t: pa.Table) -> pa.Table:
+        tfv = np.asarray(t["tf"], dtype=np.float64)
+        dfv = np.asarray(t["df"], dtype=np.float64)
+        s = tfv * np.log(float(n_docs) / dfv)
+        s = np.floor(s * 1e4 + 0.5) / 1e4  # scores are >= 0
+        return pa.table({"lang": t["lang"], "token": t["token"],
+                         "tf": pc.cast(t["tf"], pa.int64()),
+                         "tfidf": pa.array(s, pa.float64())})
+
+    def local_topk(df_: pd.DataFrame) -> pd.DataFrame:
+        df_ = df_.assign(neg=-df_["tfidf"])
+        df_ = df_.sort_values(["lang", "neg", "token"], kind="mergesort")
+        return df_.groupby("lang", sort=False).head(k).drop(columns=["neg"])
+
+    def final_topk(df_: pd.DataFrame) -> pd.DataFrame:
+        df_ = df_.assign(neg=-df_["tfidf"])
+        df_ = df_.sort_values(["neg", "token"], kind="mergesort")
+        return df_.head(k).drop(columns=["neg"])
+
+    return (joined.map_batches(score, batch_format="pyarrow")
+            .map_batches(local_topk, batch_format="pandas",
+                         zero_copy_batch=True)
+            .groupby("lang")
+            .map_groups(final_topk, batch_format="pandas")
+            .sort(["lang", "token"]))
+
+
+def repeated_shingles_topk(sf_dir: str, n: int = 5, k: int = 20):
+    """Boilerplate detection (the C4/Gopher-style repeated-passage
+    scan): word-n-gram shingles appearing in more than one document,
+    top-k by distinct-document count.  Shingle strings are built
+    vectorized — binary_join_element_wise over n shifted token slices,
+    masked to same-document windows — and per-batch distinct
+    (doc, shingle) pairs are globally distinct because a document never
+    splits across batches, so the shuffle carries one pre-counted row
+    per (shingle, batch).  At corpus scale the identical pipeline runs
+    on shingle HASHES (common.tokens kernels) with a second pass
+    re-deriving only the winners' strings."""
+    from ray.data.aggregate import Sum
+
+    from ..common.tokens import split_tokens
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        flat, parent = split_tokens(t["text"], lower=True)
+        m = len(flat) - (n - 1)
+        if m <= 0:
+            return pa.table({"shingle": pa.array([], pa.string()),
+                             "nd": pa.array([], pa.int64())})
+        valid = parent[:m] == parent[n - 1:]
+        starts = np.flatnonzero(valid)
+        slices = [flat.slice(i, m).take(pa.array(starts)) for i in range(n)]
+        sh = pc.binary_join_element_wise(*slices, " ")
+        pair = pa.table({
+            "doc": pc.take(pa.array(np.asarray(t["doc_id"])),
+                           pa.array(parent[starts])),
+            "shingle": sh,
+        })
+        distinct = pa.TableGroupBy(pair, ["shingle", "doc"]).aggregate([])
+        g = pa.TableGroupBy(distinct, ["shingle"]).aggregate([([], "count_all")])
+        return g.rename_columns(["shingle", "nd"])
+
+    out = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("shingle").aggregate(Sum("nd", alias_name="n_docs"))
+           .map_batches(lambda t: t.filter(pc.greater(t["n_docs"], 1)),
+                        batch_format="pyarrow"))
+    return (out.sort([("n_docs"), ("shingle")], descending=[True, False])
+            .limit(k))
+
+
 # PII scrub patterns, applied IN ORDER (emails before bare digit runs so
 # an address is one <EMAIL>, not letters plus a <NUM>).  RE2 syntax only
 # — the same strings run verbatim in pyarrow (RE2) and the DuckDB oracle

@@ -673,6 +673,10 @@ class TestRound3LateOperators:
         ("json_extract_props_stats", ["event_type"]),
         ("csv_source_doc_stats", ["lang"]),
         ("jsonl_source_token_stats", ["source"]),
+        ("tfidf_top_terms_per_lang", ["lang", "token"]),
+        ("repeated_shingles_topk", ["shingle"]),
+        ("sources_per_lang", ["lang"]),
+        ("histogram_event_value", ["bucket"]),
     ])
     def test_matches_oracle(self, name, keys):
         import duckdb
@@ -707,6 +711,37 @@ class TestRound3LateOperators:
         for _, row in mid.iterrows():
             sub = fine[fine["status"] == row["status"]]
             assert int(row["n_orders"]) == int(sub["n_orders"].sum())
+
+    def test_format_roundtrip_preserves_adversarial_strings(self):
+        """The CSV/JSONL sink+source pair must preserve quoting-hostile
+        payloads byte-for-byte: separators, quotes, newlines, tabs,
+        unicode, empty strings."""
+        import tempfile
+
+        import ray.data as rd
+
+        nasty = ["plain", "comma, inside", 'quote " inside',
+                 "newline\ninside", 'both ",\n" mixed',
+                 "  leading/trailing  ", "unicode £é中文", "tab\tinside", ""]
+        t = pa.table({"id": pa.array(range(len(nasty)), pa.int64()),
+                      "text": pa.array(nasty, pa.string())})
+        for fmt in ("csv", "json"):
+            d = tempfile.mkdtemp(prefix=f"rt_{fmt}_")
+            ds = rd.from_arrow(t)
+            (ds.write_csv if fmt == "csv" else ds.write_json)(d)
+            reader = rd.read_csv if fmt == "csv" else rd.read_json
+            back = (reader(d, file_extensions=[fmt])
+                    .to_pandas().sort_values("id", ignore_index=True))
+            assert list(back["text"]) == nasty, fmt
+
+    def test_repeated_shingles_nonempty_and_multi_doc(self):
+        """The sf corpus must actually contain cross-document repeated
+        shingles, and every reported shingle must span >1 doc."""
+        from spider_ray.pipelines.textstats import repeated_shingles_topk
+
+        df = repeated_shingles_topk(SF).to_pandas()
+        assert len(df) > 0
+        assert (df["n_docs"] > 1).all()
 
     def test_pii_scrub_touches_rows_and_is_idempotent(self):
         """The sf corpus must actually exercise the scrub (props carry
