@@ -116,6 +116,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- composed end-to-end training-data prep ------------------------
         "training_data_prep": prep.training_data_prep,
         "training_data_prep_fuzzy": prep.training_data_prep_fuzzy,
+        # crawl sink -> prep source, rows-only for the driver (the crawl
+        # corpus is self-generated); pytest hash-matches the composition
+        # against DuckDB over the engine's oracle-gated text table
+        "crawl_then_prep": prep.crawl_then_prep,
     }
 
 

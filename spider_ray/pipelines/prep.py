@@ -22,6 +22,8 @@ stages instead of per-message NATS hops.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -92,6 +94,75 @@ def training_data_prep(sf_dir: str, min_quality: float = 0.80,
             .groupby("bucket")
             .map_groups(dedup_bucket, batch_format="pandas")
             .sort("doc_id"))
+
+
+def crawl_then_prep(sf_dir: str, min_quality: float = 0.40,
+                    dedup_buckets: int = 64):
+    """The FLAGSHIP composition: the crawl engine's extracted-text
+    checkpoint shards stream STRAIGHT into the training-data prep
+    stages — crawl → score → quality filter → exact content dedup
+    (keeper = min url) → deterministic ordered output — the path a user
+    of this engine runs end-to-end from raw web pages to a training
+    corpus.
+
+    The prep side never materializes the crawl output: it is a
+    ray.data.read_parquet over the per-epoch texts shards the fetch
+    actors wrote (engine.py `flush_texts` — the crawl's resumable
+    partitioned sink IS the prep's source), and only the 63-bit content
+    hash enters the dedup shuffle.  Correctness gate: the composition
+    is hash-matched in pytest against ONE DuckDB statement over the
+    engine's text table — whose own gate is byte-equality with the
+    single-threaded oracle crawler."""
+    import glob
+
+    import ray.data as rd
+
+    from .crawl_queries import run_crawl_cached
+
+    eng = run_crawl_cached(sf_dir)
+    files = sorted(glob.glob(
+        os.path.join(eng.ckpt_dir, "epoch_*", "texts", "*.parquet")))
+    ds = rd.read_parquet(files)
+
+    def score_filter(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        n = pc.cast(pc.utf8_length(text), pa.float64())
+        n_safe = pc.max_element_wise(n, pa.scalar(1.0))
+        n_alpha = pc.cast(pc.utf8_length(pc.replace_substring_regex(
+            text, pattern="[^A-Za-z]", replacement="")), pa.float64())
+        n_digit = pc.cast(pc.utf8_length(pc.replace_substring_regex(
+            text, pattern="[^0-9]", replacement="")), pa.float64())
+        quality = pc.round(
+            pc.subtract(pc.divide(n_alpha, n_safe),
+                        pc.divide(n_digit, n_safe)),
+            ndigits=4, round_mode="half_towards_infinity")
+        n_tokens = pc.cast(
+            pc.count_substring_regex(text, pattern=_TOKEN_PAT), pa.int64())
+        sub = pa.table({
+            "url": t["url"], "n_tokens": n_tokens, "quality": quality,
+            "text": text,
+        }).filter(pc.greater_equal(quality, pa.scalar(min_quality)))
+        hashes = np.fromiter((hash64(s) for s in sub["text"].to_pylist()),
+                             dtype=np.int64, count=sub.num_rows)
+        return pa.table({
+            "url": sub["url"], "n_tokens": sub["n_tokens"],
+            "quality": sub["quality"],
+            "text_hash": pa.array(hashes),
+            "bucket": pa.array((hashes % dedup_buckets).astype(np.int32)),
+        })
+
+    def dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["text_hash", "url"], kind="mergesort")
+        dup_count = df.groupby("text_hash", sort=False)["url"] \
+                      .transform("size")
+        keep = ~df.duplicated(subset=["text_hash"], keep="first")
+        out = df[keep].assign(dup_count=dup_count[keep].astype(np.int64))
+        return out.drop(columns=["text_hash", "bucket"])
+
+    return (ds.map_batches(score_filter, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(dedup_bucket, batch_format="pandas")
+            .sort("url"))
 
 
 def training_data_prep_fuzzy(sf_dir: str, min_quality: float = 0.80,

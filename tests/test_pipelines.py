@@ -759,6 +759,45 @@ class TestRound3LateOperators:
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_crawl_then_prep_matches_composed_oracle():
+    """Flagship composition: crawl → score → filter → exact dedup must
+    hash-match ONE DuckDB statement over the engine's text table (whose
+    own gate is byte-equality with the single-threaded oracle crawler).
+    This certifies the crawl sink feeds the prep source losslessly AND
+    the prep stages compose correctly over real crawl output."""
+    import duckdb
+
+    from spider_ray.pipelines.crawl_queries import run_crawl_cached
+    from spider_ray.pipelines.prep import crawl_then_prep
+
+    sf = "sf0.001"
+    r = crawl_then_prep(sf).to_pandas()
+    texts = run_crawl_cached(sf).text_table()
+    assert len(r) > 0
+    # the quality filter must actually drop rows at this threshold
+    assert len(r) < texts.num_rows
+    con = duckdb.connect()
+    con.register("texts", texts.to_pandas())
+    o = con.execute("""
+        WITH scored AS (
+          SELECT url, text,
+                 len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens,
+                 round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       / greatest(length(text), 1)
+                       - length(regexp_replace(text, '[^0-9]', '', 'g'))
+                       / greatest(length(text), 1), 4) AS quality
+          FROM texts),
+        filtered AS (SELECT * FROM scored WHERE quality >= 0.40),
+        dedup AS (SELECT min(url) AS keep_url, count(*) AS dup_count
+                  FROM filtered GROUP BY text)
+        SELECT f.url, f.n_tokens, f.quality, d.dup_count
+        FROM filtered f JOIN dedup d ON f.url = d.keep_url
+        ORDER BY f.url""").fetchdf()
+    pd.testing.assert_frame_equal(r[sorted(r.columns)], o[sorted(o.columns)],
+                                  check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_pivot_status_by_priority_matches_oracle():
     import duckdb
     import os
