@@ -96,6 +96,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_extract_props_stats": ts.json_extract_props_stats,
         "tfidf_top_terms_per_lang": ts.tfidf_top_terms_per_lang,
         "repeated_shingles_topk": ts.repeated_shingles_topk,
+        "lexical_diversity": ts.lexical_diversity,
+        "token_entropy_by_lang": ts.token_entropy_by_lang,
         # -- deduplication -------------------------------------------------
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
@@ -452,6 +454,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT shingle, count(*) AS n_docs FROM sh
             GROUP BY shingle HAVING count(*) > 1
             ORDER BY n_docs DESC, shingle LIMIT 20
+        """,
+        "lexical_diversity": """
+            SELECT doc_id,
+                   len(regexp_extract_all(lower(text), '[a-z0-9_]+'))
+                       AS n_tokens,
+                   len(list_distinct(regexp_extract_all(lower(text),
+                                                        '[a-z0-9_]+')))
+                       AS n_unique,
+                   round(len(list_distinct(regexp_extract_all(lower(text),
+                                                              '[a-z0-9_]+')))
+                         / greatest(len(regexp_extract_all(lower(text),
+                                                           '[a-z0-9_]+')), 1),
+                         4) AS ttr
+            FROM documents
+        """,
+        "token_entropy_by_lang": """
+            WITH tok AS (SELECT lang,
+                                unnest(regexp_extract_all(lower(text),
+                                       '[a-z0-9_]+')) AS token
+                         FROM documents)
+            SELECT lang, count(*) AS n_tokens,
+                   count(DISTINCT token) AS vocab,
+                   round(entropy(token), 4) AS token_entropy
+            FROM tok GROUP BY lang ORDER BY lang
         """,
         "sources_per_lang": """
             SELECT lang, count(DISTINCT source) AS n_sources,

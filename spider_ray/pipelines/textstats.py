@@ -189,6 +189,74 @@ def fingerprints(sf_dir: str):
         Fingerprinter, batch_format="pandas", concurrency=2, num_cpus=1)
 
 
+def lexical_diversity(sf_dir: str):
+    """Type-token ratio per document (lexical-diversity quality signal):
+    n_tokens, n_unique, ttr = n_unique/n_tokens.  Pure per-batch map —
+    token counts via one bincount over parent indices, distinct counts
+    via an Arrow composite-key groupby then a second bincount — no
+    Python row loop, no shuffle."""
+    from ..common.tokens import split_tokens
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        flat, parent = split_tokens(t["text"], lower=True)
+        n = np.bincount(parent, minlength=t.num_rows).astype(np.int64)
+        distinct = pa.TableGroupBy(
+            pa.table({"d": pa.array(parent), "token": flat}),
+            ["d", "token"]).aggregate([])
+        uniq = np.bincount(np.asarray(distinct["d"]),
+                           minlength=t.num_rows).astype(np.int64)
+        ttr = uniq / np.maximum(n, 1)
+        ttr = np.floor(ttr * 1e4 + 0.5) / 1e4  # ratios are >= 0
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(n), "n_unique": pa.array(uniq),
+            "ttr": pa.array(ttr, pa.float64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def token_entropy_by_lang(sf_dir: str):
+    """Shannon entropy (log2) of the token distribution per language —
+    the information-theoretic corpus-quality signal (near-zero entropy
+    = degenerate/repeated text).  One grouped term-count aggregate
+    (pre-aggregated per block), then the entropy closed form over each
+    language's count vector — the per-group input is vocabulary-sized,
+    never corpus-sized."""
+    from ray.data.aggregate import Sum
+
+    from ..common.tokens import split_tokens
+
+    ds = _rp(sf_dir, "documents", ["lang", "text"])
+
+    def tf_partials(t: pa.Table) -> pa.Table:
+        flat, parent = split_tokens(t["text"], lower=True)
+        g = pa.TableGroupBy(pa.table({
+            "lang": pc.take(t["lang"], pa.array(parent)),
+            "token": flat,
+        }), ["lang", "token"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "token", "tf"])
+
+    tf = (ds.map_batches(tf_partials, batch_format="pyarrow")
+          .groupby(["lang", "token"]).aggregate(Sum("tf", alias_name="tf")))
+
+    def entropy(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["tf"].to_numpy(dtype=np.float64)
+        n = c.sum()
+        p = c / n
+        h = float(-(p * np.log2(p)).sum())
+        h = np.floor(h * 1e4 + 0.5) / 1e4
+        return pd.DataFrame({"lang": [g["lang"].iloc[0]],
+                             "n_tokens": [np.int64(n)],
+                             "vocab": [np.int64(len(c))],
+                             "token_entropy": [h]})
+
+    return (tf.groupby("lang").map_groups(entropy, batch_format="pandas")
+            .sort("lang"))
+
+
 def tfidf_top_terms_per_lang(sf_dir: str, k: int = 10):
     """Corpus-level TF-IDF: top-k terms per language by
     tf(lang, token) · ln(N / df(token)).  Three streaming aggregates —

@@ -677,6 +677,8 @@ class TestRound3LateOperators:
         ("repeated_shingles_topk", ["shingle"]),
         ("sources_per_lang", ["lang"]),
         ("histogram_event_value", ["bucket"]),
+        ("lexical_diversity", ["doc_id"]),
+        ("token_entropy_by_lang", ["lang"]),
     ])
     def test_matches_oracle(self, name, keys):
         import duckdb
