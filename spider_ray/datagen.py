@@ -247,7 +247,7 @@ def write_fixture(out_dir: str, n_pages: int, seed: int = 42,
     out_dir; idempotent via a done-marker keyed by the parameters."""
     os.makedirs(out_dir, exist_ok=True)
     key = json.dumps({"n": n_pages, "seed": seed, "hosts": n_hosts,
-                      "para_scale": para_scale}, sort_keys=True)
+                      "para_scale": para_scale, "rg": 8192}, sort_keys=True)
     marker = os.path.join(out_dir, "_DONE.json")
     paths = {
         "pages": os.path.join(out_dir, "pages.parquet"),
@@ -264,7 +264,13 @@ def write_fixture(out_dir: str, n_pages: int, seed: int = 42,
     pages = gen_pages(n_pages, seed=seed, n_hosts=n_hosts,
                       para_scale=para_scale, use_ray=use_ray)
     seeds = gen_seeds(pages, seed=seed)
-    pq.write_table(pages, paths["pages"])
+    # bounded row groups: pyarrow's default (1Mi rows) makes a large-page
+    # fixture ONE multi-GB row group, which serializes every downstream
+    # read into a single task (and Ray's batched reader degrades badly on
+    # it — measured 28+ min vs ~50 s for the same bytes in 8k-row groups).
+    # The input corpus follows the same rule as the outputs: never one
+    # giant unit.
+    pq.write_table(pages, paths["pages"], row_group_size=8192)
     pq.write_table(seeds, paths["seeds"])
     with open(paths["politeness"], "w") as f:
         json.dump(pol, f)
