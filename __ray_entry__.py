@@ -79,6 +79,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag_event_gap": rel.lag_event_gap,
         "cumsum_value_by_user": rel.cumsum_value_by_user,
         "rollup_orders_status_priority": rel.rollup_orders_status_priority,
+        "cube_orders_status_priority": rel.cube_orders_status_priority,
+        "intersect_click_purchase_users": rel.intersect_click_purchase_users,
+        "except_click_not_purchase_users": rel.except_click_not_purchase_users,
+        "latest_event_per_user": rel.latest_event_per_user,
+        "ntile_docs_by_length": rel.ntile_docs_by_length,
         "stats_quantity_price_by_flag": rel.stats_quantity_price_by_flag,
         "range_join_clicks_before_purchase": rel.range_join_clicks_before_purchase,
         "sources_per_lang": rel.sources_per_lang,
@@ -98,6 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repeated_shingles_topk": ts.repeated_shingles_topk,
         "lexical_diversity": ts.lexical_diversity,
         "token_entropy_by_lang": ts.token_entropy_by_lang,
+        "chunk_documents": ts.chunk_documents,
+        "decontaminate_docs": ts.decontaminate_docs,
         # -- deduplication -------------------------------------------------
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
@@ -478,6 +485,73 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT token) AS vocab,
                    round(entropy(token), 4) AS token_entropy
             FROM tok GROUP BY lang ORDER BY lang
+        """,
+        "cube_orders_status_priority": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                   coalesce(o_orderpriority, 'ALL') AS priority,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            ORDER BY status, priority
+        """,
+        "intersect_click_purchase_users": """
+            SELECT user_id FROM events
+            WHERE event_type = 'click' AND value > 150
+            INTERSECT
+            SELECT user_id FROM events
+            WHERE event_type = 'purchase' AND value > 150
+        """,
+        "except_click_not_purchase_users": """
+            SELECT user_id FROM events
+            WHERE event_type = 'click' AND value > 150
+            EXCEPT
+            SELECT user_id FROM events
+            WHERE event_type = 'purchase' AND value > 150
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+                   value AS last_value
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "ntile_docs_by_length": """
+            SELECT doc_id, lang, n_chars,
+                   ntile(4) OVER (PARTITION BY lang
+                                  ORDER BY n_chars, doc_id) AS tile
+            FROM documents
+        """,
+        "chunk_documents": """
+            SELECT doc_id, i AS chunk_idx,
+                   length(substring(text, CAST(i AS INT) * 120 + 1, 120))
+                       AS chunk_len,
+                   substring(text, CAST(i AS INT) * 120 + 1, 120)
+                       AS chunk_text
+            FROM documents,
+                 UNNEST(generate_series(
+                     0, CAST(ceil(length(text) / 120.0) AS BIGINT) - 1))
+                     AS u(i)
+        """,
+        "decontaminate_docs": """
+            WITH tok AS (SELECT doc_id,
+                                regexp_extract_all(lower(text),
+                                                   '[a-z0-9_]+') AS t
+                         FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                          t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '
+                          ||t[i+4] AS shingle
+                   FROM tok,
+                        UNNEST(generate_series(1, greatest(len(t) - 4, 0)))
+                            AS u(i)),
+            bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+            hits AS (SELECT s.doc_id, count(*) AS n_hit
+                     FROM sh s JOIN bench b USING (shingle)
+                     WHERE s.doc_id % 97 <> 0 GROUP BY s.doc_id)
+            SELECT d.doc_id, coalesce(h.n_hit, 0) AS n_hit_shingles,
+                   coalesce(h.n_hit, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+            WHERE d.doc_id % 97 <> 0
         """,
         "sources_per_lang": """
             SELECT lang, count(DISTINCT source) AS n_sources,

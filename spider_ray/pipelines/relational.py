@@ -965,3 +965,179 @@ def rank_docs_by_length_in_lang(sf_dir: str):
 
     return (ds.groupby("lang").map_groups(group_rank, batch_format="pandas")
             .sort(["lang", "rnk"]))
+
+
+def _user_type_presence(sf_dir: str, type_a: str, type_b: str,
+                        min_value: float = 150.0):
+    """Shared one-pass core of the INTERSECT / EXCEPT set operations:
+    per-block distinct (user_id -> has_a/has_b indicator maxima), then a
+    grouped max over the partials — the events table never enters the
+    shuffle, only one tiny indicator row per (user, block).  The
+    min_value predicate keeps both sides proper subsets of the user set
+    (at the test scales every user has every event type)."""
+    from ray.data.aggregate import Max
+
+    ds = _rp(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        big = pc.greater(t["value"], min_value)
+        t2 = pa.table({
+            "user_id": t["user_id"],
+            "has_a": pc.cast(pc.and_(pc.equal(t["event_type"], type_a), big),
+                             pa.int64()),
+            "has_b": pc.cast(pc.and_(pc.equal(t["event_type"], type_b), big),
+                             pa.int64()),
+        })
+        g = pa.TableGroupBy(t2, ["user_id"]).aggregate(
+            [("has_a", "max"), ("has_b", "max")])
+        return g.rename_columns(["user_id", "has_a", "has_b"])
+
+    return (ds.map_batches(partials, batch_format="pyarrow")
+            .groupby("user_id")
+            .aggregate(Max("has_a", alias_name="has_a"),
+                       Max("has_b", alias_name="has_b")))
+
+
+def intersect_click_purchase_users(sf_dir: str):
+    """Set-op coverage: INTERSECT — users present in BOTH the
+    high-value-click and high-value-purchase event streams, as one
+    presence-indicator groupby (no per-side distinct + join; one
+    shuffle of pre-aggregated indicators)."""
+    pres = _user_type_presence(sf_dir, "click", "purchase")
+
+    def finish(t: pa.Table) -> pa.Table:
+        both = pc.and_(pc.equal(t["has_a"], 1), pc.equal(t["has_b"], 1))
+        return t.filter(both).select(["user_id"])
+
+    return pres.map_batches(finish, batch_format="pyarrow")
+
+
+def except_click_not_purchase_users(sf_dir: str):
+    """Set-op coverage: EXCEPT — users with high-value click events but
+    no high-value purchases, from the same single-pass presence
+    aggregate as INTERSECT."""
+    pres = _user_type_presence(sf_dir, "click", "purchase")
+
+    def finish(t: pa.Table) -> pa.Table:
+        only_a = pc.and_(pc.equal(t["has_a"], 1), pc.equal(t["has_b"], 0))
+        return t.filter(only_a).select(["user_id"])
+
+    return pres.map_batches(finish, batch_format="pyarrow")
+
+
+def latest_event_per_user(sf_dir: str):
+    """ARG_MAX coverage (SQL `row_number() ... = 1` / last-event-per-key):
+    per-block combiner keeps each user's max-(ts, event_id) row, so the
+    grouped final pass reduces at most one row per (user, block) — the
+    classic pre-aggregated argmax; the raw events never shuffle."""
+    ds = _rp(sf_dir, "events", ["event_id", "ts", "user_id",
+                                "event_type", "value"])
+
+    def local_argmax(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[
+            ("user_id", "ascending"), ("ts", "descending"),
+            ("event_id", "descending")])
+        t = t.take(idx)
+        u = np.asarray(t["user_id"])
+        first = np.ones(len(u), dtype=bool)
+        first[1:] = u[1:] != u[:-1]
+        return t.filter(pa.array(first))
+
+    def group_argmax(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], ascending=False,
+                            kind="mergesort")
+        top = df.iloc[:1]
+        return pd.DataFrame({
+            "user_id": top["user_id"].to_numpy(),
+            "last_ts": top["ts"].to_numpy(),
+            "last_event_type": top["event_type"].to_numpy(),
+            "last_value": top["value"].to_numpy(),
+        })
+
+    return (ds.map_batches(local_argmax, batch_format="pyarrow")
+            .groupby("user_id").map_groups(group_argmax,
+                                           batch_format="pandas"))
+
+
+def cube_orders_status_priority(sf_dir: str):
+    """CUBE (all grouping sets over two dims): like the ROLLUP operator,
+    ONE finest-level grouped aggregate is computed from per-block
+    partials; the other three grouping sets re-aggregate that AGGREGATE
+    (group-count-sized inputs — free at any data scale)."""
+    from ray.data.aggregate import Sum
+
+    ds = _rp(sf_dir, "orders", ["o_orderstatus", "o_orderpriority",
+                                "o_totalprice"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["o_orderstatus", "o_orderpriority"]).aggregate(
+            [("o_totalprice", "sum"), ("o_totalprice", "count")])
+        return g.rename_columns(
+            ["o_orderstatus", "o_orderpriority", "rev", "n"])
+
+    finest = (ds.map_batches(partials, batch_format="pyarrow")
+              .groupby(["o_orderstatus", "o_orderpriority"])
+              .aggregate(Sum("rev", alias_name="rev"),
+                         Sum("n", alias_name="n"))
+              .materialize())
+
+    def relabel(status_all: bool, prio_all: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            alls = pa.array(["ALL"] * t.num_rows)
+            status = alls if status_all else t["o_orderstatus"]
+            prio = alls if prio_all else t["o_orderpriority"]
+            return pa.table({"status": status, "priority": prio,
+                             "rev": t["rev"], "n": t["n"]})
+        return fn
+
+    def reagg(key: str | None):
+        gb = finest.groupby(key) if key else finest.groupby(None)
+        return gb.aggregate(Sum("rev", alias_name="rev"),
+                            Sum("n", alias_name="n"))
+
+    level_sp = finest.map_batches(relabel(False, False),
+                                  batch_format="pyarrow")
+    level_s = (reagg("o_orderstatus")
+               .map_batches(relabel(False, True), batch_format="pyarrow"))
+    level_p = (reagg("o_orderpriority")
+               .map_batches(lambda t: pa.table({
+                   "status": pa.array(["ALL"] * t.num_rows),
+                   "priority": t["o_orderpriority"],
+                   "rev": t["rev"], "n": t["n"]}), batch_format="pyarrow"))
+    level_all = (reagg(None)
+                 .map_batches(lambda t: pa.table({
+                     "status": pa.array(["ALL"] * t.num_rows),
+                     "priority": pa.array(["ALL"] * t.num_rows),
+                     "rev": t["rev"], "n": t["n"]}), batch_format="pyarrow"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "status": t["status"], "priority": t["priority"],
+            "revenue": pc.round(t["rev"], ndigits=2,
+                                round_mode="half_towards_infinity"),
+            "n_orders": pc.cast(t["n"], pa.int64()),
+        })
+
+    return (level_sp.union(level_s).union(level_p).union(level_all)
+            .map_batches(finish, batch_format="pyarrow")
+            .sort(["status", "priority"]))
+
+
+def ntile_docs_by_length(sf_dir: str, k: int = 4):
+    """Window-function coverage: NTILE(k) per group — docs split into k
+    near-equal tiles by (n_chars, doc_id) order within each language.
+    Tile sizes follow the SQL rule exactly (first n mod k tiles get
+    ceil(n/k) rows).  Group-parallel like the other window ops."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def per_lang(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n_chars", "doc_id"], kind="mergesort")
+        n = len(df)
+        base, rem = divmod(n, k)
+        sizes = np.full(k, base, dtype=np.int64)
+        sizes[:rem] += 1
+        tiles = np.repeat(np.arange(1, k + 1, dtype=np.int64), sizes)[:n]
+        return df.assign(tile=tiles)
+
+    return (ds.groupby("lang").map_groups(per_lang, batch_format="pandas")
+            .sort(["lang", "tile", "doc_id"]))

@@ -445,3 +445,108 @@ def json_extract_props_stats(sf_dir: str):
 
     return (merged.map_batches(finish, batch_format="pyarrow")
             .sort("event_type"))
+
+
+def _doc_word_shingles(t: pa.Table, n: int) -> pa.Table:
+    """Distinct (row index, word-n-gram shingle string) pairs for a
+    pyarrow batch of documents — the vectorized shingle kernel shared by
+    boilerplate detection and benchmark decontamination (shifted token
+    slices joined element-wise, masked to same-document windows)."""
+    from ..common.tokens import split_tokens
+
+    empty = pa.table({"row": pa.array([], pa.int64()),
+                      "shingle": pa.array([], pa.string())})
+    flat, parent = split_tokens(t["text"], lower=True)
+    m = len(flat) - (n - 1)
+    if m <= 0:
+        return empty
+    valid = parent[:m] == parent[n - 1:]
+    starts = np.flatnonzero(valid)
+    if len(starts) == 0:
+        return empty
+    slices = [flat.slice(i, m).take(pa.array(starts)) for i in range(n)]
+    sh = pc.binary_join_element_wise(*slices, " ")
+    pairs = pa.table({"row": pa.array(parent[starts].astype(np.int64)),
+                      "shingle": sh})
+    return pa.TableGroupBy(pairs, ["row", "shingle"]).aggregate([])
+
+
+def chunk_documents(sf_dir: str, width: int = 120):
+    """Context-window chunking (the training-prep splitter): each
+    document becomes ceil(len/width) fixed-width character chunks — a
+    flat_map (1 row -> k rows) executed as vectorized per-chunk-index
+    string slices, never a per-row Python loop (the loop is over the
+    max chunk COUNT, a handful of iterations regardless of batch size).
+    Zero shuffle; empty documents produce zero chunks (the SQL rule)."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"]
+        lens = s.str.len().to_numpy()
+        n_chunks = -(-lens // width)
+        kmax = int(n_chunks.max()) if len(n_chunks) else 0
+        parts = []
+        for ki in range(kmax):
+            m = n_chunks > ki
+            chunk = s[m].str.slice(ki * width, (ki + 1) * width)
+            parts.append(pd.DataFrame({
+                "doc_id": df.loc[m, "doc_id"].to_numpy(),
+                "chunk_idx": np.full(int(m.sum()), ki, np.int64),
+                "chunk_len": chunk.str.len().to_numpy().astype(np.int64),
+                "chunk_text": chunk.to_numpy(),
+            }))
+        if not parts:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "chunk_idx": pd.Series([], dtype=np.int64),
+                                 "chunk_len": pd.Series([], dtype=np.int64),
+                                 "chunk_text": pd.Series([], dtype=str)})
+        return pd.concat(parts, ignore_index=True)
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def decontaminate_docs(sf_dir: str, n: int = 5, mod: int = 97):
+    """Benchmark decontamination (the eval-leakage scan every training
+    corpus runs): flag corpus documents sharing any word-n-gram with a
+    benchmark set.  The benchmark here is the deterministic slice
+    doc_id % mod == 0 (standing in for a real eval set, which is small
+    and fixed by definition).
+
+    Scale design — the canonical broadcast decontamination: pass 1
+    collects the benchmark's DISTINCT shingles (bounded by benchmark
+    size, kilobytes-to-megabytes for real eval suites) and ships them
+    once via ray.put; pass 2 is a single map_batches over the corpus
+    with a vectorized pc.is_in membership probe — per-document verdicts
+    finalize inside the batch (a document never splits across batches),
+    so NOTHING shuffles.  At 100 TB the broadcast set would be the
+    shingle HASHES (common.tokens kernels) instead of strings."""
+    import ray
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_shingles(t: pa.Table) -> pa.Table:
+        keep = np.asarray(t["doc_id"]) % mod == 0
+        pairs = _doc_word_shingles(t.filter(pa.array(keep)), n)
+        g = pa.TableGroupBy(pairs, ["shingle"]).aggregate([])
+        return g
+
+    bench = (ds.map_batches(bench_shingles, batch_format="pyarrow")
+             .groupby("shingle").count().drop_columns(["count()"])
+             .to_pandas())
+    bench_ref = ray.put(pa.array(bench["shingle"], pa.string()))
+
+    def probe(t: pa.Table) -> pa.Table:
+        bench_arr = ray.get(bench_ref)  # local object-store hit per task
+        keep = np.asarray(t["doc_id"]) % mod != 0
+        t = t.filter(pa.array(keep))
+        pairs = _doc_word_shingles(t, n)
+        hit = np.asarray(pc.is_in(pairs["shingle"], value_set=bench_arr))
+        counts = np.bincount(np.asarray(pairs["row"])[hit],
+                             minlength=t.num_rows).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_hit_shingles": pa.array(counts),
+            "contaminated": pa.array(counts > 0),
+        })
+
+    return ds.map_batches(probe, batch_format="pyarrow")

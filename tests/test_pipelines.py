@@ -679,6 +679,13 @@ class TestRound3LateOperators:
         ("histogram_event_value", ["bucket"]),
         ("lexical_diversity", ["doc_id"]),
         ("token_entropy_by_lang", ["lang"]),
+        ("cube_orders_status_priority", ["status", "priority"]),
+        ("intersect_click_purchase_users", ["user_id"]),
+        ("except_click_not_purchase_users", ["user_id"]),
+        ("latest_event_per_user", ["user_id"]),
+        ("ntile_docs_by_length", ["doc_id"]),
+        ("chunk_documents", ["doc_id", "chunk_idx"]),
+        ("decontaminate_docs", ["doc_id"]),
     ])
     def test_matches_oracle(self, name, keys):
         import duckdb
