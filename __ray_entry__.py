@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_entropy_by_lang": ts.token_entropy_by_lang,
         "chunk_documents": ts.chunk_documents,
         "decontaminate_docs": ts.decontaminate_docs,
+        "unigram_logprob_score": ts.unigram_logprob_score,
         # -- deduplication -------------------------------------------------
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
@@ -552,6 +553,20 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n_hit, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
             WHERE d.doc_id % 97 <> 0
+        """,
+        "unigram_logprob_score": """
+            WITH tok AS (SELECT doc_id,
+                                unnest(regexp_extract_all(lower(text),
+                                       '[a-z0-9_]+')) AS token
+                         FROM documents),
+            cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+            lp AS (SELECT token,
+                          ln(c / (SELECT sum(c) FROM cnt)) AS logp
+                   FROM cnt)
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(avg(logp), 4) AS avg_logprob
+            FROM tok JOIN lp USING (token)
+            GROUP BY doc_id
         """,
         "sources_per_lang": """
             SELECT lang, count(DISTINCT source) AS n_sources,

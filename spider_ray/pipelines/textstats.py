@@ -550,3 +550,56 @@ def decontaminate_docs(sf_dir: str, n: int = 5, mod: int = 97):
         })
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def unigram_logprob_score(sf_dir: str):
+    """Perplexity-proxy quality scoring (the CCNet/Gopher-style LM
+    filter, with the unigram LM as the vectorizable baseline): score
+    each document by the mean log-probability of its tokens under the
+    corpus's own unigram distribution.
+
+    Scale design: pass 1 is a pre-aggregated token-count groupby (one
+    (token, count) row per batch enters the shuffle); the resulting
+    log-prob table is VOCABULARY-sized — bounded by the language, not
+    the corpus — so it broadcasts via ray.put like a real LM's
+    parameters would.  Pass 2 scores every document inside its own
+    batch: one pc.index_in probe + one bincount-weighted mean, no
+    shuffle, no per-row loop."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..common.tokens import split_tokens
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def count_partials(t: pa.Table) -> pa.Table:
+        flat, _ = split_tokens(t["text"], lower=True)
+        g = pa.TableGroupBy(pa.table({"token": flat}), ["token"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["token", "c"])
+
+    counts = (ds.map_batches(count_partials, batch_format="pyarrow")
+              .groupby("token").aggregate(Sum("c", alias_name="c"))
+              .to_pandas())
+    total = float(counts["c"].sum())
+    logp = np.log(counts["c"].to_numpy(dtype=np.float64) / total)
+    lm_ref = ray.put((pa.array(counts["token"], pa.string()), logp))
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab, lp = ray.get(lm_ref)  # local object-store hit per task
+        flat, parent = split_tokens(t["text"], lower=True)
+        idx = np.asarray(pc.index_in(flat, value_set=vocab))
+        tok_lp = lp[idx]  # every token is in-vocab (LM trained on corpus)
+        n = np.bincount(parent, minlength=t.num_rows)
+        s = np.bincount(parent, weights=tok_lp, minlength=t.num_rows)
+        has = n > 0  # SQL's join drops zero-token docs
+        avg = s[has] / n[has]
+        rnd = np.floor(np.abs(avg) * 1e4 + 0.5) / 1e4 * np.sign(avg)
+        return pa.table({
+            "doc_id": pc.take(t["doc_id"],
+                              pa.array(np.flatnonzero(has), pa.int64())),
+            "n_tokens": pa.array(n[has].astype(np.int64)),
+            "avg_logprob": pa.array(rnd),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

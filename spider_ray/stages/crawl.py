@@ -24,7 +24,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..common.extract import extract_hrefs, extract_text_batch
+from ..common.extract import _decode_column, extract_hrefs, extract_text_batch
 from ..common.hashing import hash64_many
 from ..common.urlnorm import (
     canonicalize,
@@ -116,9 +116,45 @@ def build_pages_index(pages_path: str, index_dir: str, num_parts: int) -> dict:
         .map_batches(to_index, batch_format="pyarrow")
         .write_parquet(index_dir, partition_cols=["part"], mode="overwrite")
     )
+    _compact_index_parts(index_dir, num_parts)
     with open(marker, "w") as f:
         f.write(key)
     return {"reused": False}
+
+
+def _compact_index_parts(index_dir: str, num_parts: int,
+                         max_files: int = 8) -> None:
+    """Rewrite fragmented part dirs as one file with bounded row groups.
+
+    write_parquet(partition_cols) splits EVERY task's block by partition
+    value, so P parts x B blocks leaves ~B tiny files per part (measured
+    141 x 46-row files per part on a fine-row-grouped corpus) — a
+    part-shard load then pays per-file open/footer costs on every cache
+    miss and every resume.  One Ray task per part compacts its dir; a
+    crash mid-compaction is safe (atomic rename per part, fragments
+    removed only after the compacted file is in place)."""
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def compact(part_dir: str) -> int:
+        files = [os.path.join(part_dir, f) for f in os.listdir(part_dir)
+                 if f.endswith(".parquet")]
+        if len(files) <= max_files:
+            return 0
+        t = pq.read_table(part_dir, use_threads=False)
+        tmp = os.path.join(part_dir, "_compact.tmp")
+        pq.write_table(t, tmp, row_group_size=8192)
+        os.replace(tmp, os.path.join(part_dir, "compacted.parquet"))
+        for f in files:
+            os.remove(f)
+        return len(files)
+
+    futs = []
+    for p in range(num_parts):
+        d = os.path.join(index_dir, f"part={p}")
+        if os.path.isdir(d):
+            futs.append(compact.remote(d))
+    ray.get(futs)
 
 
 # --------------------------------------------------------------------------
@@ -167,6 +203,23 @@ class IndexFetcher:
         gathered = html_col.take(pa.array(order[pos_c], pa.int64())).to_pylist()
         return [g if f else None for g, f in zip(gathered, found.tolist())]
 
+    def fetch_part_arrow(self, part: int, url_hashes: np.ndarray) -> pa.Array:
+        """Arrow-native variant of fetch_part: row-aligned binary array
+        with NULL at misses.  The html payloads never materialize as
+        Python bytes — the take indices carry a null mask, so the gather
+        is one zero-copy-offset buffer build instead of len(urls)
+        PyBytes allocations (the dominant per-batch allocation churn of
+        the fetch stage on a 25 KB/page corpus)."""
+        sorted_h, order, html_col = self._load_part(int(part))
+        h = np.asarray(url_hashes)
+        if len(sorted_h) == 0:
+            return pa.nulls(len(h), pa.binary())
+        pos = np.searchsorted(sorted_h, h)
+        pos_c = np.clip(pos, 0, len(sorted_h) - 1)
+        found = sorted_h[pos_c] == h
+        idx = pa.array(order[pos_c], pa.int64(), mask=~found)
+        return html_col.take(idx)
+
     def _load_part(self, part: int):
         """Sorted-hash lookup index for one pages shard: O(log n)
         membership + one vectorized gather per batch — cheaper and
@@ -176,6 +229,10 @@ class IndexFetcher:
         by (warc_ts, html) — the same contract as the oracle's index."""
         if part in self._cache:
             return self._cache[part]
+        if os.environ.get("SPIDER_RAY_FETCH_DEBUG"):
+            import time as _t
+            print(f"[fetch] COLD part load part={part} t={_t.time():.2f}",
+                  flush=True)
         part_dir = os.path.join(self.index_dir, f"part={part}")
         if not os.path.isdir(part_dir):
             entry = (np.zeros(0, np.int64), np.zeros(0, np.int64),
@@ -296,35 +353,50 @@ class FetchWorker:
         if batch.num_rows == 0:
             return _empty_fetch_table()
         parts = pc.unique(batch["part"]).to_pylist()
-        urls, hosts, prios, htmls = [], [], [], []
+        urls, hosts, prios = [], [], []
+        html_arrs: list[pa.Array] = []
         for p in sorted(parts):
             sel = batch.filter(pc.equal(batch["part"], p))
             part_urls = sel["canonical_url"].to_pylist()
             urls += part_urls
             hosts += sel["host"].to_pylist()
             prios += sel["priority"].to_pylist()
-            htmls += self.fetcher.fetch_part(
-                int(p), np.asarray(sel["url_hash"]), part_urls)
+            hashes = np.asarray(sel["url_hash"])
+            if hasattr(self.fetcher, "fetch_part_arrow"):
+                # Arrow-native gather: html stays an Arrow binary array
+                # end to end — never len(urls) Python bytes objects
+                html_arrs.append(self.fetcher.fetch_part_arrow(int(p), hashes))
+            else:  # Fetcher seam (HttpFetcher / test doubles): list API
+                html_arrs.append(pa.array(
+                    self.fetcher.fetch_part(int(p), hashes, part_urls),
+                    pa.binary()))
+        html_col = pa.concat_arrays(
+            [a.cast(pa.binary()) for a in html_arrs])
         _t1 = _time.time()
         # route outcomes first, then extract text for ALL ok rows in one
         # batch kernel call (Arrow RE2 passes over the whole column —
         # extraction is the dominant crawl cost, see common/extract)
+        have_html = np.asarray(pc.is_valid(html_col))
         out_outcome, out_text, out_links = [], [], []
-        ok_rows, ok_htmls = [], []
-        for i, (u, h, html) in enumerate(zip(urls, hosts, htmls)):
+        ok_rows = []
+        for i, (u, h) in enumerate(zip(urls, hosts)):
             if self._denied(h, path_of(u)):
                 out_outcome.append("robots")
-            elif html is None:
+            elif not have_html[i]:
                 out_outcome.append("miss")
             else:
                 out_outcome.append("ok")
                 ok_rows.append(i)
-                ok_htmls.append(html)
             out_text.append(None)
             out_links.append([])
         _t2 = _time.time()
         if ok_rows:
-            for i, text in zip(ok_rows, extract_text_batch(ok_htmls)):
+            # decode ONCE (Arrow cast), reuse for text extraction (Arrow
+            # RE2 passes) and per-row href scans (Python strings are
+            # needed there anyway for finditer)
+            ok_html = _decode_column(
+                html_col.take(pa.array(ok_rows, pa.int64())))
+            for i, text in zip(ok_rows, extract_text_batch(ok_html)):
                 out_text[i] = text
             _t3 = _time.time()
             # flatten hrefs across the whole batch, resolve them in ONE
@@ -332,7 +404,7 @@ class FetchWorker:
             # then group back by parent row
             all_hrefs: list[str] = []
             parent: list[int] = []
-            for i, html in zip(ok_rows, ok_htmls):
+            for i, html in zip(ok_rows, ok_html.to_pylist()):
                 hs = extract_hrefs(html)
                 all_hrefs += hs
                 parent += [i] * len(hs)

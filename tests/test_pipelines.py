@@ -686,6 +686,7 @@ class TestRound3LateOperators:
         ("ntile_docs_by_length", ["doc_id"]),
         ("chunk_documents", ["doc_id", "chunk_idx"]),
         ("decontaminate_docs", ["doc_id"]),
+        ("unigram_logprob_score", ["doc_id"]),
     ])
     def test_matches_oracle(self, name, keys):
         import duckdb
