@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from spider_ray.pipelines import sketches as sk
     from spider_ray.pipelines import sources as src
     from spider_ray.pipelines import textstats as ts
+    from spider_ray.pipelines import webtext as wt
 
     return {
         # -- crawl engine (rows-only; pytest oracle is the hard gate) -----
@@ -106,6 +107,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": ts.chunk_documents,
         "decontaminate_docs": ts.decontaminate_docs,
         "unigram_logprob_score": ts.unigram_logprob_score,
+        # -- webtext corpus prep (repetition filters, clustering, search,
+        #    bigram LM, packing, domain mixing) -----------------------------
+        "repetition_stats": wt.repetition_stats,
+        "dedup_minhash_clusters": wt.dedup_minhash_clusters,
+        "keyword_search_topk": wt.keyword_search_topk,
+        "bigram_logprob_score": wt.bigram_logprob_score,
+        "pack_documents": wt.pack_documents,
+        "domain_mix_sample": wt.domain_mix_sample,
         # -- deduplication -------------------------------------------------
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
@@ -567,6 +576,143 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(logp), 4) AS avg_logprob
             FROM tok JOIN lp USING (token)
             GROUP BY doc_id
+        """,
+        # Gopher-style repetition rules (Rae et al. 2021 §A1.1): top
+        # 2-gram token coverage + duplicate 5-gram occurrence fraction
+        "repetition_stats": """
+            WITH tok AS (SELECT doc_id,
+                                regexp_extract_all(lower(text),
+                                                   '[a-z0-9_]+') AS t
+                         FROM documents),
+            g2 AS (SELECT doc_id, t[i]||' '||t[i+1] AS g
+                   FROM tok,
+                        UNNEST(generate_series(1, greatest(len(t) - 1, 0)))
+                            AS u(i)),
+            g2max AS (SELECT doc_id, max(c) AS maxc
+                      FROM (SELECT doc_id, g, count(*) AS c
+                            FROM g2 GROUP BY 1, 2) GROUP BY 1),
+            g5 AS (SELECT doc_id, count(*) AS tot5,
+                          count(DISTINCT g) AS uni5
+                   FROM (SELECT doc_id,
+                                t[i]||' '||t[i+1]||' '||t[i+2]||' '
+                                ||t[i+3]||' '||t[i+4] AS g
+                         FROM tok,
+                              UNNEST(generate_series(
+                                  1, greatest(len(t) - 4, 0))) AS u(i))
+                   GROUP BY 1)
+            SELECT tok.doc_id, len(t) AS n_tokens,
+                   round(coalesce(2.0 * maxc / greatest(len(t), 1), 0.0), 4)
+                       AS top2_frac,
+                   round(coalesce(1.0 - CAST(uni5 AS DOUBLE) / tot5, 0.0), 4)
+                       AS dup5_frac,
+                   (round(coalesce(2.0 * maxc / greatest(len(t), 1), 0.0), 4)
+                        > 0.20
+                    OR round(coalesce(1.0 - CAST(uni5 AS DOUBLE) / tot5,
+                                      0.0), 4) > 0.20) AS flagged
+            FROM tok LEFT JOIN g2max USING (doc_id)
+                     LEFT JOIN g5 USING (doc_id)
+        """,
+        # Connected components (transitive closure) over the exact
+        # all-pairs word-3-gram Jaccard >= 0.8 graph — the same pair
+        # oracle as dedup_minhash, extended to cluster assignment;
+        # cluster_id = min doc_id of the component.
+        "dedup_minhash_clusters": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+              FROM toks,
+                   UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT doc_a, doc_b
+              FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                         JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+            ),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                      UNION ALL SELECT doc_b, doc_a FROM pairs),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            )
+            SELECT least(a, min(b)) AS cluster_id, a AS doc_id
+            FROM reach GROUP BY a ORDER BY cluster_id, doc_id
+        """,
+        # ordering on the ROUNDED score in both engines (tfidf rule)
+        "keyword_search_topk": """
+            WITH tok AS (SELECT doc_id,
+                                unnest(regexp_extract_all(lower(text),
+                                       '[a-z0-9_]+')) AS token
+                         FROM documents),
+            q(term) AS (VALUES ('spark'), ('window'), ('hash')),
+            tf AS (SELECT doc_id, token, count(*) AS tf
+                   FROM tok JOIN q ON token = term GROUP BY 1, 2),
+            df AS (SELECT token, count(DISTINCT doc_id) AS df
+                   FROM tok JOIN q ON token = term GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM documents)
+            SELECT doc_id,
+                   round(sum(tf * ln(CAST(n AS DOUBLE) / df)), 4) AS score
+            FROM tf JOIN df USING (token) CROSS JOIN n
+            GROUP BY doc_id
+            ORDER BY score DESC, doc_id LIMIT 10
+        """,
+        # bigram LM trained on the corpus itself: P(w2|w1) =
+        # c(w1 w2) / sum_x c(w1 x); docs with < 2 tokens drop (join rule)
+        "bigram_logprob_score": """
+            WITH tok AS (SELECT doc_id,
+                                regexp_extract_all(lower(text),
+                                                   '[a-z0-9_]+') AS t
+                         FROM documents),
+            bg AS (SELECT doc_id, t[i]||' '||t[i+1] AS g
+                   FROM tok,
+                        UNNEST(generate_series(1, greatest(len(t) - 1, 0)))
+                            AS u(i)),
+            cnt AS (SELECT g, count(*) AS c FROM bg GROUP BY g),
+            pre AS (SELECT split_part(g, ' ', 1) AS w1, sum(c) AS cw
+                    FROM cnt GROUP BY 1),
+            lp AS (SELECT g, ln(CAST(c AS DOUBLE) / cw) AS logp
+                   FROM cnt JOIN pre ON split_part(g, ' ', 1) = w1)
+            SELECT doc_id, count(*) AS n_bigrams,
+                   round(avg(logp), 4) AS avg_logprob
+            FROM bg JOIN lp USING (g) GROUP BY doc_id
+        """,
+        # cumulative-quota sequence packing: pack = floor(exclusive
+        # prefix sum / budget) in doc_id order — integer-exact
+        "pack_documents": """
+            SELECT doc_id, n_tokens,
+                   CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT)
+                       AS pack_id
+            FROM (SELECT doc_id,
+                         len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                             AS n_tokens,
+                         sum(len(regexp_extract_all(text, '[A-Za-z0-9_]+')))
+                             OVER (ORDER BY doc_id) AS cum
+                  FROM documents) t
+        """,
+        # weighted domain mixing: keep rate min(1, cap/n_source) via the
+        # multiplicative-hash rule (integer-exact in both engines)
+        "domain_mix_sample": """
+            WITH c AS (SELECT source, count(*) AS n
+                       FROM documents GROUP BY 1),
+            r AS (SELECT source,
+                         least(CAST(65536 * 10 // n AS BIGINT), 65536)
+                             AS thresh
+                  FROM c)
+            SELECT d.doc_id, d.source, d.lang
+            FROM documents d JOIN r USING (source)
+            WHERE (d.doc_id * 40503) % 65536 < thresh
         """,
         "sources_per_lang": """
             SELECT lang, count(DISTINCT source) AS n_sources,

@@ -1,0 +1,482 @@
+"""Webtext corpus-prep operators the training-data pipeline runs beyond
+per-document stats: Gopher-style repetition filters, near-dup CLUSTERING
+(connected components over the verified pair stream), keyword search over
+the corpus's own term statistics, bigram-LM scoring, sequence packing by
+global prefix sum, and weighted domain mixing.
+
+Same design rules as the rest of the suite: vectorized Arrow/numpy
+kernels inside map_batches, pre-aggregation before every shuffle,
+broadcast-once for every model-parameter-sized side table, and a DuckDB
+oracle per operator (rounding/ordering rules shared verbatim).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import read_table as _rp
+
+_TOKEN_PAT = r"[A-Za-z0-9_]+"  # suite-wide word class (oracle-shared)
+
+
+def _rnd4(x: np.ndarray) -> np.ndarray:
+    """round-half-away-from-zero at 4 digits (matches DuckDB round)."""
+    return np.floor(np.abs(x) * 1e4 + 0.5) / 1e4 * np.sign(x)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filters
+# ---------------------------------------------------------------------------
+
+def repetition_stats(sf_dir: str, top2_max: float = 0.20,
+                     dup5_max: float = 0.20):
+    """Repetition quality rules (the Gopher/MassiveText repetition
+    filters, Rae et al. 2021 §A1.1 — public paper): per document, the
+    fraction of tokens covered by the single most frequent word-2-gram
+    and the duplicate fraction of word-5-gram occurrences; `flagged`
+    marks documents breaching either threshold.
+
+    Everything finalizes inside the batch (a document never splits
+    across batches): shingles are shifted token slices joined
+    element-wise, per-document maxima/distincts are Arrow groupbys over
+    batch-local row indices + bincounts — no shuffle, no Python row
+    loop."""
+    from ..common.tokens import split_tokens
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def _grams(flat, parent, n, starts=None):
+        m = len(flat) - (n - 1)
+        if m <= 0:
+            return None, None
+        valid = parent[:m] == parent[n - 1:]
+        idx = np.flatnonzero(valid)
+        if len(idx) == 0:
+            return None, None
+        slices = [flat.slice(i, m).take(pa.array(idx)) for i in range(n)]
+        return pc.binary_join_element_wise(*slices, " "), parent[idx]
+
+    def fn(t: pa.Table) -> pa.Table:
+        flat, parent = split_tokens(t["text"], lower=True)
+        n_rows = t.num_rows
+        n_tok = np.bincount(parent, minlength=n_rows).astype(np.int64)
+
+        # most frequent 2-gram count per document
+        max2 = np.zeros(n_rows, dtype=np.int64)
+        g2, p2 = _grams(flat, parent, 2)
+        if g2 is not None:
+            counts = pa.TableGroupBy(
+                pa.table({"d": pa.array(p2), "g": g2}),
+                ["d", "g"]).aggregate([([], "count_all")])
+            d = np.asarray(counts["d"])
+            c = np.asarray(counts["count_all"])
+            np.maximum.at(max2, d, c)
+
+        # duplicate word-5-gram occurrence fraction per document
+        tot5 = np.zeros(n_rows, dtype=np.int64)
+        uni5 = np.zeros(n_rows, dtype=np.int64)
+        g5, p5 = _grams(flat, parent, 5)
+        if g5 is not None:
+            tot5 = np.bincount(p5, minlength=n_rows).astype(np.int64)
+            distinct = pa.TableGroupBy(
+                pa.table({"d": pa.array(p5), "g": g5}),
+                ["d", "g"]).aggregate([])
+            uni5 = np.bincount(np.asarray(distinct["d"]),
+                               minlength=n_rows).astype(np.int64)
+
+        top2 = _rnd4(np.where(n_tok >= 2, 2.0 * max2 / np.maximum(n_tok, 1),
+                              0.0))
+        dup5 = _rnd4(np.where(tot5 > 0, 1.0 - uni5 / np.maximum(tot5, 1),
+                              0.0))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(n_tok),
+            "top2_frac": pa.array(top2, pa.float64()),
+            "dup5_frac": pa.array(dup5, pa.float64()),
+            "flagged": pa.array((top2 > top2_max) | (dup5 > dup5_max)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over the verified pair stream
+# ---------------------------------------------------------------------------
+
+_CLUSTER_DRIVER_MAX_PAIRS = 200_000  # same dispatch idea as dedup's verify
+
+
+def dedup_minhash_clusters(sf_dir: str, threshold: float = 0.8,
+                           force_distributed: bool = False):
+    """Duplicate-cluster assignment: connected components over the
+    MinHash-verified near-dup pairs (the step after pair finding that a
+    real dedup needs — a 3-doc chain a~b~c is ONE cluster even when a~c
+    never surfaced as a pair).  Returns (cluster_id, doc_id) for every
+    clustered document, cluster_id = min doc_id of the component.
+
+    Adaptive dispatch mirroring dedup._verify_dispatch: below a pair
+    count threshold the component labels come from a driver union-find
+    over the (dup-set-sized, not corpus-sized) pair list; above it,
+    distributed min-label propagation — labels and edges stay Datasets,
+    each round is one hash join + grouped min, convergence is checked
+    via a count aggregate (label propagation converges in <= diameter
+    rounds; hub-and-spoke dup clusters have tiny diameters).  Both paths
+    are forced in tests and must agree."""
+    import ray.data as rd
+
+    from .dedup import dedup_minhash
+
+    pairs = dedup_minhash(sf_dir, threshold=threshold)
+    if isinstance(pairs, pa.Table):  # driver verify path returns Arrow
+        pairs = rd.from_arrow(pairs)
+    n_pairs = pairs.count()
+    empty = pa.table({"cluster_id": pa.array([], pa.int64()),
+                      "doc_id": pa.array([], pa.int64())})
+    if n_pairs == 0:
+        return rd.from_arrow(empty)
+
+    if n_pairs <= _CLUSTER_DRIVER_MAX_PAIRS and not force_distributed:
+        df = pairs.select_columns(["doc_a", "doc_b"]).to_pandas()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for a, b in zip(df["doc_a"], df["doc_b"]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                # union by min id keeps the representative deterministic
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+        rows = sorted((find(n), n) for n in parent)
+        return rd.from_arrow(pa.table({
+            "cluster_id": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        }))
+
+    # distributed min-label propagation, join-free: each round is ONE
+    # groupby over (label rows ∪ edge rows) keyed on node — the group
+    # fn takes the node's current min label and sends it along its
+    # out-edges (classic message-passing connected components; no
+    # Dataset.join, whose hash-shuffle rejects the schema-less empty
+    # blocks grouped aggregates can emit)
+    def to_msgs(t: pa.Table) -> pa.Table:
+        a = pc.cast(t["doc_a"], pa.int64()).combine_chunks()
+        b = pc.cast(t["doc_b"], pa.int64()).combine_chunks()
+        null = pa.nulls(len(a) + len(b), pa.int64())
+        return pa.table({
+            "node": pa.concat_arrays([a, b]),
+            "lbl": null,
+            "dst": pa.concat_arrays([b, a]),
+        })
+
+    edges = pairs.map_batches(to_msgs, batch_format="pyarrow").materialize()
+
+    def seed(t: pa.Table) -> pa.Table:
+        # initial label of a node = itself (carried as a label row)
+        return pa.table({
+            "node": pc.cast(t["node"], pa.int64()),
+            "lbl": pc.cast(t["node"], pa.int64()),
+            "dst": pa.nulls(t.num_rows, pa.int64()),
+        })
+
+    labels = edges.map_batches(seed, batch_format="pyarrow")
+
+    def propagate(g: pa.Table) -> pa.Table:
+        node = int(g["node"][0].as_py())
+        m = pc.min(g["lbl"]).as_py()
+        m = node if m is None else min(m, node)
+        dsts = g["dst"].drop_null()
+        out_nodes = pa.concat_arrays(
+            [pa.array([node], pa.int64())] + dsts.chunks)
+        k = len(out_nodes)
+        return pa.table({
+            "node": out_nodes,
+            "lbl": pa.array([m] * k, pa.int64()),
+            "dst": pa.nulls(k, pa.int64()),
+        })
+
+    from ray.data.aggregate import Min, Sum
+
+    prev_sum = None
+    for _ in range(64):  # >= diameter of any real dup cluster
+        labels = (labels.union(edges).groupby("node")
+                  .map_groups(propagate, batch_format="pyarrow")
+                  ).materialize()
+        # min-propagation is monotone: the per-node min-label sum
+        # strictly decreases every non-converged round, so a fixpoint
+        # == an unchanged sum (tiny aggregates — no convergence join)
+        mins = (labels.groupby("node")
+                .aggregate(Min("lbl", alias_name="lbl")))
+        cur_sum = mins.aggregate(Sum("lbl", alias_name="s"))["s"]
+        if cur_sum == prev_sum:
+            labels = mins
+            break
+        prev_sum = cur_sum
+    else:
+        labels = labels.groupby("node").aggregate(
+            Min("lbl", alias_name="lbl"))
+    return (labels.map_batches(
+        lambda t: pa.table({"cluster_id": t["lbl"], "doc_id": t["node"]}),
+        batch_format="pyarrow").sort(["cluster_id", "doc_id"]))
+
+
+# ---------------------------------------------------------------------------
+# Keyword search (inverted term statistics + tf-idf scoring)
+# ---------------------------------------------------------------------------
+
+SEARCH_TERMS = ("spark", "window", "hash")  # fixed driver-query terms
+
+
+def keyword_search_topk(sf_dir: str, terms: tuple[str, ...] = SEARCH_TERMS,
+                        k: int = 10):
+    """Keyword search over the corpus: score(doc) = Σ_t tf(doc,t) ·
+    ln(N/df(t)) for the query terms, top-k by (rounded score desc,
+    doc_id).  Pass 1 computes df per query term (per-batch distinct
+    (doc,term) pairs are globally distinct — a document never splits
+    across batches — so the aggregate input is query-term-count-sized
+    per batch) and N; the resulting idf weights broadcast like any
+    model parameters.  Pass 2 scores every document inside its own
+    batch (index_in + weighted bincount) and runs the usual per-block
+    top-k combiner.  Ordering uses the ROUNDED score in both engines."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..common.tokens import split_tokens
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    term_arr = pa.array(list(terms), pa.string())
+    n_docs = _rp(sf_dir, "documents", ["doc_id"]).count()
+
+    def _term_idx(flat) -> np.ndarray:
+        # index_in yields null for misses; fill with -1 for numpy masking
+        return np.asarray(pc.fill_null(pc.index_in(flat, value_set=term_arr),
+                                       -1)).astype(np.int64)
+
+    def df_partials(t: pa.Table) -> pa.Table:
+        flat, parent = split_tokens(t["text"], lower=True)
+        idx = _term_idx(flat)
+        hit = idx >= 0
+        distinct = pa.TableGroupBy(pa.table({
+            "term": np.asarray(idx[hit], dtype=np.int64),
+            "d": parent[hit],
+        }), ["term", "d"]).aggregate([])
+        g = pa.TableGroupBy(distinct, ["term"]).aggregate([([], "count_all")])
+        return g.rename_columns(["term", "df"])
+
+    df = (ds.map_batches(df_partials, batch_format="pyarrow")
+          .groupby("term").aggregate(Sum("df", alias_name="df"))
+          .to_pandas())
+    idf = np.zeros(len(terms), dtype=np.float64)
+    for ti, dfi in zip(df["term"], df["df"]):
+        if dfi > 0:
+            idf[int(ti)] = np.log(float(n_docs) / float(dfi))
+    idf_ref = ray.put(idf)
+
+    def score(t: pa.Table) -> pa.Table:
+        w = ray.get(idf_ref)
+        flat, parent = split_tokens(t["text"], lower=True)
+        idx = _term_idx(flat)
+        hit = idx >= 0
+        s = np.bincount(parent[hit], weights=w[idx[hit]],
+                        minlength=t.num_rows)
+        keep = s > 0
+        return pa.table({
+            "doc_id": pc.take(t["doc_id"],
+                              pa.array(np.flatnonzero(keep), pa.int64())),
+            "score": pa.array(_rnd4(s[keep]), pa.float64()),
+        })
+
+    def local_topk(df_: pd.DataFrame) -> pd.DataFrame:
+        df_ = df_.assign(neg=-df_["score"])
+        return (df_.sort_values(["neg", "doc_id"], kind="mergesort")
+                .head(k).drop(columns=["neg"]))
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    return (scored.map_batches(local_topk, batch_format="pandas",
+                               zero_copy_batch=True)
+            .sort([("score"), ("doc_id")], descending=[True, False])
+            .limit(k))
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM scoring (the step up from the unigram perplexity proxy)
+# ---------------------------------------------------------------------------
+
+def bigram_logprob_score(sf_dir: str):
+    """Bigram-LM quality scoring: mean ln P(w_i | w_{i-1}) per document
+    under the corpus's own bigram model, P(w2|w1) = c(w1 w2) / Σ_x
+    c(w1 x).  Pass 1 is a pre-aggregated bigram-count groupby (one
+    (bigram, count) row per batch enters the shuffle); the prefix
+    totals come from re-aggregating the BIGRAM-TYPE-sized count table,
+    and the resulting log-prob table broadcasts once via ray.put (LM
+    parameters are vocabulary-bounded, not corpus-bounded; at 100 TB
+    the keys would be the common.tokens bigram hashes).  Pass 2 scores
+    each document inside its batch — one index_in probe + bincount
+    mean, no shuffle.  Documents with < 2 tokens have no bigrams and
+    drop (the SQL join rule)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..common.tokens import split_tokens
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def _bigrams(flat, parent):
+        m = len(flat) - 1
+        if m <= 0:
+            return None, None
+        valid = parent[:m] == parent[1:]
+        idx = np.flatnonzero(valid)
+        if len(idx) == 0:
+            return None, None
+        g = pc.binary_join_element_wise(
+            flat.slice(0, m).take(pa.array(idx)),
+            flat.slice(1, m).take(pa.array(idx)), " ")
+        return g, parent[idx]
+
+    def count_partials(t: pa.Table) -> pa.Table:
+        flat, parent = split_tokens(t["text"], lower=True)
+        g, _ = _bigrams(flat, parent)
+        if g is None:
+            return pa.table({"g": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        gb = pa.TableGroupBy(pa.table({"g": g}), ["g"]).aggregate(
+            [([], "count_all")])
+        return gb.rename_columns(["g", "c"])
+
+    counts = (ds.map_batches(count_partials, batch_format="pyarrow")
+              .groupby("g").aggregate(Sum("c", alias_name="c"))
+              .to_pandas())
+    w1 = counts["g"].str.split(" ", n=1).str[0]
+    prefix_tot = counts.groupby(w1)["c"].transform("sum")
+    logp = np.log(counts["c"].to_numpy(np.float64)
+                  / prefix_tot.to_numpy(np.float64))
+    lm_ref = ray.put((pa.array(counts["g"], pa.string()), logp))
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab, lp = ray.get(lm_ref)
+        flat, parent = split_tokens(t["text"], lower=True)
+        g, par = _bigrams(flat, parent)
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_bigrams": pa.array([], pa.int64()),
+                          "avg_logprob": pa.array([], pa.float64())})
+        if g is None:
+            return empty
+        idx = np.asarray(pc.index_in(g, value_set=vocab))
+        tok_lp = lp[idx]  # every bigram is in-vocab (LM trained on corpus)
+        n = np.bincount(par, minlength=t.num_rows)
+        s = np.bincount(par, weights=tok_lp, minlength=t.num_rows)
+        has = n > 0
+        avg = s[has] / n[has]
+        return pa.table({
+            "doc_id": pc.take(t["doc_id"],
+                              pa.array(np.flatnonzero(has), pa.int64())),
+            "n_bigrams": pa.array(n[has].astype(np.int64)),
+            "avg_logprob": pa.array(_rnd4(avg), pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing by global ordered prefix sum
+# ---------------------------------------------------------------------------
+
+def pack_documents(sf_dir: str, budget: int = 2048, range_width: int = 64):
+    """Sequence packing (the context-window packer every LLM trainer
+    runs): documents in doc_id order are assigned to fixed-token-budget
+    packs, pack_id = floor(exclusive_prefix_sum(n_tokens) / budget) —
+    the cumulative-quota rule, deterministic and integer-exact.
+
+    The global ordered prefix sum is two passes, the same shape as the
+    crawl's order shards: pass 1 pre-aggregates token totals per
+    RANGE (doc_id // range_width) — the shuffle carries one row per
+    (range, block) — and the driver turns the range-count-sized total
+    table into exclusive range offsets (broadcast once).  Pass 2 is a
+    per-range map_groups: each group is range_width documents, sorted
+    by doc_id, offset + in-range cumsum.  At 10^10 docs range_width
+    scales up (10^5-10^6 docs/range keeps the offset table small and
+    each group a few MB); a third level would cap both if ever needed."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def tokens(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(t["text"], pattern=_TOKEN_PAT),
+                    pa.int64())
+        rng = pc.divide(t["doc_id"], pa.scalar(range_width, pa.int64()))
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": n,
+                         "range_id": rng})
+
+    toks = ds.map_batches(tokens, batch_format="pyarrow").materialize()
+
+    range_tot = (toks.groupby("range_id")
+                 .aggregate(Sum("n_tokens", alias_name="tot"))
+                 .to_pandas().sort_values("range_id"))
+    offs = np.concatenate([[0], np.cumsum(range_tot["tot"].to_numpy(
+        np.int64))[:-1]])
+    off_map = dict(zip(range_tot["range_id"].astype(np.int64), offs))
+    off_ref = ray.put(off_map)
+
+    def per_range(g: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(off_ref)[int(g["range_id"].iloc[0])]
+        g = g.sort_values("doc_id", kind="mergesort")
+        n = g["n_tokens"].to_numpy(np.int64)
+        excl = base + np.cumsum(n) - n
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "n_tokens": n,
+            "pack_id": (excl // budget).astype(np.int64),
+        })
+
+    return toks.groupby("range_id").map_groups(per_range,
+                                               batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Weighted domain mixing
+# ---------------------------------------------------------------------------
+
+def domain_mix_sample(sf_dir: str, cap: int = 10):
+    """Weighted domain mixing (the over-represented-domain downsampler):
+    each source is kept at rate min(1, cap/n_source), realized by the
+    deterministic multiplicative-hash rule
+    (doc_id · 40503) mod 65536 < min(65536·cap // n, 65536) —
+    integer-exact and overflow-safe in int64, so the distributed result
+    hash-matches the SQL verbatim.  Pass 1 is a tiny per-source count
+    aggregate (pre-aggregated per block); the per-source thresholds
+    broadcast once; pass 2 filters each batch with one index_in lookup,
+    no shuffle."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "source", "lang"])
+
+    def count_partials(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["source"]), ["source"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["source", "n"])
+
+    counts = (ds.map_batches(count_partials, batch_format="pyarrow")
+              .groupby("source").aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    src_arr = pa.array(counts["source"], pa.string())
+    thresh = np.minimum(65536 * cap // counts["n"].to_numpy(np.int64), 65536)
+    bc = ray.put((src_arr, thresh))
+
+    def filt(t: pa.Table) -> pa.Table:
+        srcs, th = ray.get(bc)
+        idx = np.asarray(pc.fill_null(
+            pc.index_in(t["source"], value_set=srcs), -1)).astype(np.int64)
+        h = (np.asarray(t["doc_id"], dtype=np.int64) * 40503) % 65536
+        return t.filter(pa.array(h < th[idx]))
+
+    return ds.map_batches(filt, batch_format="pyarrow")

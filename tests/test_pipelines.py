@@ -687,6 +687,12 @@ class TestRound3LateOperators:
         ("chunk_documents", ["doc_id", "chunk_idx"]),
         ("decontaminate_docs", ["doc_id"]),
         ("unigram_logprob_score", ["doc_id"]),
+        ("repetition_stats", ["doc_id"]),
+        ("dedup_minhash_clusters", ["doc_id"]),
+        ("keyword_search_topk", ["doc_id"]),
+        ("bigram_logprob_score", ["doc_id"]),
+        ("pack_documents", ["doc_id"]),
+        ("domain_mix_sample", ["doc_id"]),
     ])
     def test_matches_oracle(self, name, keys):
         import duckdb
@@ -822,3 +828,111 @@ def test_pivot_status_by_priority_matches_oracle():
     r = E.queries()["pivot_status_by_priority"](SF).to_pandas()
     o = con.execute(E.oracle_sql()["pivot_status_by_priority"]).fetchdf()
     pd.testing.assert_frame_equal(r, o, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWebtextOps:
+    """Behavioral gates for the webtext corpus-prep operators (their
+    hash-vs-oracle gates live in TestRound3LateOperators)."""
+
+    @pytest.fixture(scope="class")
+    def chain_corpus(self, tmp_path_factory):
+        """a~b~c near-dup chain where a~c alone would NOT pair: cluster
+        assignment must still put all three in one component."""
+        d = str(tmp_path_factory.mktemp("chain"))
+        base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+                "juliet kilo lima mike november oscar papa quebec romeo "
+                "sierra tango uniform victor whiskey xray yankee zulu "
+                "one two three four five six seven eight nine ten").split()
+        a = base[:]
+        b = base[:]; b[3] = "changedone"
+        c = base[:]; c[3] = "changedone"; c[20] = "changedtwo"
+        x = base[:]; x[3] = "xx1"; x[10] = "xx2"; x[20] = "xx3"
+        y = x[:]; y[5] = "yy1"
+        texts = [" ".join(w) for w in (a, b, c, x, y)] + [
+            f"unrelated filler document number {i} with its own words "
+            f"entirely distinct tokens row{i} col{i} val{i}"
+            for i in range(40)]
+        t = pa.table({
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+        pq.write_table(t, f"{d}/documents.parquet")
+        return d
+
+    def test_clusters_are_transitive(self, chain_corpus):
+        from spider_ray.pipelines.webtext import dedup_minhash_clusters
+
+        out = dedup_minhash_clusters(chain_corpus, threshold=0.8).to_pandas()
+        comp = dict(zip(out["doc_id"], out["cluster_id"]))
+        assert comp[0] == comp[1] == comp[2] == 0, comp
+        assert comp[3] == comp[4] == 3, comp
+
+    def test_cluster_paths_agree(self, chain_corpus):
+        from spider_ray.pipelines.webtext import dedup_minhash_clusters
+
+        drv = dedup_minhash_clusters(chain_corpus).to_pandas()
+        dist = dedup_minhash_clusters(
+            chain_corpus, force_distributed=True).to_pandas()
+        pd.testing.assert_frame_equal(
+            drv.sort_values("doc_id").reset_index(drop=True),
+            dist.sort_values("doc_id").reset_index(drop=True),
+            check_dtype=False)
+
+    def test_pack_documents_quota_invariants(self):
+        from spider_ray.pipelines.webtext import pack_documents
+
+        out = (pack_documents(SF, budget=500).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        # cumulative-quota rule: packs are contiguous 0..P, every pack
+        # except the last CROSSES its budget boundary by < one document
+        assert out["pack_id"].min() == 0
+        sums = out.groupby("pack_id")["n_tokens"].sum()
+        last = out["pack_id"].max()
+        assert (sums.index == range(last + 1)).all()
+        assert (sums[sums.index < last] >= 500 - out["n_tokens"].max()).all()
+        # pack ids are non-decreasing in doc order
+        assert (out["pack_id"].diff().dropna() >= 0).all()
+
+    def test_domain_mix_downsamples_big_sources(self):
+        from spider_ray.pipelines.webtext import domain_mix_sample
+
+        full = pq.read_table(f"{SF}/documents.parquet")
+        out = domain_mix_sample(SF, cap=10).to_pandas()
+        n_full = len(full)
+        assert 0 < len(out) < n_full, "mixing rule must actually filter"
+        # every source survives at a rate near min(1, cap/n): the hash
+        # is uniform so allow slack, but no source may dominate
+        src_full = pd.Series(full["source"].to_pylist()).value_counts()
+        src_out = out["source"].value_counts()
+        for s, n in src_full.items():
+            rate = src_out.get(s, 0) / n
+            assert rate <= 1.0
+            if n >= 15:
+                assert rate < 0.95, f"{s} not downsampled ({rate})"
+
+    def test_repetition_flags_degenerate_doc(self, tmp_path):
+        from spider_ray.pipelines.webtext import repetition_stats
+
+        d = str(tmp_path)
+        texts = ["spam ham " * 30,                          # one 2-gram
+                 "the quick brown fox jumps over a lazy dog and then "
+                 "walks away to find some food in the nearby forest"]
+        pq.write_table(pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }), f"{d}/documents.parquet")
+        out = (repetition_stats(d).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        assert bool(out.loc[0, "flagged"]) is True
+        assert out.loc[0, "top2_frac"] > 0.9
+        assert out.loc[0, "dup5_frac"] > 0.9
+        assert bool(out.loc[1, "flagged"]) is False
+
+    def test_keyword_search_scores_positive_and_ranked(self):
+        from spider_ray.pipelines.webtext import keyword_search_topk
+
+        out = keyword_search_topk(SF, k=10).to_pandas()
+        assert len(out) == 10
+        assert (out["score"] > 0).all()
+        assert (out["score"].diff().dropna() <= 0).all()
