@@ -91,6 +91,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "histogram_event_value": rel.histogram_event_value,
         "approx_distinct_tokens": sk.approx_distinct_tokens,
         "heavy_hitter_tokens": sk.heavy_hitter_tokens,
+        # rows-only: mergeable epsilon-summary; rank-error bound is the
+        # contract (asserted in tests), not value equality with SQL
+        "approx_quantile_event_value": sk.approx_quantile_event_value,
         # -- text analysis -------------------------------------------------
         "text_doc_stats_by_lang": ts.doc_stats_by_lang,
         "text_token_count": ts.token_count,

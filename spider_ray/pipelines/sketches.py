@@ -193,3 +193,54 @@ def heavy_hitter_tokens(sf_dir: str, k: int = 20, capacity: int = 8192):
           f"L_k={l_k} candidates={len(cand)} "
           f"exact_guaranteed={cand_sound and kth > bound}", flush=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def approx_quantile_event_value(sf_dir: str, qs=(0.5, 0.9, 0.99),
+                                s: int = 1024):
+    """Approximate global quantiles via a mergeable per-block quantile
+    summary (the GK/KLL-family ε-summary pattern, ε = 1/s per block):
+    each block emits s equally-spaced order statistics with integer
+    weights that sum exactly to the block size, so the merged summary's
+    weighted rank of any value is within Σ n_block/s = N/s of its true
+    rank — a one-pass, shuffle-free alternative to the exact
+    histogram rank-select (quantile_event_value_global) when a bounded
+    rank error is acceptable.  The summary is s × n_blocks rows
+    (kilobytes); the final weighted select runs on the driver like the
+    HLL merge.  rows-only for the driver; the rank-error bound vs the
+    exact order statistic is asserted in tests."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def summary(t: pa.Table) -> pa.Table:
+        v = np.sort(np.asarray(t["value"], dtype=np.float64))
+        n = len(v)
+        if n == 0:
+            return pa.table({"val": pa.array([], pa.float64()),
+                             "w": pa.array([], pa.int64())})
+        s_eff = min(s, n)
+        ranks = ((np.arange(s_eff) + 0.5) * n / s_eff).astype(np.int64)
+        # weights = interval-boundary differences: they sum EXACTLY to n
+        # AND stay within ±1 of the uniform spacing the midpoint ranks
+        # assume (a lumped remainder would skew merged ranks coherently)
+        bounds = np.arange(s_eff + 1, dtype=np.int64) * n // s_eff
+        w = np.diff(bounds)
+        return pa.table({"val": pa.array(v[ranks]), "w": pa.array(w)})
+
+    rows = (ds.map_batches(summary, batch_format="pyarrow")
+            .sort("val").to_pandas())
+    vals = rows["val"].to_numpy(np.float64)
+    w = rows["w"].to_numpy(np.int64)
+    cumw = np.cumsum(w)
+    n_total = int(cumw[-1]) if len(cumw) else 0
+    # a summary point's value sits at its source block's MIDPOINT rank,
+    # so its effective global rank is cumw - w/2 (uncentred cumw would
+    # bias every estimate high by ~N/2s)
+    mid = cumw - w / 2.0
+    out = {"n_events": pa.array([n_total], pa.int64())}
+    for q in qs:
+        target = q * (n_total - 1)
+        i = int(np.searchsorted(mid, target, side="left"))
+        out[f"p{int(q * 100)}"] = pa.array(
+            [float(vals[min(i, len(vals) - 1)])], pa.float64())
+    return pa.table(out)

@@ -92,3 +92,42 @@ def test_config_reconcile_between_epochs(smoke_fixture, tmp_path):
     # robots deny applied by the actors from epoch 1 on
     host0 = [r for r in later if r["host"] == "host000.example"]
     assert host0 and all(r["outcome"] == "robots" for r in host0)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestQuantileSummary:
+    """Mergeable per-block quantile summary: the returned value's TRUE
+    rank must be within the documented N/s bound of the target rank."""
+
+    @pytest.mark.parametrize("s", [64, 1024])
+    def test_rank_error_within_bound(self, s):
+        from spider_ray.pipelines.sketches import approx_quantile_event_value
+
+        out = approx_quantile_event_value(SF, qs=(0.5, 0.9, 0.99),
+                                          s=s).to_pandas()
+        exact = np.sort(np.asarray(
+            pq.read_table(f"{SF}/events.parquet", columns=["value"])["value"],
+            dtype=np.float64))
+        n = len(exact)
+        assert int(out["n_events"].iloc[0]) == n
+        for q in (0.5, 0.9, 0.99):
+            got = float(out[f"p{int(q * 100)}"].iloc[0])
+            target = int(np.floor(q * (n - 1)))
+            true_rank = int(np.searchsorted(exact, got, side="left"))
+            # bound: N/s per the summary contract (+1 discretization)
+            assert abs(true_rank - target) <= n / s + 1, \
+                f"q={q} s={s}: rank {true_rank} vs {target}"
+
+    def test_tight_summary_is_near_exact(self):
+        """s >= block size => every block is represented losslessly up
+        to the midpoint rule; p50 must land within a handful of ranks."""
+        from spider_ray.pipelines.sketches import approx_quantile_event_value
+
+        out = approx_quantile_event_value(SF, qs=(0.5,), s=100_000).to_pandas()
+        exact = np.sort(np.asarray(
+            pq.read_table(f"{SF}/events.parquet", columns=["value"])["value"],
+            dtype=np.float64))
+        n = len(exact)
+        got = float(out["p50"].iloc[0])
+        true_rank = int(np.searchsorted(exact, got, side="left"))
+        assert abs(true_rank - int(np.floor(0.5 * (n - 1)))) <= 2
