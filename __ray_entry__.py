@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_logprob_score": wt.bigram_logprob_score,
         "pack_documents": wt.pack_documents,
         "domain_mix_sample": wt.domain_mix_sample,
+        "dedup_incremental": wt.dedup_incremental,
         # -- deduplication -------------------------------------------------
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
@@ -652,6 +653,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT least(a, min(b)) AS cluster_id, a AS doc_id
             FROM reach GROUP BY a ORDER BY cluster_id, doc_id
+        """,
+        # Incremental dedup: NEW batch (odd doc_id) vs EXISTING corpus
+        # (even doc_id), cross-side pairs only — exact all-pairs
+        # word-3-gram Jaccard across the side split, the same pair
+        # oracle family as dedup_minhash.
+        "dedup_incremental": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+              FROM toks,
+                   UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM grams a JOIN grams b ON a.g = b.g
+              WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+            FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                       JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+            ORDER BY doc_a, doc_b
         """,
         # ordering on the ROUNDED score in both engines (tfidf rule)
         "keyword_search_topk": """

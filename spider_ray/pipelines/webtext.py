@@ -1,8 +1,9 @@
 """Webtext corpus-prep operators the training-data pipeline runs beyond
 per-document stats: Gopher-style repetition filters, near-dup CLUSTERING
-(connected components over the verified pair stream), keyword search over
-the corpus's own term statistics, bigram-LM scoring, sequence packing by
-global prefix sum, and weighted domain mixing.
+(connected components over the verified pair stream), INCREMENTAL dedup
+(new batch vs existing corpus, cross-side candidates only), keyword
+search over the corpus's own term statistics, bigram-LM scoring,
+sequence packing by global prefix sum, and weighted domain mixing.
 
 Same design rules as the rest of the suite: vectorized Arrow/numpy
 kernels inside map_batches, pre-aggregation before every shuffle,
@@ -480,3 +481,99 @@ def domain_mix_sample(sf_dir: str, cap: int = 10):
         return t.filter(pa.array(h < th[idx]))
 
     return ds.map_batches(filt, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus (cross-side only)
+# ---------------------------------------------------------------------------
+
+def dedup_incremental(sf_dir: str, threshold: float = 0.8,
+                      num_perms: int = 64, bands: int = 16,
+                      verify_distributed: bool | None = None,
+                      driver_pair_threshold: int = 200_000):
+    """Incremental near-dup detection — the daily-ingest mode: a NEW
+    document batch (doc_id % 2 == 1 here, standing in for today's
+    crawl) is deduped against the EXISTING corpus (doc_id % 2 == 0)
+    without ever comparing new-vs-new or existing-vs-existing.  Returns
+    (doc_a = existing, doc_b = new, jaccard >= threshold) pairs.
+
+    Same banded-MinHash machinery as dedup_minhash, with the candidate
+    stage emitting only CROSS-side pairs inside each LSH bucket — the
+    work is |new| × bucket-collision-sized, independent of how large
+    the existing corpus grows.  In production the existing side's band
+    rows are the persisted signature index (written once, like the IVF
+    cell index); here both sides sketch in one pass because the corpus
+    is one table.  Verification reuses the adaptive driver/distributed
+    exact-Jaccard dispatch."""
+    from ..common.tokens import word_shingle_hashes
+    from .dedup import (MinHasher, _dedup_pairs_ds, _sketch_bands,
+                        _verify_dispatch)
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    hasher = MinHasher(num_perms=num_perms)
+
+    def sketch(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"])
+        sh, par = word_shingle_hashes(t["text"])
+        rows = _sketch_bands(ids, sh, par, t.num_rows, hasher, bands)
+        return rows.append_column(
+            "side", pc.cast(pc.bit_wise_and(rows["doc_id"], 1), pa.int8()))
+
+    band_ds = ds.map_batches(sketch, batch_format="pyarrow", batch_size=4096)
+    coarse_buckets = 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(t["band_hash"],
+                                              coarse_buckets - 1), pa.int32()))
+
+    def cross_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        """Within each (band_id, band_hash) bucket emit ONLY pairs with
+        one existing-side and one new-side doc, oriented (existing,
+        new).  Size-2 groups (the common case) are fully vectorized;
+        larger groups loop over a bounded bucket size."""
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                              "doc_b": pd.Series([], dtype=np.int64)})
+        df = df.sort_values(["band_id", "band_hash", "doc_id"],
+                            kind="mergesort")
+        bid = df["band_id"].to_numpy()
+        bh = df["band_hash"].to_numpy()
+        ids = df["doc_id"].to_numpy()
+        side = df["side"].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return empty
+        new = np.ones(n, dtype=bool)
+        new[1:] = (bh[1:] != bh[:-1]) | (bid[1:] != bid[:-1])
+        gidx = np.cumsum(new) - 1
+        sizes = np.bincount(gidx)
+        size_per_row = sizes[gidx]
+        # size-2 fast path: keep only mixed-side groups
+        s2 = np.nonzero(new & (size_per_row == 2))[0]
+        mixed = side[s2] != side[s2 + 1]
+        s2 = s2[mixed]
+        first_is_new = (side[s2] == 1)
+        out_a = [np.where(first_is_new, ids[s2 + 1], ids[s2])]
+        out_b = [np.where(first_is_new, ids[s2], ids[s2 + 1])]
+        big = np.nonzero(new & (size_per_row >= 3)
+                         & (size_per_row <= 2000))[0]
+        for st in big:
+            sz = sizes[gidx[st]]
+            g_ids, g_side = ids[st:st + sz], side[st:st + sz]
+            ex, nw = g_ids[g_side == 0], g_ids[g_side == 1]
+            if len(ex) and len(nw):
+                a, b = np.meshgrid(ex, nw, indexing="ij")
+                out_a.append(a.ravel())
+                out_b.append(b.ravel())
+        if not out_a:
+            return empty
+        return pd.DataFrame({"doc_a": np.concatenate(out_a).astype(np.int64),
+                             "doc_b": np.concatenate(out_b).astype(np.int64)})
+
+    cand = _dedup_pairs_ds(
+        band_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(cross_pairs, batch_format="pandas"))
+    return _verify_dispatch(sf_dir, ds, cand, word_shingle_hashes,
+                            "jaccard", threshold,
+                            verify_distributed, driver_pair_threshold)

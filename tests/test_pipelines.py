@@ -693,6 +693,7 @@ class TestRound3LateOperators:
         ("bigram_logprob_score", ["doc_id"]),
         ("pack_documents", ["doc_id"]),
         ("domain_mix_sample", ["doc_id"]),
+        ("dedup_incremental", ["doc_a", "doc_b"]),
     ])
     def test_matches_oracle(self, name, keys):
         import duckdb
@@ -936,3 +937,50 @@ class TestWebtextOps:
         assert len(out) == 10
         assert (out["score"] > 0).all()
         assert (out["score"].diff().dropna() <= 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIncrementalDedup:
+    """Cross-side-only semantics: new-vs-existing pairs reported,
+    within-side duplicates never compared."""
+
+    @pytest.fixture(scope="class")
+    def split_corpus(self, tmp_path_factory):
+        d = str(tmp_path_factory.mktemp("incr"))
+        base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+                "juliet kilo lima mike november oscar papa quebec romeo "
+                "sierra tango uniform victor whiskey xray yankee zulu "
+                "one two three four five six seven eight nine ten eleven "
+                "twelve thirteen fourteen fifteen sixteen seventeen "
+                "eighteen nineteen twenty red green blue cyan magenta "
+                "yellow black white").split()
+        mk = lambda *subs: " ".join(
+            [w if i not in dict(subs) else dict(subs)[i]
+             for i, w in enumerate(base)])
+        texts = {
+            0: mk(),                     # existing
+            2: mk(),                     # existing exact dup of 0 (same side)
+            1: mk((3, "oneword")),       # new near-dup of 0 and 2
+            4: mk((0, "q0"), (5, "q5"), (9, "q9"), (13, "q13")),  # existing
+            6: " ".join(f"distinct{i} word{i}" for i in range(30)),
+            3: " ".join(f"other{i} token{i}" for i in range(30)),
+            5: " ".join(f"other{i} token{i}" for i in range(30)),  # dup of 3 (new side)
+        }
+        ids = sorted(texts)
+        pq.write_table(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([texts[i] for i in ids], pa.string()),
+        }), f"{d}/documents.parquet")
+        return d
+
+    def test_only_cross_side_pairs(self, split_corpus):
+        from spider_ray.pipelines.webtext import dedup_incremental
+
+        out = dedup_incremental(split_corpus, threshold=0.8).to_pandas()
+        got = set(zip(out["doc_a"], out["doc_b"]))
+        # the new near-dup doc 1 must match BOTH existing copies 0 and 2
+        assert (0, 1) in got and (2, 1) in got, got
+        # within-side duplicates (0,2 existing; 3,5 new) never reported
+        for a, b in got:
+            assert a % 2 == 0 and b % 2 == 1, (a, b)
+        assert (0, 2) not in got and (3, 5) not in got
