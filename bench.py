@@ -91,6 +91,11 @@ def bench_crawl(sf_dir: str, num_cpus: int) -> dict:
     manifest = eng.run_epochs(manifest)
     dt = time.time() - t0
     urls = sum(e["selected"] for e in manifest["epochs"])
+    # release the persistent fetch/seen actor pool: leaving 40 resident
+    # actors (holding CPU slots + GBs of cached index shards) starves
+    # the operator-pipeline section that follows in the same session —
+    # measured 10-30x inflation on every post-crawl query until freed
+    eng.close()
     return {"sec": round(dt, 3), "urls": urls,
             "urls_per_sec": round(urls / dt, 1),
             "epochs": len(manifest["epochs"]), "pages": n_pages}
@@ -106,6 +111,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "broadcast_join_segment_revenue", "window_hourly_user_value",
         "sessionize_users", "dedup_exact", "dedup_minhash",
         "text_quality_score", "ann_topk_bruteforce", "multimodal_features",
+        "repetition_stats", "dedup_minhash_clusters", "pack_documents",
     ]
     qs = entry.queries()
     # untimed warmup: the first Dataset execution of a session pays

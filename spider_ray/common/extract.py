@@ -67,11 +67,20 @@ def extract_text_batch(htmls) -> list[str]:
     script/style → drop comments → replace tags with a space → unescape
     HTML entities → collapse whitespace → strip.  Null rows yield "".
     """
+    import os as _os
+    import time as _time
+    _dbg = bool(_os.environ.get("SPIDER_RAY_EXTRACT_DEBUG"))
+    _t0 = _time.time()
     arr = _decode_column(htmls)
     if len(arr) == 0:
         return []
-    for pat in _BATCH_PASSES:
-        arr = pc.replace_substring_regex(arr, pattern=pat, replacement=" ")
+    _t1 = _time.time()
+    arr = pc.replace_substring_regex(arr, pattern=_BATCH_PASSES[0],
+                                     replacement=" ")
+    _t2 = _time.time()
+    arr = pc.replace_substring_regex(arr, pattern=_BATCH_PASSES[1],
+                                     replacement=" ")
+    _t3 = _time.time()
     out = arr.to_pylist()
     for i, s in enumerate(out):
         if s is None:
@@ -82,6 +91,11 @@ def extract_text_batch(htmls) -> list[str]:
         # str.split() splits on the same unicode whitespace class the
         # old re \s+ matched; join+split is the fast C path
         out[i] = " ".join(s.split())
+    if _dbg:
+        _t4 = _time.time()
+        print(f"[extract] n={len(out)} decode={_t1-_t0:.2f} "
+              f"pass1={_t2-_t1:.2f} pass2={_t3-_t2:.2f} "
+              f"tail={_t4-_t3:.2f}", flush=True)
     return out
 
 

@@ -87,7 +87,7 @@ def build_pages_index(pages_path: str, index_dir: str, num_parts: int) -> dict:
     key = json.dumps({"pages": os.path.abspath(pages_path),
                       "mtime": os.path.getmtime(pages_path),
                       "parts": num_parts,
-                      "schema_v": 2}, sort_keys=True)  # bump on index schema change
+                      "schema_v": 3}, sort_keys=True)  # bump on index schema change
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read() == key:
@@ -143,7 +143,11 @@ def _compact_index_parts(index_dir: str, num_parts: int,
             return 0
         t = pq.read_table(part_dir, use_threads=False)
         tmp = os.path.join(part_dir, "_compact.tmp")
-        pq.write_table(t, tmp, row_group_size=8192)
+        # small row groups = the gather's pruning granularity: a fetch
+        # for K urls decompresses only the row groups those urls live
+        # in, not the whole shard (IndexFetcher caches NO html — see
+        # _load_part — so this is what bounds per-call read work)
+        pq.write_table(t, tmp, row_group_size=512)
         os.replace(tmp, os.path.join(part_dir, "compacted.parquet"))
         for f in files:
             os.remove(f)
@@ -179,8 +183,19 @@ class IndexFetcher:
 
     def __init__(self, index_dir: str, max_cached_parts: int = 64):
         self.index_dir = index_dir
-        # part cache: (sorted url hashes, argsort order, html column)
+        # part cache: (sorted url hashes, argsort order, html column).
+        # The html column is backed by the RAY OBJECT STORE, not the
+        # actor heap: 32 actors each pinning a ~160 MB shard as
+        # anonymous heap memory puts ~5 GB of per-process anon pages on
+        # the node, which on an overcommitted host slows EVERY phase of
+        # every process 10-20x (measured: +300 MB resident ballast per
+        # process inflated the extraction kernel 9.3 s -> 102 s wall at
+        # 32 procs; with small heaps the same kernel ran at isolated
+        # speed).  ray.put once + a zero-copy ray.get view keeps ONE
+        # shm-backed, evictable/spillable copy per node that all
+        # gathers read through — heap residency stays kilobytes.
         self._cache: dict[int, tuple[np.ndarray, np.ndarray, pa.Array]] = {}
+        self._pins: dict[int, object] = {}  # ObjectRef keepalives
         self._max_cached = max_cached_parts
 
     def warm(self, part: int) -> int:
@@ -193,15 +208,8 @@ class IndexFetcher:
                    urls: list[str]) -> list:
         """Row-aligned html payloads for one partition's urls (None =
         miss).  O(log n) sorted-hash membership + one vectorized gather."""
-        sorted_h, order, html_col = self._load_part(int(part))
-        if len(sorted_h) == 0:  # shard has no pages at all -> all miss
-            return [None] * len(url_hashes)
-        h = np.asarray(url_hashes)
-        pos = np.searchsorted(sorted_h, h)
-        pos_c = np.clip(pos, 0, len(sorted_h) - 1)
-        found = sorted_h[pos_c] == h
-        gathered = html_col.take(pa.array(order[pos_c], pa.int64())).to_pylist()
-        return [g if f else None for g, f in zip(gathered, found.tolist())]
+        arr = self.fetch_part_arrow(int(part), np.asarray(url_hashes))
+        return arr.to_pylist()
 
     def fetch_part_arrow(self, part: int, url_hashes: np.ndarray) -> pa.Array:
         """Arrow-native variant of fetch_part: row-aligned binary array
@@ -219,6 +227,22 @@ class IndexFetcher:
         found = sorted_h[pos_c] == h
         idx = pa.array(order[pos_c], pa.int64(), mask=~found)
         return html_col.take(idx)
+
+    def _shm_backed(self, part: int, html: pa.Array) -> pa.Array:
+        """Move a shard's html column into the object store and return a
+        zero-copy view (see __init__); falls back to the heap array when
+        no Ray session exists (driver-side oracle/test usage)."""
+        try:
+            import ray
+            if not ray.is_initialized():
+                return html
+            ref = ray.put(html)
+            view = ray.get(ref)
+            self._pins[part] = ref  # keep the plasma object alive
+            return (view.combine_chunks()
+                    if isinstance(view, pa.ChunkedArray) else view)
+        except Exception:
+            return html
 
     def _load_part(self, part: int):
         """Sorted-hash lookup index for one pages shard: O(log n)
@@ -264,10 +288,13 @@ class IndexFetcher:
                     i = j + 1
                 order = np.asarray(keep_rows, dtype=np.int64)
                 hs = h[order]
-            html = t["html"].combine_chunks()
+            html = self._shm_backed(part, t["html"].combine_chunks())
+            del t  # drop the heap copy before caching the shm view
             entry = (hs, order, html)
         if len(self._cache) >= self._max_cached:
-            self._cache.pop(next(iter(self._cache)))  # FIFO eviction
+            old = next(iter(self._cache))
+            self._cache.pop(old)  # FIFO eviction
+            self._pins.pop(old, None)
         self._cache[part] = entry
         return entry
 
