@@ -6,17 +6,15 @@ Both import this module, and the per-page API is a thin wrapper over the
 SAME batch kernel, so the invariant reduces to determinism of one pure
 function (SURVEY.md §7.4 "Byte-identical text").
 
-The batch kernel runs the heavy passes (script/style/comment/tag
-stripping) as Arrow RE2 `replace_substring_regex` over the whole html
-column — C++ regex instead of per-page Python `re`, which was the
-dominant CPU cost of the crawl fetch stage.  Entity unescape and
-whitespace collapse finish per row in Python (cheap; unescape only runs
-on rows that contain '&').
+The batch kernel runs every pass (script/style/comment/tag stripping,
+common-entity unescape, whitespace collapse, href scan) as Arrow RE2
+column kernels — C++ regex instead of per-page Python, which was the
+dominant CPU cost of the crawl fetch stage.  Python html.unescape runs
+only on rows containing entities outside the common set.
 """
 
 from __future__ import annotations
 
-import re
 from html import unescape
 
 import pyarrow as pa
@@ -33,10 +31,6 @@ _BATCH_PASSES = (
     r"<[^>]+>",
 )
 
-_HREF = re.compile(
-    r"""<a\b[^>]*?\bhref\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""",
-    re.IGNORECASE | re.DOTALL,
-)
 
 
 def _decode_column(htmls) -> pa.Array:
@@ -69,6 +63,8 @@ def extract_text_batch(htmls) -> list[str]:
     """
     import os as _os
     import time as _time
+
+    import numpy as np
     _dbg = bool(_os.environ.get("SPIDER_RAY_EXTRACT_DEBUG"))
     _t0 = _time.time()
     arr = _decode_column(htmls)
@@ -81,16 +77,44 @@ def extract_text_batch(htmls) -> list[str]:
     arr = pc.replace_substring_regex(arr, pattern=_BATCH_PASSES[1],
                                      replacement=" ")
     _t3 = _time.time()
-    out = arr.to_pylist()
+    # entity unescape, three-tier: rows whose entity starts are ALL from
+    # the common set run as vectorized RE2 replaces (ordered so no
+    # output of one replace forms another's input — html.unescape is
+    # single-pass); only rows with exotic entities pay python
+    # html.unescape.  RE2 has no lookahead, so "all common" is decided
+    # by comparing entity-start counts.
+    c_all = pc.count_substring_regex(arr, pattern=r"&(#|[A-Za-z])")
+    c_common = pc.count_substring_regex(
+        arr, pattern=r"&(amp;|lt;|gt;|quot;|#39;|nbsp;)")
+    has_ent = np.asarray(pc.fill_null(pc.greater(c_all, 0), False))
+    exotic = np.asarray(pc.fill_null(
+        pc.not_equal(c_all, c_common), False)) & has_ent
+    common = has_ent & ~exotic
+    if common.any():
+        rep = arr
+        for pat, sub in ((r"&lt;", "<"), (r"&gt;", ">"), (r"&quot;", '"'),
+                         (r"&#39;", "'"), (r"&nbsp;", "\xa0"),
+                         (r"&amp;", "&")):
+            rep = pc.replace_substring(rep, pattern=pat, replacement=sub)
+        arr = pc.if_else(pa.array(common.tolist(), pa.bool_()), rep, arr)
+    ex_idx = np.flatnonzero(exotic)
+    if len(ex_idx):
+        repl: list = [None] * len(arr)
+        vals = arr.take(pa.array(ex_idx, pa.int64())).to_pylist()
+        for i, s in zip(ex_idx, vals):
+            repl[int(i)] = unescape(s) if s is not None else None
+        arr = pc.if_else(pa.array(exotic.tolist(), pa.bool_()),
+                         pa.array(repl, pa.string()), arr)
+    # whitespace collapse + trim, fully vectorized: trim -> split on the
+    # Unicode whitespace class (runs collapse, matching str.split()) ->
+    # join (the old per-row " ".join(s.split()) Python loop was ~half
+    # the kernel's wall time on a 25 KB/page corpus)
+    collapsed = pc.binary_join(
+        pc.utf8_split_whitespace(pc.utf8_trim_whitespace(arr)), " ")
+    out = collapsed.to_pylist()
     for i, s in enumerate(out):
         if s is None:
             out[i] = ""
-            continue
-        if "&" in s:  # entity unescape only when entities can exist
-            s = unescape(s)
-        # str.split() splits on the same unicode whitespace class the
-        # old re \s+ matched; join+split is the fast C path
-        out[i] = " ".join(s.split())
     if _dbg:
         _t4 = _time.time()
         print(f"[extract] n={len(out)} decode={_t1-_t0:.2f} "
@@ -106,14 +130,68 @@ def extract_text(html: bytes | str) -> str:
     return extract_text_batch([html])[0]
 
 
+_HREF_FRAG = (r'(?i)^[^>]*?\bhref\s*=\s*'
+              r'(?:"(?P<d>[^"]*)"|\'(?P<s>[^\']*)\'|(?P<u>[^\s>]+))')
+
+
+def extract_hrefs_batch(htmls) -> tuple[list[str], "object"]:
+    """Raw href attribute values of <a> tags for a whole html column, in
+    document order, flattened with parent row indices.
+
+    Vectorized as one RE2 split on `<a\\b` (each later fragment starts
+    inside one anchor tag) + one RE2 first-match extract per fragment —
+    replacing the per-page Python finditer loop that was the second
+    hottest span of the crawl fetch stage.  Entity unescape runs only on
+    the (short) hrefs that can contain an entity."""
+    import numpy as np
+
+    arr = _decode_column(htmls)
+    n = len(arr)
+    empty = ([], np.zeros(0, dtype=np.int64))
+    if n == 0:
+        return empty
+    frags = pc.split_pattern_regex(arr, pattern=r"(?i)<a\b")
+    if isinstance(frags, pa.ChunkedArray):
+        frags = frags.combine_chunks()
+    offsets = np.asarray(frags.offsets)
+    values = frags.flatten()
+    if len(values) == 0:
+        return empty
+    parent = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+    pos = np.arange(len(values), dtype=np.int64) - offsets[:-1][parent]
+    tag_mask = pos > 0  # a row's first fragment precedes its first <a
+    tags = values.filter(pa.array(tag_mask))
+    parent = parent[tag_mask]
+    if len(tags) == 0:
+        return empty
+    m = pc.extract_regex(tags, pattern=_HREF_FRAG)
+    d = pc.struct_field(m, "d")
+    s = pc.struct_field(m, "s")
+    u = pc.struct_field(m, "u")
+    # first participating non-empty group (the original finditer's
+    # `group(1) or group(2) or group(3)` falsy chain)
+    href = pc.if_else(pc.greater(pc.utf8_length(d), 0), d,
+                      pc.if_else(pc.greater(pc.utf8_length(s), 0), s, u))
+    keep = np.asarray(pc.fill_null(pc.greater(pc.utf8_length(href), 0),
+                                   False))
+    out = href.filter(pa.array(keep)).to_pylist()
+    parent = parent[keep]
+    for i, h in enumerate(out):
+        if "&" in h:
+            out[i] = unescape(h)
+    # unescape can empty an href (e.g. a bare "&amp;" -> "&" stays, but
+    # numeric refs to NUL etc. do not) — the original loop dropped
+    # falsy values AFTER unescape
+    final_keep = [bool(h) for h in out]
+    if not all(final_keep):
+        out = [h for h in out if h]
+        parent = parent[np.asarray(final_keep)]
+    return out, parent
+
+
 def extract_hrefs(html: bytes | str) -> list[str]:
-    """Raw href attribute values of <a> tags, in document order."""
-    if isinstance(html, bytes):
-        html = html.decode("utf-8", errors="replace")
-    out: list[str] = []
-    for m in _HREF.finditer(html):
-        href = m.group(1) or m.group(2) or m.group(3) or ""
-        href = unescape(href)
-        if href:
-            out.append(href)
+    """Raw href attribute values of <a> tags, in document order — the
+    single-page wrapper over the SAME batch kernel (one implementation,
+    so oracle and engine cannot diverge)."""
+    out, _ = extract_hrefs_batch([html])
     return out

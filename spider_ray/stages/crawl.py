@@ -24,7 +24,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..common.extract import _decode_column, extract_hrefs, extract_text_batch
+from ..common.extract import (_decode_column, extract_hrefs_batch,
+                              extract_text_batch)
 from ..common.hashing import hash64_many
 from ..common.urlnorm import (
     canonicalize,
@@ -418,23 +419,19 @@ class FetchWorker:
             out_links.append([])
         _t2 = _time.time()
         if ok_rows:
-            # decode ONCE (Arrow cast), reuse for text extraction (Arrow
-            # RE2 passes) and per-row href scans (Python strings are
-            # needed there anyway for finditer)
+            # decode ONCE (Arrow cast), reuse for text extraction and
+            # the href scan — both fully vectorized RE2 batch kernels
             ok_html = _decode_column(
                 html_col.take(pa.array(ok_rows, pa.int64())))
             for i, text in zip(ok_rows, extract_text_batch(ok_html)):
                 out_text[i] = text
             _t3 = _time.time()
-            # flatten hrefs across the whole batch, resolve them in ONE
-            # vectorized kernel call (RE2 fast paths + exact slow rows),
-            # then group back by parent row
-            all_hrefs: list[str] = []
-            parent: list[int] = []
-            for i, html in zip(ok_rows, ok_html.to_pylist()):
-                hs = extract_hrefs(html)
-                all_hrefs += hs
-                parent += [i] * len(hs)
+            # hrefs flattened with parent rows by the batch kernel (no
+            # per-page Python scan), resolved in ONE vectorized call
+            # (RE2 fast paths + exact slow rows), grouped back by row
+            all_hrefs, par = extract_hrefs_batch(ok_html)
+            ok_arr = np.asarray(ok_rows, dtype=np.int64)
+            parent = ok_arr[par]
             resolved = resolve_batch(
                 all_hrefs, [urls[i] for i in parent])
             for i, child in zip(parent, resolved):
