@@ -119,6 +119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_documents": wt.pack_documents,
         "domain_mix_sample": wt.domain_mix_sample,
         "dedup_incremental": wt.dedup_incremental,
+        "train_val_test_split": wt.train_val_test_split,
+        "global_shuffle_rank": wt.global_shuffle_rank,
         # -- deduplication -------------------------------------------------
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
@@ -734,6 +736,24 @@ def oracle_sql() -> dict[str, str]:
                          sum(len(regexp_extract_all(text, '[A-Za-z0-9_]+')))
                              OVER (ORDER BY doc_id) AS cum
                   FROM documents) t
+        """,
+        # deterministic hash split: reproducible and stable under
+        # appends (integer-exact in both engines)
+        "train_val_test_split": """
+            SELECT doc_id, lang,
+                   CASE WHEN (doc_id * 25781) % 100 < 80 THEN 'train'
+                        WHEN (doc_id * 25781) % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        # seeded permutation (deterministic global shuffle): position =
+        # rank over (multiplicative hash, doc_id)
+        "global_shuffle_rank": """
+            SELECT row_number() OVER (
+                       ORDER BY (doc_id * 48271) % 65536, doc_id) - 1
+                       AS position,
+                   doc_id
+            FROM documents
         """,
         # weighted domain mixing: keep rate min(1, cap/n_source) via the
         # multiplicative-hash rule (integer-exact in both engines)

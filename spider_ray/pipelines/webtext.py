@@ -577,3 +577,75 @@ def dedup_incremental(sf_dir: str, threshold: float = 0.8,
     return _verify_dispatch(sf_dir, ds, cand, word_shingle_hashes,
                             "jaccard", threshold,
                             verify_distributed, driver_pair_threshold)
+
+
+# ---------------------------------------------------------------------------
+# Train/val/test split and deterministic global shuffle
+# ---------------------------------------------------------------------------
+
+def train_val_test_split(sf_dir: str, pct_train: int = 80, pct_val: int = 10):
+    """Deterministic train/val/test assignment — the split every training
+    run needs to be reproducible and stable under re-runs: bucket =
+    (doc_id · 25781) mod 100 against the percentage thresholds.  Pure
+    per-batch map (integer-exact, hash-matches the SQL CASE verbatim);
+    adding documents later never reassigns existing ones."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "lang"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        h = (np.asarray(t["doc_id"], dtype=np.int64) * 25781) % 100
+        split = np.where(h < pct_train, "train",
+                         np.where(h < pct_train + pct_val, "val", "test"))
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
+                         "split": pa.array(split, pa.string())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def global_shuffle_rank(sf_dir: str, buckets: int = 64):
+    """Deterministic global shuffle for training-example ordering:
+    position = dense rank of ((doc_id · 48271) mod 65536, doc_id) — a
+    seeded permutation both engines compute identically (unlike
+    random_shuffle, it is stable across re-runs and resumable).
+
+    The global rank is the same two-pass ordered-prefix-sum shape as
+    pack_documents, keyed on the HASH this time: per-bucket
+    (hash-range) counts -> driver exclusive offsets (buckets rows,
+    broadcast once) -> per-bucket map_groups sort + arange.  The
+    multiplicative hash is uniform, so bucket sizes are balanced and
+    each group is ~n/buckets rows."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _rp(sf_dir, "documents", ["doc_id"])
+    width = 65536 // buckets
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        h = (ids * 48271) % 65536
+        return pa.table({"doc_id": t["doc_id"], "h": pa.array(h),
+                         "bucket": pa.array(h // width)})
+
+    keyed = ds.map_batches(key, batch_format="pyarrow").materialize()
+
+    def count_partials(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["bucket"]), ["bucket"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["bucket", "n"])
+
+    counts = (keyed.map_batches(count_partials, batch_format="pyarrow")
+              .groupby("bucket").aggregate(Sum("n", alias_name="n"))
+              .to_pandas().sort_values("bucket"))
+    offs = np.concatenate([[0], np.cumsum(
+        counts["n"].to_numpy(np.int64))[:-1]])
+    off_ref = ray.put(dict(zip(counts["bucket"].astype(np.int64), offs)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(off_ref)[int(g["bucket"].iloc[0])]
+        g = g.sort_values(["h", "doc_id"], kind="mergesort")
+        return pd.DataFrame({
+            "position": base + np.arange(len(g), dtype=np.int64),
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+        })
+
+    return keyed.groupby("bucket").map_groups(per_bucket,
+                                              batch_format="pandas")

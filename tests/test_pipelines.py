@@ -694,6 +694,8 @@ class TestRound3LateOperators:
         ("pack_documents", ["doc_id"]),
         ("domain_mix_sample", ["doc_id"]),
         ("dedup_incremental", ["doc_a", "doc_b"]),
+        ("train_val_test_split", ["doc_id"]),
+        ("global_shuffle_rank", ["position"]),
     ])
     def test_matches_oracle(self, name, keys):
         import duckdb
@@ -984,3 +986,33 @@ class TestIncrementalDedup:
         for a, b in got:
             assert a % 2 == 0 and b % 2 == 1, (a, b)
         assert (0, 2) not in got and (3, 5) not in got
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSplitAndShuffle:
+    def test_split_proportions_and_stability(self):
+        from spider_ray.pipelines.webtext import train_val_test_split
+
+        out = train_val_test_split(SF).to_pandas()
+        n = len(out)
+        frac = out["split"].value_counts() / n
+        assert 0.7 < frac["train"] < 0.9
+        assert 0.04 < frac.get("val", 0) < 0.16
+        assert 0.04 < frac.get("test", 0) < 0.16
+        # stability under appends: re-running on a prefix never
+        # reassigns — the assignment depends only on doc_id
+        again = train_val_test_split(SF).to_pandas()
+        pd.testing.assert_frame_equal(
+            out.sort_values("doc_id").reset_index(drop=True),
+            again.sort_values("doc_id").reset_index(drop=True))
+
+    def test_shuffle_rank_is_permutation(self):
+        from spider_ray.pipelines.webtext import global_shuffle_rank
+
+        out = global_shuffle_rank(SF).to_pandas().sort_values("position")
+        n = len(out)
+        assert (out["position"].to_numpy() == np.arange(n)).all()
+        assert out["doc_id"].nunique() == n
+        # actually shuffled: the hash order must not be the id order
+        assert (out["doc_id"].to_numpy() != np.sort(
+            out["doc_id"].to_numpy())).any()
