@@ -20,15 +20,19 @@ from html import unescape
 import pyarrow as pa
 import pyarrow.compute as pc
 
-# RE2-compatible passes (no backreferences; (?is) = case-insensitive +
-# dot-matches-newline).  script/style/comment removal is ONE alternation
-# pass — one 25KB-per-page intermediate instead of three; alternation is
-# leftmost-first, so each region is removed up to its own closer
-_BATCH_PASSES = (
+# RE2-compatible markup strip (no backreferences; (?is) =
+# case-insensitive + dot-matches-newline): script/style/comment blocks
+# AND plain tags as ONE alternation pass — one 25KB-per-page
+# intermediate instead of three, ~40% less regex scan work.
+# Alternation is leftmost-first, so at a block opener the whole block
+# (up to its own closer) wins over the bare-tag branch.  Single-pass
+# semantics: spans formed by earlier replacements are NOT re-scanned
+# (the same convention html.unescape uses for entities).
+_MARKUP_PASS = (
     r"(?is)<script\b[^>]*>.*?</script\s*>"
     r"|<style\b[^>]*>.*?</style\s*>"
-    r"|<!--.*?-->",
-    r"<[^>]+>",
+    r"|<!--.*?-->"
+    r"|<[^>]+>"
 )
 
 
@@ -54,29 +58,45 @@ def _decode_column(htmls) -> pa.Array:
                          for v in htmls.to_pylist()], pa.string())
 
 
+# rows per internal slice: bounds the kernel's transient intermediates
+# (each pass materializes a fresh column) to ~tens of MB per worker —
+# 32 workers' unbounded transients were a measured driver of the
+# host-memory cliff documented in BENCH/BASELINE.md
+_CHUNK_ROWS = 512
+
+
 def extract_text_batch(htmls) -> list[str]:
     """Visible text for a whole column of HTML documents.
 
-    Deterministic pipeline per row: decode UTF-8 (replace errors) → drop
-    script/style → drop comments → replace tags with a space → unescape
-    HTML entities → collapse whitespace → strip.  Null rows yield "".
-    """
+    Deterministic pipeline per row: decode UTF-8 (replace errors) → strip
+    markup (script/style blocks, comments, tags — one single-pass RE2
+    alternation) → unescape HTML entities → collapse whitespace → strip.
+    Null rows yield "".  Processed in bounded row slices (see
+    _CHUNK_ROWS)."""
+    arr = _decode_column(htmls)
+    if len(arr) <= _CHUNK_ROWS:
+        return _extract_text_chunk(arr)
+    out: list[str] = []
+    for start in range(0, len(arr), _CHUNK_ROWS):
+        out.extend(_extract_text_chunk(
+            arr.slice(start, _CHUNK_ROWS)))
+    return out
+
+
+def _extract_text_chunk(arr: pa.Array) -> list[str]:
     import os as _os
     import time as _time
 
     import numpy as np
     _dbg = bool(_os.environ.get("SPIDER_RAY_EXTRACT_DEBUG"))
     _t0 = _time.time()
-    arr = _decode_column(htmls)
     if len(arr) == 0:
         return []
     _t1 = _time.time()
-    arr = pc.replace_substring_regex(arr, pattern=_BATCH_PASSES[0],
+    arr = pc.replace_substring_regex(arr, pattern=_MARKUP_PASS,
                                      replacement=" ")
     _t2 = _time.time()
-    arr = pc.replace_substring_regex(arr, pattern=_BATCH_PASSES[1],
-                                     replacement=" ")
-    _t3 = _time.time()
+    _t3 = _t2
     # entity unescape, three-tier: rows whose entity starts are ALL from
     # the common set run as vectorized RE2 replaces (ordered so no
     # output of one replace forms another's input — html.unescape is
@@ -118,8 +138,7 @@ def extract_text_batch(htmls) -> list[str]:
     if _dbg:
         _t4 = _time.time()
         print(f"[extract] n={len(out)} decode={_t1-_t0:.2f} "
-              f"pass1={_t2-_t1:.2f} pass2={_t3-_t2:.2f} "
-              f"tail={_t4-_t3:.2f}", flush=True)
+              f"markup={_t2-_t1:.2f} tail={_t4-_t3:.2f}", flush=True)
     return out
 
 
@@ -142,10 +161,20 @@ def extract_hrefs_batch(htmls) -> tuple[list[str], "object"]:
     inside one anchor tag) + one RE2 first-match extract per fragment —
     replacing the per-page Python finditer loop that was the second
     hottest span of the crawl fetch stage.  Entity unescape runs only on
-    the (short) hrefs that can contain an entity."""
+    the (short) hrefs that can contain an entity.  Processed in bounded
+    row slices (_CHUNK_ROWS) to cap the ListArray intermediates."""
     import numpy as np
 
     arr = _decode_column(htmls)
+    if len(arr) > _CHUNK_ROWS:
+        all_h: list[str] = []
+        parents = []
+        for start in range(0, len(arr), _CHUNK_ROWS):
+            h, p = extract_hrefs_batch(arr.slice(start, _CHUNK_ROWS))
+            all_h.extend(h)
+            parents.append(p + start)
+        return all_h, (np.concatenate(parents) if parents
+                       else np.zeros(0, dtype=np.int64))
     n = len(arr)
     empty = ([], np.zeros(0, dtype=np.int64))
     if n == 0:
