@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from spider_ray.pipelines import crawl_queries as cq
     from spider_ray.pipelines import flow_queries as fq
     from spider_ray.pipelines import dedup
+    from spider_ray.pipelines import graph as gph
     from spider_ray.pipelines import multimodal as mm
     from spider_ray.pipelines import prep
     from spider_ray.pipelines import relational as rel
@@ -121,6 +122,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": wt.dedup_incremental,
         "train_val_test_split": wt.train_val_test_split,
         "global_shuffle_rank": wt.global_shuffle_rank,
+        # -- link-graph analytics (fixed-point PageRank, components) -------
+        "pagerank_user_item": gph.pagerank_user_item,
+        "graph_components": gph.graph_components,
         # -- deduplication -------------------------------------------------
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
@@ -149,7 +153,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from spider_ray.pipelines.graph import pagerank_oracle_sql
+
     return {
+        # Fixed-point PageRank: the SQL is the 5-iteration unroll with the
+        # IDENTICAL int64 arithmetic (generated next to the engine code so
+        # SCALE / damping / iteration count can never diverge).
+        "pagerank_user_item": pagerank_oracle_sql(),
+        # Connected components over the sparsified interaction graph —
+        # transitive closure via recursive CTE; cluster_id = min node.
+        "graph_components": """
+            WITH RECURSIVE pairs AS (
+              SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS a,
+                     'k' || regexp_extract(props, '"k":\\s*(-?[0-9]+)', 1) AS b
+              FROM events WHERE event_type = 'error' AND value > 150.0),
+            edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+            SELECT least(a, min(b)) AS cluster_id, a AS node
+            FROM reach GROUP BY a ORDER BY cluster_id, node
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2)                                AS sum_qty,

@@ -1,0 +1,338 @@
+"""Link-graph analytics: PageRank and connected components over the
+events-derived interaction graph.
+
+The crawl graft's frontier IS a link graph (pages -> href targets), and
+the two canonical whole-graph operations a web-scale corpus needs are
+centrality (PageRank, Page et al. 1999) and component clustering (host /
+dup clusters).  The reference engine walks graph edges one message at a
+time (dependency dispatch, reference pkg/spider/workflow.go:129 +
+storage_workflow_mongodb.go:251-294); these operators are the bulk
+equivalents: iterate (join contributions along edges -> grouped reduce)
+until fixed-point / fixed iteration count.
+
+Graph derivation (shared verbatim with the SQL oracles): every event row
+contributes a (user "u<user_id>", item "k<props.k>") edge; edges are
+DISTINCT and symmetrized (both directions present), so every node has
+>= 1 out-edge and the dangling-node correction of full PageRank is
+unnecessary — omitted identically in both engines.
+
+Determinism: PageRank runs in FIXED-POINT int64 arithmetic
+(SCALE = 10^12; damping 0.85 applied as integer ops 15*SCALE//100 +
+(85*sum)//100).  Integer sums commute exactly, so the distributed result
+hash-matches the unrolled SQL oracle bit-for-bit at any parallelism — a
+float PageRank would drift in the low bits under different accumulation
+orders.  SCALE is sized so N_nodes * SCALE * 100 < 2^63 holds for any
+corpus this repo targets per-partition; at a 10^10-node web graph the
+same code runs with a smaller SCALE (knob, not redesign).
+
+Scale shape: both operators follow the repo's adaptive dispatch — the
+driver path (numpy / union-find over the edge-count-sized DISTINCT edge
+list) below _DRIVER_MAX_EDGES, the distributed path above it (or with
+force_distributed=True).  The distributed PageRank iteration is the
+classic message-passing form: ONE groupby over (rank rows ∪ edge rows)
+keyed on node emits contributions along out-edges, ONE grouped sum
+produces the next rank vector — two key-partitioned shuffles per
+iteration, nothing corpus-sized ever on the driver.  Components reuse
+the min-label propagation shape proven in
+webtext.dedup_minhash_clusters (one groupby round per hop, monotone
+convergence check), here over string node ids.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import read_table as _rp
+
+SCALE = 1_000_000_000_000  # fixed-point: 1.0 of rank == 10^12
+_BASE = 15 * SCALE // 100  # (1 - d) * SCALE with d = 0.85, integer-exact
+_DRIVER_MAX_EDGES = 2_000_000
+# shared with the SQL oracles verbatim (graph_components edge filter)
+COMPONENT_FILTER = ("error", 150.0)
+
+
+def _pair_batches(t: pa.Table, event_type: str | None,
+                  min_value: float | None) -> pa.Table:
+    """events batch -> symmetric (src, dst) edge rows (with in-batch
+    duplicates; global DISTINCT happens in the groupby that follows)."""
+    if event_type is not None:
+        t = t.filter(pc.equal(t["event_type"], event_type))
+    if min_value is not None:
+        t = t.filter(pc.greater(t["value"], min_value))
+    m = pc.extract_regex(t["props"], pattern=r'"k":\s*(?P<k>-?[0-9]+)')
+
+    def _flat(x):
+        return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+
+    a = _flat(pc.binary_join_element_wise(
+        "u", pc.cast(t["user_id"], pa.string()), ""))
+    b = _flat(pc.binary_join_element_wise("k", pc.struct_field(m, "k"), ""))
+    out = pa.table({"src": pa.chunked_array([a, b]),
+                    "dst": pa.chunked_array([b, a])})
+    # in-batch pre-distinct: the grouped count that makes edges globally
+    # DISTINCT then shuffles one row per (block, edge), not per event
+    return pa.TableGroupBy(out, ["src", "dst"]).aggregate([]) \
+        .select(["src", "dst"])
+
+
+def _distinct_edges(sf_dir: str, event_type: str | None = None,
+                    min_value: float | None = None):
+    """DISTINCT symmetric edge Dataset derived from events."""
+    ds = _rp(sf_dir, "events", ["user_id", "event_type", "value", "props"])
+    per_block = ds.map_batches(
+        lambda t: _pair_batches(t, event_type, min_value),
+        batch_format="pyarrow")
+    out = per_block.groupby(["src", "dst"]).count()
+    return out.drop_columns(["count()"])
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+def pagerank_user_item(sf_dir: str, iters: int = 5,
+                       force_distributed: bool = False):
+    """Fixed-point PageRank (d=0.85, 5 iterations) over the full
+    user-item interaction graph.  Returns every node's final rank in
+    SCALE fixed-point units, sorted by (rank desc, node).
+
+    rank_0(n)   = SCALE
+    rank_i+1(n) = 15*SCALE//100 + (85 * Σ_{(m,n)∈E} rank_i(m)//deg(m))//100
+
+    All arithmetic is int64 floor division/sums — exact and
+    order-independent, hash-matching the unrolled SQL oracle."""
+    import ray.data as rd
+
+    edges = _distinct_edges(sf_dir)
+    n_edges = edges.count()
+
+    if n_edges <= _DRIVER_MAX_EDGES and not force_distributed:
+        df = edges.to_pandas()
+        nodes, src_idx = np.unique(df["src"].to_numpy(), return_inverse=True)
+        # symmetric edges: every node appears as src, so dst maps fully
+        dst_idx = np.searchsorted(nodes, df["dst"].to_numpy())
+        deg = np.bincount(src_idx, minlength=len(nodes)).astype(np.int64)
+        rank = np.full(len(nodes), SCALE, np.int64)
+        for _ in range(iters):
+            contrib = rank[src_idx] // deg[src_idx]
+            s = np.zeros(len(nodes), np.int64)
+            np.add.at(s, dst_idx, contrib)  # int64-exact scatter-add
+            rank = _BASE + (85 * s) // 100
+        order = np.lexsort((nodes, -rank))
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes[order]),
+            "rank_fp": pa.array(rank[order], pa.int64()),
+        }))
+
+    # distributed message-passing rounds (see module docstring)
+    def to_edge_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["src"],
+            "rank": pa.nulls(t.num_rows, pa.int64()),
+            "dst": t["dst"],
+        })
+
+    edge_rows = edges.map_batches(
+        to_edge_rows, batch_format="pyarrow").materialize()
+
+    def seed(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_null(t["rank"]))  # one rank row per edge src...
+        g = pa.TableGroupBy(t, ["node"]).aggregate([])  # ...made distinct
+        return pa.table({
+            "node": g["node"],
+            "rank": pa.array([SCALE] * g.num_rows, pa.int64()),
+            "dst": pa.nulls(g.num_rows, pa.string()),
+        })
+
+    # per-block pre-distinct; the first round's groupby makes it global
+    ranks = edge_rows.map_batches(seed, batch_format="pyarrow") \
+        .groupby("node").map_groups(
+            lambda g: g.slice(0, 1), batch_format="pyarrow")
+
+    def send(g: pa.Table) -> pa.Table:
+        rank = g["rank"].drop_null()
+        r = rank[0].as_py()
+        dsts = g["dst"].drop_null()
+        if isinstance(dsts, pa.ChunkedArray):
+            dsts = dsts.combine_chunks()
+        k = len(dsts)
+        return pa.table({
+            "node": dsts,
+            "contrib": pa.array([r // k] * k, pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    for _ in range(iters):
+        msgs = (ranks.union(edge_rows)
+                .groupby("node").map_groups(send, batch_format="pyarrow"))
+        summed = msgs.groupby("node").aggregate(
+            Sum("contrib", alias_name="s"))
+
+        def finish(t: pa.Table) -> pa.Table:
+            r = pc.add(pa.scalar(_BASE, pa.int64()),
+                       pc.divide(pc.multiply(pa.scalar(85, pa.int64()),
+                                             pc.cast(t["s"], pa.int64())),
+                                 pa.scalar(100, pa.int64())))
+            return pa.table({
+                "node": t["node"], "rank": r,
+                "dst": pa.nulls(t.num_rows, pa.string()),
+            })
+
+        ranks = summed.map_batches(finish, batch_format="pyarrow") \
+            .materialize()
+
+    out = ranks.map_batches(
+        lambda t: pa.table({"node": t["node"], "rank_fp": t["rank"]}),
+        batch_format="pyarrow")
+    return out.sort(["rank_fp", "node"], descending=[True, False])
+
+
+def pagerank_oracle_sql(iters: int = 5) -> str:
+    """Unrolled fixed-iteration SQL replica of pagerank_user_item —
+    identical integer fixed-point arithmetic (DuckDB's // is integer
+    floor division; SUM is widened to HUGEINT, so each step casts back
+    to BIGINT after the exact integer ops)."""
+    head = f"""
+        WITH pairs AS (
+          SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS a,
+                 'k' || regexp_extract(props, '"k":\\s*(-?[0-9]+)', 1) AS b
+          FROM events),
+        edges AS (SELECT a AS src, b AS dst FROM pairs
+                  UNION SELECT b, a FROM pairs),
+        deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+        r0 AS (SELECT src AS node, CAST({SCALE} AS BIGINT) AS r FROM deg)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""
+        r{i} AS (SELECT e.dst AS node,
+                       CAST({_BASE} + (85 * SUM(r.r // d.d)) // 100
+                            AS BIGINT) AS r
+                FROM edges e
+                JOIN r{i-1} r ON r.node = e.src
+                JOIN deg d ON d.src = e.src
+                GROUP BY e.dst)""")
+    return (head + "," + ",".join(steps)
+            + f"\n        SELECT node, r AS rank_fp FROM r{iters} "
+              "ORDER BY rank_fp DESC, node")
+
+
+# ---------------------------------------------------------------------------
+# Connected components
+# ---------------------------------------------------------------------------
+
+def graph_components(sf_dir: str, force_distributed: bool = False):
+    """Connected components over the SPARSIFIED interaction graph
+    (high-value error events only — the full graph is one dense
+    component; the filter is part of the query contract, shared with the
+    SQL oracle via COMPONENT_FILTER).  Returns (cluster_id, node) for
+    every node, cluster_id = lexicographic min node id of the component.
+
+    Same adaptive shape as webtext.dedup_minhash_clusters: driver
+    union-find over the edge-count-sized DISTINCT edge list below the
+    threshold, join-free distributed min-label propagation above it (one
+    groupby round per hop).  Convergence check for STRING labels: per
+    round, sum a 64-bit hash of every (node, min-label) pair — labels
+    move monotonically downward, so an unchanged fingerprint sum ==
+    fixpoint (up to a ~2^-64 hash-collision risk; the loop still caps at
+    64 rounds and falls back to a final grouped min).  Both paths forced
+    in tests and must agree."""
+    import ray.data as rd
+
+    et, mv = COMPONENT_FILTER
+    edges = _distinct_edges(sf_dir, event_type=et, min_value=mv)
+    n_edges = edges.count()
+    empty = pa.table({"cluster_id": pa.array([], pa.string()),
+                      "node": pa.array([], pa.string())})
+    if n_edges == 0:
+        return rd.from_arrow(empty)
+
+    if n_edges <= _DRIVER_MAX_EDGES and not force_distributed:
+        df = edges.to_pandas()
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for a, b in zip(df["src"], df["dst"]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+        rows = sorted((find(n), n) for n in parent)
+        return rd.from_arrow(pa.table({
+            "cluster_id": pa.array([r[0] for r in rows]),
+            "node": pa.array([r[1] for r in rows]),
+        }))
+
+    def to_msgs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["src"],
+            "lbl": pa.nulls(t.num_rows, pa.string()),
+            "dst": t["dst"],
+        })
+
+    edge_rows = edges.map_batches(
+        to_msgs, batch_format="pyarrow").materialize()
+
+    def seed(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"], "lbl": t["node"],
+                         "dst": pa.nulls(t.num_rows, pa.string())})
+
+    labels = edge_rows.map_batches(seed, batch_format="pyarrow")
+
+    def propagate(g: pa.Table) -> pa.Table:
+        node = g["node"][0].as_py()
+        lbls = g["lbl"].drop_null()
+        m = pc.min(lbls).as_py() if len(lbls) else None
+        m = node if m is None else min(m, node)
+        dsts = g["dst"].drop_null()
+        if isinstance(dsts, pa.ChunkedArray):
+            dsts = dsts.combine_chunks()
+        out_nodes = pa.concat_arrays([pa.array([node], pa.string()), dsts])
+        k = len(out_nodes)
+        return pa.table({
+            "node": out_nodes,
+            "lbl": pa.array([m] * k, pa.string()),
+            "dst": pa.nulls(k, pa.string()),
+        })
+
+    from ray.data.aggregate import Min, Sum
+
+    def lbl_len_partials(t: pa.Table) -> pa.Table:
+        # monotone convergence metric for STRING labels: per-node min
+        # label can only move lexicographically downward, so the sum of
+        # (len(lbl), per-node count of label==node fixpoints) is not
+        # monotone — instead hash each (node, lbl) pair to int64 and sum
+        # per-node MIN hashes; stable across rounds iff labels stable
+        from spider_ray.common.tokens import hash_string_array
+
+        h = hash_string_array(pc.binary_join_element_wise(
+            t["node"], t["lbl"], "\x1f"))
+        return pa.table({"node": t["node"],
+                         "h": pa.array(h.view(np.int64), pa.int64())})
+
+    prev_fp = None
+    for _ in range(64):  # >= diameter of any component
+        labels = (labels.union(edge_rows).groupby("node")
+                  .map_groups(propagate, batch_format="pyarrow")
+                  ).materialize()
+        mins = labels.groupby("node").aggregate(Min("lbl", alias_name="lbl"))
+        fp = (mins.map_batches(lbl_len_partials, batch_format="pyarrow")
+              .aggregate(Sum("h", alias_name="s")))["s"]
+        if fp == prev_fp:
+            labels = mins
+            break
+        prev_fp = fp
+    else:
+        labels = labels.groupby("node").aggregate(
+            Min("lbl", alias_name="lbl"))
+    return (labels.map_batches(
+        lambda t: pa.table({"cluster_id": t["lbl"], "node": t["node"]}),
+        batch_format="pyarrow").sort(["cluster_id", "node"]))

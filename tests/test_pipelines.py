@@ -1016,3 +1016,60 @@ class TestSplitAndShuffle:
         # actually shuffled: the hash order must not be the id order
         assert (out["doc_id"].to_numpy() != np.sort(
             out["doc_id"].to_numpy())).any()
+
+
+class TestGraph:
+    """Link-graph analytics: fixed-point PageRank and connected
+    components — both adaptive paths must match the SQL oracles
+    exactly (integer arithmetic makes PageRank hash-exact)."""
+
+    @pytest.mark.parametrize("distributed", [False, True])
+    def test_pagerank_paths_match_duckdb(self, distributed):
+        import duckdb
+
+        from spider_ray.pipelines.graph import (
+            pagerank_oracle_sql, pagerank_user_item)
+
+        r = (pagerank_user_item(SF, force_distributed=distributed)
+             .to_pandas()
+             .sort_values(["rank_fp", "node"], ascending=[False, True],
+                          ignore_index=True))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS "
+                    f"SELECT * FROM read_parquet('{SF}/events.parquet')")
+        o = con.execute(pagerank_oracle_sql()).fetchdf()
+        pd.testing.assert_frame_equal(r, o, check_dtype=False)
+        # every node retains at least the un-damped floor, and the
+        # total rank stays within the graph's mass (sanity bounds)
+        assert (r["rank_fp"] >= 15 * 10**12 // 100).all()
+        assert r["rank_fp"].sum() <= len(r) * 10**12
+
+    @pytest.mark.parametrize("distributed", [False, True])
+    def test_components_paths_match_duckdb(self, distributed):
+        import duckdb
+
+        from spider_ray.pipelines.graph import graph_components
+
+        r = (graph_components(SF, force_distributed=distributed)
+             .to_pandas()
+             .sort_values(["cluster_id", "node"], ignore_index=True))
+        con = duckdb.connect()
+        o = con.execute(f"""
+            WITH RECURSIVE pairs AS (
+              SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS a,
+                     'k' || regexp_extract(props, '"k":\\s*(-?[0-9]+)', 1)
+                         AS b
+              FROM read_parquet('{SF}/events.parquet')
+              WHERE event_type = 'error' AND value > 150.0),
+            edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+            SELECT least(a, min(b)) AS cluster_id, a AS node
+            FROM reach GROUP BY a ORDER BY cluster_id, node
+            """).fetchdf()
+        pd.testing.assert_frame_equal(r, o, check_dtype=False)
+        # the sparsified sf0.001 graph must actually have >1 component
+        # (a single blob would not exercise label propagation)
+        assert r["cluster_id"].nunique() > 1
