@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_docs_by_length_in_lang": rel.rank_docs_by_length_in_lang,
         "pivot_status_by_priority": rel.pivot_status_by_priority,
         "lag_event_gap": rel.lag_event_gap,
+        "window_lead_first_dense": rel.window_lead_first_dense,
+        "mode_event_type_per_user": rel.mode_event_type_per_user,
         "cumsum_value_by_user": rel.cumsum_value_by_user,
         "rollup_orders_status_priority": rel.rollup_orders_status_priority,
         "cube_orders_status_priority": rel.cube_orders_status_priority,
@@ -160,6 +162,30 @@ def oracle_sql() -> dict[str, str]:
         # IDENTICAL int64 arithmetic (generated next to the engine code so
         # SCALE / damping / iteration count can never diverge).
         "pagerank_user_item": pagerank_oracle_sql(),
+        # LEAD / DENSE_RANK / FIRST_VALUE in one window pass — integer
+        # cents keep LEAD exact; type_rank has heavy ties by design.
+        "window_lead_first_dense": """
+            SELECT event_id, user_id,
+                   coalesce(LEAD(CAST(round(value * 100) AS BIGINT)) OVER w,
+                            -1) AS next_value_cents,
+                   DENSE_RANK() OVER (PARTITION BY user_id
+                                      ORDER BY event_type) AS type_rank,
+                   FIRST_VALUE(event_id) OVER w AS first_event_id
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY event_id
+        """,
+        # Grouped MODE: most frequent event_type per user, ties -> the
+        # lexicographically smallest type.
+        "mode_event_type_per_user": """
+            SELECT user_id, event_type AS mode_type, n FROM (
+              SELECT user_id, event_type, count(*) AS n,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY count(*) DESC, event_type)
+                         AS rn
+              FROM events GROUP BY user_id, event_type)
+            WHERE rn = 1 ORDER BY user_id
+        """,
         # Connected components over the sparsified interaction graph —
         # transitive closure via recursive CTE; cluster_id = min node.
         "graph_components": """

@@ -1141,3 +1141,68 @@ def ntile_docs_by_length(sf_dir: str, k: int = 4):
 
     return (ds.groupby("lang").map_groups(per_lang, batch_format="pandas")
             .sort(["lang", "tile", "doc_id"]))
+
+
+def window_lead_first_dense(sf_dir: str):
+    """Window-function coverage in one pass: LEAD (next event's value,
+    integer cents, -1 at the partition edge), DENSE_RANK over the
+    user's event types (heavy ties — 5 types per hundreds of events),
+    and FIRST_VALUE (the user's first event id in (ts, event_id)
+    order).  All outputs are integer-exact, so the distributed result
+    hash-matches the SQL windows verbatim.  Group-parallel like the
+    other window ops: nothing crosses a user boundary, so hash
+    partitioning by user_id is the whole scale story."""
+    ds = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "event_type",
+                                "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        v = g["value"].to_numpy()
+        # half-away-from-zero, the oracle's round(value*100)
+        cents = (np.floor(np.abs(v) * 100 + 0.5) * np.sign(v)).astype(np.int64)
+        nxt = np.concatenate([cents[1:], [-1]])
+        uniq = np.unique(g["event_type"].to_numpy())
+        type_rank = (np.searchsorted(uniq, g["event_type"].to_numpy())
+                     + 1).astype(np.int64)
+        ev = g["event_id"].to_numpy()
+        return pd.DataFrame({
+            "event_id": ev,
+            "user_id": g["user_id"].to_numpy(),
+            "next_value_cents": nxt,
+            "type_rank": type_rank,
+            "first_event_id": np.full(len(ev), ev[0], np.int64),
+        })
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def mode_event_type_per_user(sf_dir: str):
+    """Grouped MODE (most frequent value per key, ties broken by the
+    lexicographically smallest value).  Pre-aggregated per block —
+    (user, type) count partials — so only key-cardinality-sized rows
+    enter the shuffle; the final per-user argmax runs over <=
+    |event_type| rows per group."""
+    from ray.data.aggregate import Sum
+
+    ds = _rp(sf_dir, "events", ["user_id", "event_type"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["user_id", "event_type"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["user_id", "event_type", "n"])
+
+    counts = (ds.map_batches(partials, batch_format="pyarrow")
+              .groupby(["user_id", "event_type"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "event_type"], ascending=[False, True],
+                          kind="mergesort")
+        return pd.DataFrame({
+            "user_id": g["user_id"].iloc[:1].to_numpy(),
+            "mode_type": g["event_type"].iloc[:1].to_numpy(),
+            "n": g["n"].iloc[:1].astype(np.int64).to_numpy(),
+        })
+
+    return counts.groupby("user_id").map_groups(
+        argmax, batch_format="pandas")

@@ -1073,3 +1073,49 @@ class TestGraph:
         # the sparsified sf0.001 graph must actually have >1 component
         # (a single blob would not exercise label propagation)
         assert r["cluster_id"].nunique() > 1
+
+
+class TestWindowLeadModeDense:
+    """LEAD/DENSE_RANK/FIRST_VALUE and grouped MODE vs DuckDB."""
+
+    def test_window_lead_first_dense_matches_duckdb(self):
+        import duckdb
+
+        from spider_ray.pipelines.relational import window_lead_first_dense
+
+        r = (window_lead_first_dense(SF).to_pandas()
+             .sort_values("event_id", ignore_index=True))
+        con = duckdb.connect()
+        o = con.execute(f"""
+            SELECT event_id, user_id,
+                   coalesce(LEAD(CAST(round(value * 100) AS BIGINT)) OVER w,
+                            -1) AS next_value_cents,
+                   DENSE_RANK() OVER (PARTITION BY user_id
+                                      ORDER BY event_type) AS type_rank,
+                   FIRST_VALUE(event_id) OVER w AS first_event_id
+            FROM read_parquet('{SF}/events.parquet')
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY event_id""").fetchdf()
+        pd.testing.assert_frame_equal(r, o, check_dtype=False)
+        # ties must actually occur for DENSE_RANK to differ from RANK
+        assert (r.groupby("user_id")["type_rank"].max() < 
+                r.groupby("user_id")["type_rank"].count()).all()
+
+    def test_mode_matches_duckdb(self):
+        import duckdb
+
+        from spider_ray.pipelines.relational import mode_event_type_per_user
+
+        r = (mode_event_type_per_user(SF).to_pandas()
+             .sort_values("user_id", ignore_index=True))
+        con = duckdb.connect()
+        o = con.execute(f"""
+            SELECT user_id, event_type AS mode_type, n FROM (
+              SELECT user_id, event_type, count(*) AS n,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY count(*) DESC, event_type)
+                         AS rn
+              FROM read_parquet('{SF}/events.parquet')
+              GROUP BY user_id, event_type)
+            WHERE rn = 1 ORDER BY user_id""").fetchdf()
+        pd.testing.assert_frame_equal(r, o, check_dtype=False)
