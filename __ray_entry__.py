@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_mix_sample": wt.domain_mix_sample,
         "dedup_incremental": wt.dedup_incremental,
         "train_val_test_split": wt.train_val_test_split,
+        "paragraph_dedup": wt.paragraph_dedup,
         "global_shuffle_rank": wt.global_shuffle_rank,
         # -- link-graph analytics (fixed-point PageRank, components) -------
         "pagerank_user_item": gph.pagerank_user_item,
@@ -162,6 +163,27 @@ def oracle_sql() -> dict[str, str]:
         # IDENTICAL int64 arithmetic (generated next to the engine code so
         # SCALE / damping / iteration count can never diverge).
         "pagerank_user_item": pagerank_oracle_sql(),
+        # Sub-document (paragraph-level) dedup: fixed-width chunk grid,
+        # corpus-wide first-wins per distinct chunk (keeper = min
+        # (doc_id, chunk_idx)), documents reconstructed from surviving
+        # chunks in chunk order.
+        "paragraph_dedup": """
+            WITH chunks AS (
+              SELECT doc_id, i AS chunk_idx,
+                     substring(text, CAST(i AS INT) * 80 + 1, 80) AS chunk
+              FROM documents,
+                   UNNEST(generate_series(
+                       0, CAST(ceil(length(text) / 80.0) AS BIGINT) - 1))
+                       AS u(i)),
+            keep AS (
+              SELECT doc_id, chunk_idx, chunk,
+                     row_number() OVER (PARTITION BY chunk
+                                        ORDER BY doc_id, chunk_idx) AS rn
+              FROM chunks)
+            SELECT doc_id, count(*) AS kept_chunks,
+                   string_agg(chunk, '' ORDER BY chunk_idx) AS text_dedup
+            FROM keep WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
+        """,
         # LEAD / DENSE_RANK / FIRST_VALUE in one window pass — integer
         # cents keep LEAD exact; type_rank has heavy ties by design.
         "window_lead_first_dense": """

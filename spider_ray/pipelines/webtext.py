@@ -649,3 +649,164 @@ def global_shuffle_rank(sf_dir: str, buckets: int = 64):
 
     return keyed.groupby("bucket").map_groups(per_bucket,
                                               batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Sub-document (paragraph-level) dedup — CCNet-style line dedup re-expressed
+# over deterministic fixed-width character chunks (the corpus carries no
+# newline structure; the chunk grid is the shared "paragraph" contract)
+# ---------------------------------------------------------------------------
+
+_PARA_DRIVER_MAX_REMOVALS = 500_000
+
+
+def paragraph_dedup(sf_dir: str, width: int = 80,
+                    force_distributed: bool = False):
+    """CCNet-style sub-document dedup (Wenzek et al. 2019 dedup stage):
+    split every document into fixed-width character chunks, keep ONE
+    occurrence of every distinct chunk corpus-wide (keeper = min
+    (doc_id, chunk_idx)), drop the rest, and reconstruct each document
+    from its surviving chunks.  Returns (doc_id, kept_chunks,
+    text_dedup); documents that lose every chunk drop out.
+
+    Scale shape — the text itself never shuffles on the common path:
+      phase 1  chunk per batch -> hash64(chunk) -> ONLY the integer
+               triple (h, doc_id, chunk_idx) enters the groupby; each
+               hash group emits its non-keeper (doc_id, chunk_idx)
+               pairs = the removal list (dup-volume-sized, not
+               corpus-sized).
+      phase 2  adaptive: removals below _PARA_DRIVER_MAX_REMOVALS are
+               broadcast (ray.put once) and applied as an in-batch
+               filter — a document's chunks never leave their batch, so
+               reconstruction is also in-batch; above the threshold the
+               removal list joins the chunk stream (one content-sized
+               hash shuffle, the same cost CCNet pays) and
+               reconstruction is a doc_id groupby.  Both paths are
+               forced in tests and must agree.
+    Collision caveat: phase 1 keys on the 64-bit chunk hash alone (the
+    text is not shipped), so two distinct chunks colliding would merge;
+    at n chunks the probability is ~n^2/2^64 and the SQL oracle
+    (which compares true text) would flag any actual collision."""
+    import ray
+    import ray.data as rd
+
+    from spider_ray.common.tokens import hash_string_array
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def _chunks(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"]
+        lens = s.str.len().to_numpy()
+        n_chunks = -(-lens // width)
+        kmax = int(n_chunks.max()) if len(n_chunks) else 0
+        parts = []
+        for ki in range(kmax):
+            m = n_chunks > ki
+            chunk = s[m].str.slice(ki * width, (ki + 1) * width)
+            parts.append(pd.DataFrame({
+                "doc_id": df.loc[m, "doc_id"].to_numpy(),
+                "chunk_idx": np.full(int(m.sum()), ki, np.int64),
+                "chunk_text": chunk.to_numpy(),
+            }))
+        if not parts:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype=np.int64),
+                "chunk_idx": pd.Series([], dtype=np.int64),
+                "chunk_text": pd.Series([], dtype=str)})
+        out = pd.concat(parts, ignore_index=True)
+        return out.sort_values(["doc_id", "chunk_idx"], ignore_index=True)
+
+    def meta(df: pd.DataFrame) -> pd.DataFrame:
+        c = _chunks(df)
+        h = hash_string_array(pa.array(c["chunk_text"], pa.string()))
+        return pd.DataFrame({
+            "h": h.view(np.int64),
+            "doc_id": c["doc_id"].to_numpy(),
+            "chunk_idx": c["chunk_idx"].to_numpy(),
+        })
+
+    def non_keepers(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "chunk_idx"], kind="mergesort")
+        return g.iloc[1:][["doc_id", "chunk_idx"]]
+
+    removals = (docs.map_batches(meta, batch_format="pandas")
+                .groupby("h").map_groups(non_keepers,
+                                         batch_format="pandas"))
+    n_rem = removals.count()
+
+    if n_rem == 0 and not force_distributed:
+        # nothing to remove: reconstruction is the identity per batch
+        def ident(df: pd.DataFrame) -> pd.DataFrame:
+            c = _chunks(df)
+            g = c.groupby("doc_id", sort=True)
+            return pd.DataFrame({
+                "doc_id": np.fromiter(g.groups.keys(), np.int64),
+                "kept_chunks": g.size().to_numpy().astype(np.int64),
+                "text_dedup": g["chunk_text"].agg("".join).to_numpy(),
+            })
+
+        return docs.map_batches(ident, batch_format="pandas")
+
+    if n_rem <= _PARA_DRIVER_MAX_REMOVALS and not force_distributed:
+        rm = removals.to_pandas()
+        rm_keys = (rm["doc_id"].to_numpy().astype(np.int64) << np.int64(32)) \
+            | rm["chunk_idx"].to_numpy().astype(np.int64)
+        rm_ref = ray.put(np.sort(rm_keys))
+
+        def apply_rm(df: pd.DataFrame) -> pd.DataFrame:
+            keys = ray.get(rm_ref)  # zero-copy shm view, once per task
+            c = _chunks(df)
+            ck = (c["doc_id"].to_numpy().astype(np.int64) << np.int64(32)) \
+                | c["chunk_idx"].to_numpy().astype(np.int64)
+            keep = ~np.isin(ck, keys, assume_unique=False)
+            c = c[keep]
+            if not len(c):
+                return pd.DataFrame({
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "kept_chunks": pd.Series([], dtype=np.int64),
+                    "text_dedup": pd.Series([], dtype=str)})
+            g = c.groupby("doc_id", sort=True)
+            return pd.DataFrame({
+                "doc_id": np.fromiter(g.groups.keys(), np.int64),
+                "kept_chunks": g.size().to_numpy().astype(np.int64),
+                "text_dedup": g["chunk_text"].agg("".join).to_numpy(),
+            })
+
+        return docs.map_batches(apply_rm, batch_format="pandas")
+
+    # distributed removal application: one content-sized shuffle (the
+    # CCNet cost) — anti-join chunk stream vs removal list on the
+    # composite key, then reconstruct by doc groupby
+    def chunk_rows(df: pd.DataFrame) -> pd.DataFrame:
+        c = _chunks(df)
+        c["ck"] = (c["doc_id"].to_numpy().astype(np.int64) << np.int64(32)) \
+            | c["chunk_idx"].to_numpy().astype(np.int64)
+        return c
+
+    def rm_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "ck": (df["doc_id"].to_numpy().astype(np.int64) << np.int64(32))
+            | df["chunk_idx"].to_numpy().astype(np.int64),
+            "rm": np.ones(len(df), np.int8),
+        })
+
+    chunk_ds = docs.map_batches(chunk_rows, batch_format="pandas")
+    rm_ds = removals.map_batches(rm_rows, batch_format="pandas")
+    joined = chunk_ds.join(rm_ds, join_type="left_outer", on=("ck",),
+                           num_partitions=16)
+
+    def reconstruct(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["rm"].isna()].sort_values("chunk_idx", kind="mergesort")
+        if not len(g):
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype=np.int64),
+                "kept_chunks": pd.Series([], dtype=np.int64),
+                "text_dedup": pd.Series([], dtype=str)})
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].iloc[:1].astype(np.int64).to_numpy(),
+            "kept_chunks": np.array([len(g)], np.int64),
+            "text_dedup": np.array(["".join(g["chunk_text"])], object),
+        })
+
+    return joined.groupby("doc_id").map_groups(
+        reconstruct, batch_format="pandas")

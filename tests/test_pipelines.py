@@ -1119,3 +1119,73 @@ class TestWindowLeadModeDense:
               GROUP BY user_id, event_type)
             WHERE rn = 1 ORDER BY user_id""").fetchdf()
         pd.testing.assert_frame_equal(r, o, check_dtype=False)
+
+
+class TestParagraphDedup:
+    """Sub-document dedup: chunk-grid first-wins + reconstruction."""
+
+    ORACLE = """
+        WITH chunks AS (
+          SELECT doc_id, i AS chunk_idx,
+                 substring(text, CAST(i AS INT) * 80 + 1, 80) AS chunk
+          FROM read_parquet('{p}')
+          , UNNEST(generate_series(
+                0, CAST(ceil(length(text) / 80.0) AS BIGINT) - 1)) AS u(i)),
+        keep AS (
+          SELECT doc_id, chunk_idx, chunk,
+                 row_number() OVER (PARTITION BY chunk
+                                    ORDER BY doc_id, chunk_idx) AS rn
+          FROM chunks)
+        SELECT doc_id, count(*) AS kept_chunks,
+               string_agg(chunk, '' ORDER BY chunk_idx) AS text_dedup
+        FROM keep WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id"""
+
+    @pytest.fixture(scope="class")
+    def para_corpus(self, tmp_path_factory):
+        """documents whose texts share whole 80-char-aligned regions:
+        doc 3k+1 repeats doc 3k's first 160 chars (2 shared chunks),
+        doc 3k+2 is doc 3k verbatim (all chunks shared)."""
+        d = str(tmp_path_factory.mktemp("para"))
+        base = pq.read_table(f"{SF}/documents.parquet")
+        texts = [t for t in base["text"].to_pylist()[:60] if len(t) > 200]
+        rows_id, rows_tx = [], []
+        nid = 0
+        for t in texts:
+            rows_id += [nid, nid + 1, nid + 2]
+            rows_tx += [t, t[:160] + ("z" * 95), t]
+            nid += 3
+        pq.write_table(pa.table({
+            "doc_id": pa.array(rows_id, pa.int64()),
+            "text": pa.array(rows_tx, pa.string()),
+        }), f"{d}/documents.parquet")
+        return d
+
+    @pytest.mark.parametrize("distributed", [False, True])
+    def test_paths_match_duckdb(self, para_corpus, distributed):
+        import duckdb
+
+        from spider_ray.pipelines.webtext import paragraph_dedup
+
+        r = (paragraph_dedup(para_corpus, force_distributed=distributed)
+             .to_pandas().sort_values("doc_id", ignore_index=True))
+        o = duckdb.connect().execute(self.ORACLE.format(
+            p=f"{para_corpus}/documents.parquet")).fetchdf()
+        pd.testing.assert_frame_equal(r, o, check_dtype=False)
+        # the constructed corpus must actually dedup: verbatim copies
+        # (doc 3k+2) lose every chunk and drop out of the result
+        assert len(r) < len(pd.read_parquet(
+            f"{para_corpus}/documents.parquet"))
+        # near-copies keep only their novel tail
+        assert (r.groupby(r["doc_id"] % 3 == 1)["kept_chunks"]
+                .min().min() >= 1)
+
+    def test_real_corpus_matches_duckdb(self):
+        import duckdb
+
+        from spider_ray.pipelines.webtext import paragraph_dedup
+
+        r = (paragraph_dedup(SF).to_pandas()
+             .sort_values("doc_id", ignore_index=True))
+        o = duckdb.connect().execute(self.ORACLE.format(
+            p=f"{SF}/documents.parquet")).fetchdf()
+        pd.testing.assert_frame_equal(r, o, check_dtype=False)
