@@ -52,12 +52,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_order": cq.crawl_order,
         "crawl_text": cq.crawl_text,
         "crawl_metrics": cq.crawl_metrics,
+        # link-graph PageRank over the crawl's real href graph
+        # (rows-only here; pytest hash-matches the full rank vector
+        # against the unrolled SQL oracle over the same edge table)
+        "crawl_pagerank": cq.crawl_pagerank,
         # -- engine-conformance layer (flow DAG + expression mappers) ------
         "flow_basic_leaves": fq.flow_basic_leaves,
         # -- relational coverage (DuckDB-checked) -------------------------
         "q1_pricing_summary": rel.q1_pricing_summary,
         "filter_project_revenue": rel.filter_project_revenue,
         "topk_orders": rel.topk_orders,
+        "paginate_orders": rel.paginate_orders,
         "distinct_flag_status": rel.distinct_flag_status,
         "broadcast_join_segment_revenue": rel.broadcast_join_segment_revenue,
         "hash_join_priority_revenue": rel.hash_join_priority_revenue,
@@ -81,6 +86,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag_event_gap": rel.lag_event_gap,
         "window_lead_first_dense": rel.window_lead_first_dense,
         "mode_event_type_per_user": rel.mode_event_type_per_user,
+        "funnel_view_click_purchase": rel.funnel_view_click_purchase,
+        "rolling_median_user_value": rel.rolling_median_user_value,
+        "winsorize_event_value": rel.winsorize_event_value,
         "cumsum_value_by_user": rel.cumsum_value_by_user,
         "rollup_orders_status_priority": rel.rollup_orders_status_priority,
         "cube_orders_status_priority": rel.cube_orders_status_priority,
@@ -196,6 +204,70 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ORDER BY event_id
+        """,
+        # Ordered-sequence funnel: first view -> first click strictly
+        # after it -> first purchase strictly after that; stage 0-3.
+        "funnel_view_click_purchase": """
+            WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                       WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                  JOIN v ON v.user_id = e.user_id
+                  WHERE e.event_type = 'click' AND e.ts > v.t1
+                  GROUP BY e.user_id),
+            p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                  JOIN c ON c.user_id = e.user_id
+                  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                  GROUP BY e.user_id),
+            u AS (SELECT DISTINCT user_id FROM events)
+            SELECT u.user_id,
+                   CASE WHEN t3 IS NOT NULL THEN 3
+                        WHEN t2 IS NOT NULL THEN 2
+                        WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage,
+                   v.t1 AS view_ts, c.t2 AS click_ts, p.t3 AS purchase_ts
+            FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+                   LEFT JOIN p USING (user_id)
+            ORDER BY user_id
+        """,
+        # Windowed order statistic: median of the user's last 4 values
+        # (integer cents -> exact k or k+.5 medians in both engines).
+        "rolling_median_user_value": """
+            SELECT event_id, user_id,
+                   median(CAST(round(value * 100) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                       AS med_cents
+            FROM events ORDER BY event_id
+        """,
+        # Pagination: page 2 (rows 40-59) of orders by price — the
+        # reference control-plane's listing semantics at data scale.
+        "paginate_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 20 OFFSET 40
+        """,
+        # Winsorize: clip each event's value (integer cents) to its
+        # event_type's exact [p05, p95] order statistics — the repo's
+        # floor(q*(n-1)) rank rule, shared verbatim.
+        "winsorize_event_value": """
+            WITH cents AS (SELECT event_id, event_type,
+                                  CAST(round(value * 100) AS BIGINT) AS c
+                           FROM events),
+            ranked AS (SELECT event_type, c,
+                              row_number() OVER (PARTITION BY event_type
+                                                 ORDER BY c) - 1 AS rn,
+                              count(*) OVER (PARTITION BY event_type) AS n
+                       FROM cents),
+            b AS (SELECT event_type,
+                         max(CASE WHEN rn = CAST(floor(0.05 * (n - 1))
+                                                 AS BIGINT)
+                                  THEN c END) AS lo_c,
+                         max(CASE WHEN rn = CAST(floor(0.95 * (n - 1))
+                                                 AS BIGINT)
+                                  THEN c END) AS hi_c
+                  FROM ranked GROUP BY event_type)
+            SELECT e.event_id, e.event_type,
+                   least(greatest(e.c, b.lo_c), b.hi_c) AS clipped_cents
+            FROM cents e JOIN b USING (event_type) ORDER BY event_id
         """,
         # Grouped MODE: most frequent event_type per user, ties -> the
         # lexicographically smallest type.

@@ -83,3 +83,55 @@ def crawl_metrics(sf_dir: str):
             "links_found", "admitted", "frontier_after"]
     return pa.table({c: pa.array([r[c] for r in rows], pa.int64())
                      for c in cols})
+
+
+def crawl_link_edges(pages_path: str):
+    """DISTINCT directed (src, dst) canonical-url edges of a pages
+    corpus — the crawl's REAL href graph, derived with the SAME shared
+    kernels the fetch stage runs (extract_hrefs_batch + resolve_batch),
+    so the graph the analytics see is exactly the graph the frontier
+    walked.  The canonicalize pass is page-count-sized; the
+    link-count-sized work (href scan, resolution) is the vectorized
+    kernels.  In-batch pre-distinct, then one grouped distinct."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..common.extract import extract_hrefs_batch
+    from ..common.urlnorm import canonicalize, resolve_batch
+
+    def edges(t: pa.Table) -> pa.Table:
+        srcs = [canonicalize(u) for u in t["url"].to_pylist()]
+        hrefs, parents = extract_hrefs_batch(t["html"])
+        bases = np.array(srcs, dtype=object)[parents].tolist()
+        dsts = resolve_batch(hrefs, bases)
+        d_all = pa.array(dsts, pa.string())
+        out = pa.table({"src": pa.array(bases, pa.string()),
+                        "dst": d_all}).filter(pc.is_valid(d_all))
+        return pa.TableGroupBy(out, ["src", "dst"]).aggregate([]) \
+            .select(["src", "dst"])
+
+    ds = rd.read_parquet(pages_path, columns=["url", "html"])
+    per_block = ds.map_batches(edges, batch_format="pyarrow")
+    return per_block.groupby(["src", "dst"]).count() \
+        .drop_columns(["count()"])
+
+
+def crawl_pagerank(sf_dir: str, iters: int = 4, topn: int = 100,
+                   force_distributed: bool = False):
+    """Link-graph centrality over the crawl corpus: fixed-point
+    PageRank (graph.pagerank_edges) on the pages fixture's href graph.
+    Unlike the symmetric interaction graph, this one is directed and
+    full of dangling targets (discovered-but-unfetched urls) — the
+    variant the dangling-node rule exists for.  Driver check is
+    rows-only (the corpus is self-generated); pytest hash-matches the
+    FULL rank vector against the unrolled SQL oracle over the same
+    edge table (tests/test_pipelines.py::TestCrawlPagerank).  Returns
+    the top `topn` urls by (rank desc, url)."""
+    from .graph import pagerank_edges
+
+    eng = run_crawl_cached(sf_dir)  # shares the cached fixture
+    edges = crawl_link_edges(eng.pages_path)
+    return pagerank_edges(edges, iters=iters,
+                          force_distributed=force_distributed).limit(topn)

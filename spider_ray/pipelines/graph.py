@@ -93,27 +93,36 @@ def _distinct_edges(sf_dir: str, event_type: str | None = None,
 # PageRank
 # ---------------------------------------------------------------------------
 
-def pagerank_user_item(sf_dir: str, iters: int = 5,
-                       force_distributed: bool = False):
-    """Fixed-point PageRank (d=0.85, 5 iterations) over the full
-    user-item interaction graph.  Returns every node's final rank in
-    SCALE fixed-point units, sorted by (rank desc, node).
+def pagerank_edges(edges, iters: int = 5, force_distributed: bool = False):
+    """Fixed-point PageRank (d=0.85, fixed iterations) over an
+    arbitrary DIRECTED distinct-edge Dataset[(src,dst)].  Returns every
+    node's final rank in SCALE fixed-point units, sorted by
+    (rank desc, node).
 
     rank_0(n)   = SCALE
     rank_i+1(n) = 15*SCALE//100 + (85 * Σ_{(m,n)∈E} rank_i(m)//deg(m))//100
 
-    All arithmetic is int64 floor division/sums — exact and
-    order-independent, hash-matching the unrolled SQL oracle."""
+    Dangling nodes (no out-edges — a real web graph is full of them)
+    receive contributions but send none: rank leaks, the standard
+    simplified variant; the message-passing rounds keep every node
+    alive via a zero self-contribution.  All arithmetic is int64 floor
+    division/sums — exact and order-independent, hash-matching the
+    unrolled SQL of pagerank_sql_for_edges at any parallelism."""
     import ray.data as rd
 
-    edges = _distinct_edges(sf_dir)
+    edges = edges.materialize()  # consumed by count + every iteration
     n_edges = edges.count()
 
     if n_edges <= _DRIVER_MAX_EDGES and not force_distributed:
         df = edges.to_pandas()
-        nodes, src_idx = np.unique(df["src"].to_numpy(), return_inverse=True)
-        # symmetric edges: every node appears as src, so dst maps fully
-        dst_idx = np.searchsorted(nodes, df["dst"].to_numpy())
+        src = df["src"].to_numpy()
+        dst = df["dst"].to_numpy()
+        nodes = np.unique(np.concatenate([src, dst]))
+        src_idx = np.searchsorted(nodes, src)
+        dst_idx = np.searchsorted(nodes, dst)
+        # every EDGE's src has deg >= 1 by construction, so the gather
+        # below never divides by zero; dangling nodes just never appear
+        # as src
         deg = np.bincount(src_idx, minlength=len(nodes)).astype(np.int64)
         rank = np.full(len(nodes), SCALE, np.int64)
         for _ in range(iters):
@@ -139,29 +148,40 @@ def pagerank_user_item(sf_dir: str, iters: int = 5,
         to_edge_rows, batch_format="pyarrow").materialize()
 
     def seed(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_null(t["rank"]))  # one rank row per edge src...
-        g = pa.TableGroupBy(t, ["node"]).aggregate([])  # ...made distinct
+        # node universe = src ∪ dst (dst-only nodes dangle but exist)
+        both = pa.table({"node": pa.chunked_array([
+            pc.cast(t["src"], pa.string()).combine_chunks()
+            if isinstance(t["src"], pa.ChunkedArray) else t["src"],
+            pc.cast(t["dst"], pa.string()).combine_chunks()
+            if isinstance(t["dst"], pa.ChunkedArray) else t["dst"],
+        ])})
+        g = pa.TableGroupBy(both, ["node"]).aggregate([])  # block-distinct
         return pa.table({
             "node": g["node"],
             "rank": pa.array([SCALE] * g.num_rows, pa.int64()),
             "dst": pa.nulls(g.num_rows, pa.string()),
         })
 
-    # per-block pre-distinct; the first round's groupby makes it global
-    ranks = edge_rows.map_batches(seed, batch_format="pyarrow") \
+    # per-block pre-distinct; the groupby slice makes it global
+    ranks = edges.map_batches(seed, batch_format="pyarrow") \
         .groupby("node").map_groups(
             lambda g: g.slice(0, 1), batch_format="pyarrow")
 
     def send(g: pa.Table) -> pa.Table:
         rank = g["rank"].drop_null()
         r = rank[0].as_py()
+        node = g["node"][0].as_py()
         dsts = g["dst"].drop_null()
         if isinstance(dsts, pa.ChunkedArray):
             dsts = dsts.combine_chunks()
         k = len(dsts)
+        # the zero self-contribution keeps receive-only (dangling-in)
+        # and isolated-this-round nodes in the rank vector
+        out_nodes = pa.concat_arrays([pa.array([node], pa.string()), dsts])
+        per_edge = [] if k == 0 else [r // k] * k  # k=0: dangling node
         return pa.table({
-            "node": dsts,
-            "contrib": pa.array([r // k] * k, pa.int64()),
+            "node": out_nodes,
+            "contrib": pa.array([0] + per_edge, pa.int64()),
         })
 
     from ray.data.aggregate import Sum
@@ -191,33 +211,57 @@ def pagerank_user_item(sf_dir: str, iters: int = 5,
     return out.sort(["rank_fp", "node"], descending=[True, False])
 
 
-def pagerank_oracle_sql(iters: int = 5) -> str:
-    """Unrolled fixed-iteration SQL replica of pagerank_user_item —
-    identical integer fixed-point arithmetic (DuckDB's // is integer
-    floor division; SUM is widened to HUGEINT, so each step casts back
-    to BIGINT after the exact integer ops)."""
-    head = f"""
-        WITH pairs AS (
+def pagerank_user_item(sf_dir: str, iters: int = 5,
+                       force_distributed: bool = False):
+    """PageRank over the full user-item interaction graph (symmetric
+    DISTINCT edges, so no node dangles) — pagerank_edges applied to the
+    events derivation."""
+    return pagerank_edges(_distinct_edges(sf_dir), iters=iters,
+                          force_distributed=force_distributed)
+
+
+_USER_ITEM_EDGES_CTE = """pairs AS (
           SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS a,
                  'k' || regexp_extract(props, '"k":\\s*(-?[0-9]+)', 1) AS b
           FROM events),
         edges AS (SELECT a AS src, b AS dst FROM pairs
-                  UNION SELECT b, a FROM pairs),
+                  UNION SELECT b, a FROM pairs)"""
+
+
+def pagerank_sql_for_edges(edges_cte: str, iters: int = 5) -> str:
+    """Unrolled fixed-iteration SQL replica of pagerank_edges for any
+    edge derivation (`edges_cte` must define edges(src, dst), already
+    DISTINCT) — identical integer fixed-point arithmetic (DuckDB's //
+    is integer floor division; SUM widens to HUGEINT, so each step
+    casts back to BIGINT after the exact integer ops).  Dangling nodes
+    keep a rank via the LEFT JOIN + COALESCE(…, 0) — the same
+    zero-self-contribution rule as the engine."""
+    head = f"""
+        WITH {edges_cte},
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst FROM edges),
         deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
-        r0 AS (SELECT src AS node, CAST({SCALE} AS BIGINT) AS r FROM deg)"""
+        r0 AS (SELECT node, CAST({SCALE} AS BIGINT) AS r FROM nodes)"""
     steps = []
     for i in range(1, iters + 1):
         steps.append(f"""
-        r{i} AS (SELECT e.dst AS node,
-                       CAST({_BASE} + (85 * SUM(r.r // d.d)) // 100
+        r{i} AS (SELECT n.node,
+                       CAST({_BASE}
+                            + (85 * COALESCE(SUM(r.r // d.d), 0)) // 100
                             AS BIGINT) AS r
-                FROM edges e
-                JOIN r{i-1} r ON r.node = e.src
-                JOIN deg d ON d.src = e.src
-                GROUP BY e.dst)""")
+                FROM nodes n
+                LEFT JOIN edges e ON e.dst = n.node
+                LEFT JOIN r{i-1} r ON r.node = e.src
+                LEFT JOIN deg d ON d.src = e.src
+                GROUP BY n.node)""")
     return (head + "," + ",".join(steps)
             + f"\n        SELECT node, r AS rank_fp FROM r{iters} "
               "ORDER BY rank_fp DESC, node")
+
+
+def pagerank_oracle_sql(iters: int = 5) -> str:
+    """The driver oracle for pagerank_user_item."""
+    return pagerank_sql_for_edges(_USER_ITEM_EDGES_CTE, iters=iters)
 
 
 # ---------------------------------------------------------------------------

@@ -1206,3 +1206,145 @@ def mode_event_type_per_user(sf_dir: str):
 
     return counts.groupby("user_id").map_groups(
         argmax, batch_format="pandas")
+
+
+def funnel_view_click_purchase(sf_dir: str):
+    """Ordered-sequence funnel (the classic events-analytics op): per
+    user, the first 'view', the first 'click' strictly after that view,
+    and the first 'purchase' strictly after that click; stage = how far
+    the user got (0-3).  Timestamps are exact integers (µs), so the
+    distributed result hash-matches the SQL verbatim.  Group-parallel:
+    each user's funnel is independent — hash partitioning by user_id is
+    the whole scale story (same shape as sessionize/lag)."""
+    ds = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy()
+        et = g["event_type"].to_numpy()
+
+        def first_after(kind: str, after) -> object:
+            m = et == kind
+            if after is not None:
+                m &= ts > after
+            idx = np.flatnonzero(m)
+            return ts[idx[0]] if len(idx) else None
+
+        t1 = first_after("view", None)
+        t2 = first_after("click", t1) if t1 is not None else None
+        t3 = first_after("purchase", t2) if t2 is not None else None
+        stage = 3 if t3 is not None else 2 if t2 is not None \
+            else 1 if t1 is not None else 0
+        return pd.DataFrame({
+            "user_id": g["user_id"].iloc[:1].to_numpy(),
+            "stage": np.array([stage], np.int64),
+            "view_ts": pd.Series([t1], dtype="datetime64[us]"),
+            "click_ts": pd.Series([t2], dtype="datetime64[us]"),
+            "purchase_ts": pd.Series([t3], dtype="datetime64[us]"),
+        })
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def rolling_median_user_value(sf_dir: str, window: int = 4):
+    """Windowed ORDER STATISTIC (beyond the sum/avg family): per event,
+    the median of the user's last 4 values (current + 3 preceding) in
+    (ts, event_id) order.  Values quantized to integer cents first, so
+    the median is integer or half-integer — exact at one decimal place
+    in both engines, immune to float accumulation order."""
+    ds = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        v = g["value"].to_numpy()
+        cents = (np.floor(np.abs(v) * 100 + 0.5)
+                 * np.sign(v)).astype(np.int64)
+        med = (pd.Series(cents).rolling(window, min_periods=1)
+               .median().to_numpy())
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            # median of int cents is k or k+0.5 -> exact at 1 dp
+            "med_cents": med,
+        })
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def winsorize_event_value(sf_dir: str, lo: float = 0.05, hi: float = 0.95):
+    """Two-pass outlier clipping (winsorize): exact per-group
+    order-statistic bounds (the repo's floor(q·(n−1)) rank rule over
+    integer cents), then the group→(lo,hi) table — group-cardinality-
+    sized, i.e. model-parameter-sized — is applied as a vectorized
+    per-batch clip.  The same stats-broadcast-apply shape as the
+    unigram-LM scorer: the big table streams through ONE map_batches;
+    only the tiny bounds table ever sits on the driver."""
+    ds = _rp(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def cents_col(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        c = (np.floor(np.abs(v) * 100 + 0.5) * np.sign(v)).astype(np.int64)
+        return pa.table({"event_id": t["event_id"],
+                         "event_type": t["event_type"],
+                         "c": pa.array(c, pa.int64())})
+
+    cents = ds.map_batches(cents_col, batch_format="pyarrow")
+
+    def group_bounds(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(df["c"].to_numpy())
+        n = len(v)
+        return pd.DataFrame({
+            "event_type": df["event_type"].iloc[:1].to_numpy(),
+            "lo_c": np.array([v[int(np.floor(lo * (n - 1)))]], np.int64),
+            "hi_c": np.array([v[int(np.floor(hi * (n - 1)))]], np.int64),
+        })
+
+    bounds = (cents.groupby("event_type")
+              .map_groups(group_bounds, batch_format="pandas").to_pandas())
+    lo_map = dict(zip(bounds["event_type"], bounds["lo_c"]))
+    hi_map = dict(zip(bounds["event_type"], bounds["hi_c"]))
+
+    def clip(df: pd.DataFrame) -> pd.DataFrame:
+        lo_v = df["event_type"].map(lo_map).to_numpy(dtype=np.int64)
+        hi_v = df["event_type"].map(hi_map).to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "event_type": df["event_type"].to_numpy(),
+            "clipped_cents": np.clip(df["c"].to_numpy(), lo_v, hi_v),
+        })
+
+    return cents.map_batches(clip, batch_format="pandas")
+
+
+def paginate_orders(sf_dir: str, page_size: int = 20, page: int = 2):
+    """ORDER BY … LIMIT … OFFSET … (result pagination, the reference
+    control-plane's listing semantics at data scale — reference
+    storage_workflow_mongodb.go:421-424 pages its Mongo listing the
+    same way).  Executed as the top-k combiner extended to depth
+    offset+limit: each block keeps only its possible page members, the
+    tiny block-tops union is sorted once, and the page is sliced out —
+    the table is never globally sorted.  Deep pages cost O(depth) per
+    block by construction (documented anti-pattern at web scale; page
+    tokens / keyset pagination is the deep-scroll path)."""
+    ds = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    depth = page_size * (page + 1)
+
+    def local_top(t: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            t, depth, [("o_totalprice", "descending"),
+                       ("o_orderkey", "ascending")])
+        return t.take(idx)
+
+    top = (ds.map_batches(local_top, batch_format="pyarrow")
+           .sort([("o_totalprice"), ("o_orderkey")],
+                 descending=[True, False])
+           .limit(depth))
+
+    def slice_page(df: pd.DataFrame) -> pd.DataFrame:
+        return df.iloc[page_size * page:]
+
+    # limit(depth) yields depth rows; the page is its tail slice — done
+    # driver-side on page_size rows via take_batch would materialize,
+    # so slice inside ONE final map over the already-tiny result
+    return top.map_batches(slice_page, batch_format="pandas",
+                           batch_size=depth)

@@ -1189,3 +1189,173 @@ class TestParagraphDedup:
         o = duckdb.connect().execute(self.ORACLE.format(
             p=f"{SF}/documents.parquet")).fetchdf()
         pd.testing.assert_frame_equal(r, o, check_dtype=False)
+
+
+class TestFunnelAndRollingMedian:
+    """Ordered-sequence funnel + windowed order statistic vs DuckDB."""
+
+    def test_funnel_matches_duckdb(self):
+        import duckdb
+
+        from spider_ray.pipelines.relational import (
+            funnel_view_click_purchase)
+
+        r = (funnel_view_click_purchase(SF).to_pandas()
+             .sort_values("user_id", ignore_index=True))
+        con = duckdb.connect()
+        o = con.execute(f"""
+            WITH ev AS (SELECT * FROM read_parquet('{SF}/events.parquet')),
+            v AS (SELECT user_id, min(ts) AS t1 FROM ev
+                  WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e
+                  JOIN v ON v.user_id = e.user_id
+                  WHERE e.event_type = 'click' AND e.ts > v.t1
+                  GROUP BY e.user_id),
+            p AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e
+                  JOIN c ON c.user_id = e.user_id
+                  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                  GROUP BY e.user_id),
+            u AS (SELECT DISTINCT user_id FROM ev)
+            SELECT u.user_id,
+                   CASE WHEN t3 IS NOT NULL THEN 3
+                        WHEN t2 IS NOT NULL THEN 2
+                        WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage,
+                   v.t1 AS view_ts, c.t2 AS click_ts, p.t3 AS purchase_ts
+            FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+                   LEFT JOIN p USING (user_id)
+            ORDER BY user_id""").fetchdf()
+        pd.testing.assert_frame_equal(r, o, check_dtype=False)
+        # at sf0.001 every user has enough events to complete the
+        # funnel — full completion is itself the expected signal; the
+        # LEFT-JOIN/stage logic is exercised by the frame equality
+        assert r["stage"].between(0, 3).all() and (r["stage"] == 3).any()
+        assert (r.loc[r["stage"] == 3, "purchase_ts"]
+                > r.loc[r["stage"] == 3, "click_ts"]).all()
+
+    def test_rolling_median_matches_duckdb(self):
+        import duckdb
+
+        from spider_ray.pipelines.relational import (
+            rolling_median_user_value)
+
+        r = (rolling_median_user_value(SF).to_pandas()
+             .sort_values("event_id", ignore_index=True))
+        con = duckdb.connect()
+        o = con.execute(f"""
+            SELECT event_id, user_id,
+                   median(CAST(round(value * 100) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                       AS med_cents
+            FROM read_parquet('{SF}/events.parquet')
+            ORDER BY event_id""").fetchdf()
+        pd.testing.assert_frame_equal(r, o, check_dtype=False)
+        # half-integer medians must occur (even-count windows)
+        assert ((r["med_cents"] % 1) == 0.5).any()
+
+
+class TestWinsorize:
+    def test_winsorize_matches_duckdb(self):
+        import duckdb
+
+        from spider_ray.pipelines.relational import winsorize_event_value
+
+        r = (winsorize_event_value(SF).to_pandas()
+             .sort_values("event_id", ignore_index=True))
+        con = duckdb.connect()
+        o = con.execute(f"""
+            WITH cents AS (SELECT event_id, event_type,
+                                  CAST(round(value * 100) AS BIGINT) AS c
+                           FROM read_parquet('{SF}/events.parquet')),
+            ranked AS (SELECT event_type, c,
+                              row_number() OVER (PARTITION BY event_type
+                                                 ORDER BY c) - 1 AS rn,
+                              count(*) OVER (PARTITION BY event_type) AS n
+                       FROM cents),
+            b AS (SELECT event_type,
+                         max(CASE WHEN rn = CAST(floor(0.05 * (n - 1))
+                                                 AS BIGINT)
+                                  THEN c END) AS lo_c,
+                         max(CASE WHEN rn = CAST(floor(0.95 * (n - 1))
+                                                 AS BIGINT)
+                                  THEN c END) AS hi_c
+                  FROM ranked GROUP BY event_type)
+            SELECT e.event_id, e.event_type,
+                   least(greatest(e.c, b.lo_c), b.hi_c) AS clipped_cents
+            FROM cents e JOIN b USING (event_type)
+            ORDER BY event_id""").fetchdf()
+        pd.testing.assert_frame_equal(r, o, check_dtype=False)
+        # clipping must actually fire on both tails
+        raw = pd.read_parquet(f"{SF}/events.parquet")
+        cents = (np.floor(np.abs(raw["value"]) * 100 + 0.5)
+                 * np.sign(raw["value"])).astype(np.int64)
+        merged = r.set_index("event_id")
+        assert (merged.loc[raw["event_id"], "clipped_cents"].to_numpy()
+                != cents.to_numpy()).any()
+
+
+class TestPagination:
+    def test_page_matches_duckdb(self):
+        import duckdb
+
+        from spider_ray.pipelines.relational import paginate_orders
+
+        r = paginate_orders(SF).to_pandas().reset_index(drop=True)
+        con = duckdb.connect()
+        o = con.execute(f"""
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM read_parquet('{SF}/orders.parquet')
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 20 OFFSET 40""").fetchdf()
+        pd.testing.assert_frame_equal(r, o, check_dtype=False)
+        assert len(r) == 20
+
+
+class TestCrawlPagerank:
+    """PageRank over the crawl fixture's REAL (directed, dangling-heavy)
+    href graph — full rank vector vs the unrolled SQL oracle over the
+    identical edge table."""
+
+    @pytest.fixture(scope="class")
+    def edge_df(self):
+        from spider_ray.pipelines.crawl_queries import (
+            crawl_link_edges, run_crawl_cached)
+
+        eng = run_crawl_cached(SF)
+        return crawl_link_edges(eng.pages_path).to_pandas()
+
+    def _oracle(self, edge_df, iters):
+        import duckdb
+
+        from spider_ray.pipelines.graph import pagerank_sql_for_edges
+
+        con = duckdb.connect()
+        con.register("edges_tbl", edge_df)
+        return con.execute(pagerank_sql_for_edges(
+            "edges AS (SELECT src, dst FROM edges_tbl)",
+            iters=iters)).fetchdf()
+
+    @pytest.mark.parametrize("distributed", [False, True])
+    def test_full_vector_matches_oracle(self, edge_df, distributed):
+        import ray.data as rd
+
+        from spider_ray.pipelines.graph import pagerank_edges
+
+        r = (pagerank_edges(rd.from_pandas(edge_df), iters=4,
+                            force_distributed=distributed)
+             .to_pandas()
+             .sort_values(["rank_fp", "node"], ascending=[False, True],
+                          ignore_index=True))
+        o = self._oracle(edge_df, iters=4)
+        pd.testing.assert_frame_equal(r, o, check_dtype=False)
+        # the href graph must actually contain dangling nodes (link
+        # targets that are never sources) — the rule under test
+        assert len(set(edge_df["dst"]) - set(edge_df["src"])) > 0
+
+    def test_crawl_pagerank_head_matches_oracle(self, edge_df):
+        from spider_ray.pipelines.crawl_queries import crawl_pagerank
+
+        r = crawl_pagerank(SF, iters=4, topn=50).to_pandas()
+        o = self._oracle(edge_df, iters=4).head(50).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            r.reset_index(drop=True), o, check_dtype=False)
