@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join_customers_with_orders": rel.semi_join_customers_with_orders,
         "anti_join_customers_without_big_orders": rel.anti_join_customers_without_big_orders,
         "union_all_names": rel.union_all_names,
+        "union_distinct_names": rel.union_distinct_names,
+        "cross_join_region_nation": rel.cross_join_region_nation,
         "flat_map_top_tokens": rel.flat_map_top_tokens,
         "window_hourly_user_value": rel.window_hourly_user_value,
         "sessionize_users": rel.sessionize_users,
@@ -132,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": wt.dedup_incremental,
         "train_val_test_split": wt.train_val_test_split,
         "paragraph_dedup": wt.paragraph_dedup,
+        "c4_style_filter": wt.c4_style_filter,
         "global_shuffle_rank": wt.global_shuffle_rank,
         # -- link-graph analytics (fixed-point PageRank, components) -------
         "pagerank_user_item": gph.pagerank_user_item,
@@ -171,6 +174,33 @@ def oracle_sql() -> dict[str, str]:
         # IDENTICAL int64 arithmetic (generated next to the engine code so
         # SCALE / damping / iteration count can never diverge).
         "pagerank_user_item": pagerank_oracle_sql(),
+        # C4-style rule battery: first failing rule (fixed precedence)
+        # is the reason; all compares are integer cross-products.
+        "c4_style_filter": """
+            WITH tok AS (SELECT doc_id,
+                                regexp_extract_all(lower(text),
+                                                   '[a-z0-9_]+') AS t
+                         FROM documents),
+            m AS (SELECT doc_id, len(t) AS n,
+                         list_sum(list_transform(t, x -> length(x)))
+                             AS sumlen,
+                         len(list_filter(t, x -> x IN
+                             ('the','a','of','to','and','in','is','it')))
+                             AS stopn,
+                         list_contains(t, 'dup') AS blocked
+                  FROM tok),
+            r AS (SELECT doc_id, n,
+                         CASE WHEN n < 20 THEN 'too_few_tokens'
+                              WHEN n > 5000 THEN 'too_many_tokens'
+                              WHEN sumlen < 3 * n THEN 'short_tokens'
+                              WHEN sumlen > 10 * n THEN 'long_tokens'
+                              WHEN stopn * 100 < 3 * n THEN 'low_stopword'
+                              WHEN blocked THEN 'blocklisted'
+                              ELSE 'ok' END AS reason
+                  FROM m)
+            SELECT doc_id, reason = 'ok' AS kept, n AS n_tokens, reason
+            FROM r ORDER BY doc_id
+        """,
         # Sub-document (paragraph-level) dedup: fixed-width chunk grid,
         # corpus-wide first-wins per distinct chunk (keeper = min
         # (doc_id, chunk_idx)), documents reconstructed from surviving
@@ -237,6 +267,13 @@ def oracle_sql() -> dict[str, str]:
                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
                        AS med_cents
             FROM events ORDER BY event_id
+        """,
+        "union_distinct_names": """
+            SELECT n_name AS name FROM nation
+            UNION SELECT r_name FROM region
+        """,
+        "cross_join_region_nation": """
+            SELECT n_name, r_name FROM nation CROSS JOIN region
         """,
         # Pagination: page 2 (rows 40-59) of orders by price — the
         # reference control-plane's listing semantics at data scale.

@@ -1348,3 +1348,40 @@ def paginate_orders(sf_dir: str, page_size: int = 20, page: int = 2):
     # so slice inside ONE final map over the already-tiny result
     return top.map_batches(slice_page, batch_format="pandas",
                            batch_size=depth)
+
+
+def cross_join_region_nation(sf_dir: str):
+    """CROSS JOIN (cartesian product) — legitimate only when one side is
+    broadcast-tiny, which is exactly how it executes: the region table
+    rides the closure (ray.put-sized), each nation batch emits
+    |batch|×|region| rows in one vectorized repeat/tile.  Closes the
+    join-type matrix (inner/left/full/semi/anti/as-of/range/broadcast/
+    cross)."""
+    import ray
+
+    regions = _rp(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    reg_ref = ray.put(regions.sort_values("r_regionkey",
+                                          ignore_index=True))
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        reg = ray.get(reg_ref)
+        k, m = len(df), len(reg)
+        return pd.DataFrame({
+            "n_name": np.repeat(df["n_name"].to_numpy(), m),
+            "r_name": np.tile(reg["r_name"].to_numpy(), k),
+        })
+
+    return _rp(sf_dir, "nation", ["n_name"]).map_batches(
+        fn, batch_format="pandas")
+
+
+def union_distinct_names(sf_dir: str):
+    """UNION (distinct) — union of the two projected name sources, then
+    ONE distinct groupby (same machinery as the set ops; no per-side
+    pre-distinct passes)."""
+    n = _rp(sf_dir, "nation", ["n_name"]).map_batches(
+        lambda t: pa.table({"name": t["n_name"]}), batch_format="pyarrow")
+    r = _rp(sf_dir, "region", ["r_name"]).map_batches(
+        lambda t: pa.table({"name": t["r_name"]}), batch_format="pyarrow")
+    out = n.union(r).groupby("name").count()
+    return out.drop_columns(["count()"])

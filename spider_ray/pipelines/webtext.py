@@ -657,7 +657,7 @@ def global_shuffle_rank(sf_dir: str, buckets: int = 64):
 # newline structure; the chunk grid is the shared "paragraph" contract)
 # ---------------------------------------------------------------------------
 
-_PARA_DRIVER_MAX_REMOVALS = 500_000
+_PARA_DRIVER_MAX_DUPS = 500_000
 
 
 def paragraph_dedup(sf_dir: str, width: int = 80,
@@ -665,30 +665,33 @@ def paragraph_dedup(sf_dir: str, width: int = 80,
     """CCNet-style sub-document dedup (Wenzek et al. 2019 dedup stage):
     split every document into fixed-width character chunks, keep ONE
     occurrence of every distinct chunk corpus-wide (keeper = min
-    (doc_id, chunk_idx)), drop the rest, and reconstruct each document
-    from its surviving chunks.  Returns (doc_id, kept_chunks,
-    text_dedup); documents that lose every chunk drop out.
+    (doc_id, chunk_idx), packed as one int64), drop the rest, and
+    reconstruct each document from its surviving chunks.  Returns
+    (doc_id, kept_chunks, text_dedup); documents that lose every chunk
+    drop out.
 
-    Scale shape — the text itself never shuffles on the common path:
-      phase 1  chunk per batch -> hash64(chunk) -> ONLY the integer
-               triple (h, doc_id, chunk_idx) enters the groupby; each
-               hash group emits its non-keeper (doc_id, chunk_idx)
-               pairs = the removal list (dup-volume-sized, not
-               corpus-sized).
-      phase 2  adaptive: removals below _PARA_DRIVER_MAX_REMOVALS are
-               broadcast (ray.put once) and applied as an in-batch
-               filter — a document's chunks never leave their batch, so
-               reconstruction is also in-batch; above the threshold the
-               removal list joins the chunk stream (one content-sized
-               hash shuffle, the same cost CCNet pays) and
-               reconstruction is a doc_id groupby.  Both paths are
-               forced in tests and must agree.
-    Collision caveat: phase 1 keys on the 64-bit chunk hash alone (the
+    Scale shape — the text never shuffles on the common path, and
+    nothing per-group runs in Python:
+      phase 1  chunk per batch -> hash64(chunk) -> ONLY the int64 pair
+               (h, ck) enters ONE grouped (Min, Count) aggregate; the
+               hashes with count > 1 plus their keeper ck — the
+               DUP-VOLUME-sized table — are all that leaves it.
+      phase 2  adaptive: below _PARA_DRIVER_MAX_DUPS the dup table is
+               broadcast (ray.put, two sorted int64 arrays) and removal
+               detection folds into the reconstruction pass — a
+               document's chunks never leave their batch; above the
+               threshold the chunk stream LEFT-joins the dup table on h
+               (one content-sized hash shuffle, the same cost CCNet
+               pays) and reconstruction is a doc_id groupby.  Both
+               paths are forced in tests and must agree.
+    Collision caveat: dedup keys on the 64-bit chunk hash alone (the
     text is not shipped), so two distinct chunks colliding would merge;
-    at n chunks the probability is ~n^2/2^64 and the SQL oracle
-    (which compares true text) would flag any actual collision."""
+    at n chunks the probability is ~n^2/2^64 and the SQL oracle (which
+    compares true text) would flag any actual collision."""
     import ray
     import ray.data as rd
+
+    from ray.data.aggregate import Count, Min
 
     from spider_ray.common.tokens import hash_string_array
 
@@ -716,87 +719,74 @@ def paragraph_dedup(sf_dir: str, width: int = 80,
         out = pd.concat(parts, ignore_index=True)
         return out.sort_values(["doc_id", "chunk_idx"], ignore_index=True)
 
-    def meta(df: pd.DataFrame) -> pd.DataFrame:
+    def _with_keys(df: pd.DataFrame) -> pd.DataFrame:
         c = _chunks(df)
         h = hash_string_array(pa.array(c["chunk_text"], pa.string()))
-        return pd.DataFrame({
-            "h": h.view(np.int64),
-            "doc_id": c["doc_id"].to_numpy(),
-            "chunk_idx": c["chunk_idx"].to_numpy(),
-        })
-
-    def non_keepers(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["doc_id", "chunk_idx"], kind="mergesort")
-        return g.iloc[1:][["doc_id", "chunk_idx"]]
-
-    removals = (docs.map_batches(meta, batch_format="pandas")
-                .groupby("h").map_groups(non_keepers,
-                                         batch_format="pandas"))
-    n_rem = removals.count()
-
-    if n_rem == 0 and not force_distributed:
-        # nothing to remove: reconstruction is the identity per batch
-        def ident(df: pd.DataFrame) -> pd.DataFrame:
-            c = _chunks(df)
-            g = c.groupby("doc_id", sort=True)
-            return pd.DataFrame({
-                "doc_id": np.fromiter(g.groups.keys(), np.int64),
-                "kept_chunks": g.size().to_numpy().astype(np.int64),
-                "text_dedup": g["chunk_text"].agg("".join).to_numpy(),
-            })
-
-        return docs.map_batches(ident, batch_format="pandas")
-
-    if n_rem <= _PARA_DRIVER_MAX_REMOVALS and not force_distributed:
-        rm = removals.to_pandas()
-        rm_keys = (rm["doc_id"].to_numpy().astype(np.int64) << np.int64(32)) \
-            | rm["chunk_idx"].to_numpy().astype(np.int64)
-        rm_ref = ray.put(np.sort(rm_keys))
-
-        def apply_rm(df: pd.DataFrame) -> pd.DataFrame:
-            keys = ray.get(rm_ref)  # zero-copy shm view, once per task
-            c = _chunks(df)
-            ck = (c["doc_id"].to_numpy().astype(np.int64) << np.int64(32)) \
-                | c["chunk_idx"].to_numpy().astype(np.int64)
-            keep = ~np.isin(ck, keys, assume_unique=False)
-            c = c[keep]
-            if not len(c):
-                return pd.DataFrame({
-                    "doc_id": pd.Series([], dtype=np.int64),
-                    "kept_chunks": pd.Series([], dtype=np.int64),
-                    "text_dedup": pd.Series([], dtype=str)})
-            g = c.groupby("doc_id", sort=True)
-            return pd.DataFrame({
-                "doc_id": np.fromiter(g.groups.keys(), np.int64),
-                "kept_chunks": g.size().to_numpy().astype(np.int64),
-                "text_dedup": g["chunk_text"].agg("".join).to_numpy(),
-            })
-
-        return docs.map_batches(apply_rm, batch_format="pandas")
-
-    # distributed removal application: one content-sized shuffle (the
-    # CCNet cost) — anti-join chunk stream vs removal list on the
-    # composite key, then reconstruct by doc groupby
-    def chunk_rows(df: pd.DataFrame) -> pd.DataFrame:
-        c = _chunks(df)
+        c["h"] = h.view(np.int64)
         c["ck"] = (c["doc_id"].to_numpy().astype(np.int64) << np.int64(32)) \
             | c["chunk_idx"].to_numpy().astype(np.int64)
         return c
 
-    def rm_rows(df: pd.DataFrame) -> pd.DataFrame:
+    def meta(df: pd.DataFrame) -> pd.DataFrame:
+        return _with_keys(df)[["h", "ck"]]
+
+    agg = (docs.map_batches(meta, batch_format="pandas")
+           .groupby("h").aggregate(Min("ck", alias_name="keep_ck"),
+                                   Count(alias_name="cnt")))
+
+    def only_dups(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["cnt"] > 1, ["h", "keep_ck"]] \
+            .reset_index(drop=True)
+
+    dups = agg.map_batches(only_dups, batch_format="pandas").materialize()
+    n_dup = dups.count()
+
+    def _reconstruct_batch(c: pd.DataFrame) -> pd.DataFrame:
+        if not len(c):
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype=np.int64),
+                "kept_chunks": pd.Series([], dtype=np.int64),
+                "text_dedup": pd.Series([], dtype=str)})
+        g = c.groupby("doc_id", sort=True)
         return pd.DataFrame({
-            "ck": (df["doc_id"].to_numpy().astype(np.int64) << np.int64(32))
-            | df["chunk_idx"].to_numpy().astype(np.int64),
-            "rm": np.ones(len(df), np.int8),
+            "doc_id": np.fromiter(g.groups.keys(), np.int64),
+            "kept_chunks": g.size().to_numpy().astype(np.int64),
+            "text_dedup": g["chunk_text"].agg("".join).to_numpy(),
         })
 
-    chunk_ds = docs.map_batches(chunk_rows, batch_format="pandas")
-    rm_ds = removals.map_batches(rm_rows, batch_format="pandas")
-    joined = chunk_ds.join(rm_ds, join_type="left_outer", on=("ck",),
+    if n_dup == 0 and not force_distributed:
+        # nothing duplicated: reconstruction is the identity per batch
+        return docs.map_batches(
+            lambda df: _reconstruct_batch(_chunks(df)),
+            batch_format="pandas")
+
+    if n_dup <= _PARA_DRIVER_MAX_DUPS and not force_distributed:
+        dd = dups.to_pandas().sort_values("h", ignore_index=True)
+        dup_ref = ray.put((dd["h"].to_numpy(np.int64),
+                           dd["keep_ck"].to_numpy(np.int64)))
+
+        def apply_rm(df: pd.DataFrame) -> pd.DataFrame:
+            hs, keep_ck = ray.get(dup_ref)  # zero-copy shm views
+            c = _with_keys(df)
+            hv = c["h"].to_numpy()
+            pos = np.searchsorted(hs, hv)
+            pos_c = np.minimum(pos, max(len(hs) - 1, 0))
+            matched = (len(hs) > 0) & (hs[pos_c] == hv)
+            rm = matched & (c["ck"].to_numpy() != keep_ck[pos_c])
+            return _reconstruct_batch(c[~rm])
+
+        return docs.map_batches(apply_rm, batch_format="pandas")
+
+    # distributed removal application: one content-sized shuffle (the
+    # CCNet cost) — LEFT-join the chunk stream against the dup table on
+    # h, drop non-keeper matches, reconstruct by doc groupby
+    chunk_ds = docs.map_batches(_with_keys, batch_format="pandas")
+    joined = chunk_ds.join(dups, join_type="left_outer", on=("h",),
                            num_partitions=16)
 
     def reconstruct(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g["rm"].isna()].sort_values("chunk_idx", kind="mergesort")
+        rm = g["keep_ck"].notna() & (g["ck"] != g["keep_ck"])
+        g = g[~rm].sort_values("chunk_idx", kind="mergesort")
         if not len(g):
             return pd.DataFrame({
                 "doc_id": pd.Series([], dtype=np.int64),
@@ -810,3 +800,64 @@ def paragraph_dedup(sf_dir: str, width: int = 80,
 
     return joined.groupby("doc_id").map_groups(
         reconstruct, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# C4-style rule-battery quality filter (Raffel et al. 2020 §2.2 shape)
+# ---------------------------------------------------------------------------
+
+C4_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it")
+C4_BLOCKLIST = ("dup",)
+C4_MIN_TOKENS, C4_MAX_TOKENS = 20, 5000
+C4_MIN_MEAN_LEN, C4_MAX_MEAN_LEN = 3, 10  # ints: compares stay integer-exact
+C4_MIN_STOP_PCT = 3
+
+
+def c4_style_filter(sf_dir: str):
+    """C4-style quality filter (the rule-battery shape of Raffel et al.
+    2020 §2.2, constants adapted to this corpus): per document, the
+    FIRST failing rule in a fixed precedence order becomes its reason;
+    kept == no rule fired.  Rules: token count in [20, 5000]; mean
+    token length in [3, 10] (compared as integer cross-products, never
+    a float mean); stopword fraction >= 3% (stopn*100 >= 3*n); no
+    blocklisted term.  Fully in-batch — tokenize once with the shared
+    kernel, every rule is a bincount/is_in over the flat token array,
+    zero shuffle, nothing on the driver."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    stop_set = pa.array(list(C4_STOPWORDS), pa.string())
+    block_set = pa.array(list(C4_BLOCKLIST), pa.string())
+
+    def fn(t: pa.Table) -> pa.Table:
+        from spider_ray.common.tokens import split_tokens
+
+        rows = t.num_rows
+        flat, parent = split_tokens(t["text"])
+        n = np.zeros(rows, np.int64)
+        np.add.at(n, parent, 1)
+        lens = np.asarray(pc.binary_length(flat), dtype=np.int64)
+        sumlen = np.zeros(rows, np.int64)
+        np.add.at(sumlen, parent, lens)
+        stopm = np.asarray(pc.is_in(flat, value_set=stop_set))
+        stopn = np.zeros(rows, np.int64)
+        np.add.at(stopn, parent[stopm], 1)
+        blockm = np.asarray(pc.is_in(flat, value_set=block_set))
+        blockn = np.zeros(rows, np.int64)
+        np.add.at(blockn, parent[blockm], 1)
+        reason = np.select(
+            [n < C4_MIN_TOKENS,
+             n > C4_MAX_TOKENS,
+             sumlen < C4_MIN_MEAN_LEN * n,
+             sumlen > C4_MAX_MEAN_LEN * n,
+             stopn * 100 < C4_MIN_STOP_PCT * n,
+             blockn > 0],
+            ["too_few_tokens", "too_many_tokens", "short_tokens",
+             "long_tokens", "low_stopword", "blocklisted"],
+            default="ok")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "kept": pa.array(reason == "ok"),
+            "n_tokens": pa.array(n, pa.int64()),
+            "reason": pa.array(reason, pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

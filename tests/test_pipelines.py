@@ -1359,3 +1359,83 @@ class TestCrawlPagerank:
         o = self._oracle(edge_df, iters=4).head(50).reset_index(drop=True)
         pd.testing.assert_frame_equal(
             r.reset_index(drop=True), o, check_dtype=False)
+
+
+class TestC4Filter:
+    def test_matches_duckdb_and_rules_fire(self):
+        import duckdb
+
+        from spider_ray.pipelines.webtext import c4_style_filter
+
+        r = (c4_style_filter(SF).to_pandas()
+             .sort_values("doc_id", ignore_index=True))
+        con = duckdb.connect()
+        o = con.execute(f"""
+            WITH tok AS (SELECT doc_id,
+                                regexp_extract_all(lower(text),
+                                                   '[a-z0-9_]+') AS t
+                         FROM read_parquet('{SF}/documents.parquet')),
+            m AS (SELECT doc_id, len(t) AS n,
+                         list_sum(list_transform(t, x -> length(x)))
+                             AS sumlen,
+                         len(list_filter(t, x -> x IN
+                             ('the','a','of','to','and','in','is','it')))
+                             AS stopn,
+                         list_contains(t, 'dup') AS blocked
+                  FROM tok),
+            r AS (SELECT doc_id, n,
+                         CASE WHEN n < 20 THEN 'too_few_tokens'
+                              WHEN n > 5000 THEN 'too_many_tokens'
+                              WHEN sumlen < 3 * n THEN 'short_tokens'
+                              WHEN sumlen > 10 * n THEN 'long_tokens'
+                              WHEN stopn * 100 < 3 * n THEN 'low_stopword'
+                              WHEN blocked THEN 'blocklisted'
+                              ELSE 'ok' END AS reason
+                  FROM m)
+            SELECT doc_id, reason = 'ok' AS kept, n AS n_tokens, reason
+            FROM r ORDER BY doc_id""").fetchdf()
+        pd.testing.assert_frame_equal(r, o, check_dtype=False)
+        # a real mix: docs kept, and at least two distinct reasons fire
+        assert r["kept"].any() and (~r["kept"]).any()
+        assert r.loc[~r["kept"], "reason"].nunique() >= 2
+
+
+class TestPagerankProperty:
+    """Property-based check of the PageRank engine/oracle PAIR: on
+    random small directed graphs (dangling nodes, self-loops, isolated
+    reciprocal pairs all arise), the driver path must equal the
+    generated SQL unroll exactly — any drift in the shared fixed-point
+    arithmetic (rank rule, damping integer ops, dangling handling)
+    breaks equality."""
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @given(st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1, max_size=40))
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def test_driver_matches_generated_sql(self, raw_edges):
+        import duckdb
+        import ray.data as rd
+
+        from spider_ray.pipelines.graph import (
+            pagerank_edges, pagerank_sql_for_edges)
+
+        df = pd.DataFrame({
+            "src": [f"n{a}" for a, _ in raw_edges],
+            "dst": [f"n{b}" for _, b in raw_edges],
+        }).drop_duplicates(ignore_index=True)
+        r = (pagerank_edges(rd.from_pandas(df), iters=3)
+             .to_pandas()
+             .sort_values(["rank_fp", "node"], ascending=[False, True],
+                          ignore_index=True))
+        con = duckdb.connect()
+        con.register("edges_tbl", df)
+        o = con.execute(pagerank_sql_for_edges(
+            "edges AS (SELECT src, dst FROM edges_tbl)",
+            iters=3)).fetchdf()
+        pd.testing.assert_frame_equal(r, o, check_dtype=False)
+        # rank mass never exceeds the initial mass (leaky variant)
+        assert r["rank_fp"].sum() <= len(r) * 10**12
