@@ -272,8 +272,19 @@ def graph_components(sf_dir: str, force_distributed: bool = False):
     """Connected components over the SPARSIFIED interaction graph
     (high-value error events only — the full graph is one dense
     component; the filter is part of the query contract, shared with the
-    SQL oracle via COMPONENT_FILTER).  Returns (cluster_id, node) for
-    every node, cluster_id = lexicographic min node id of the component.
+    SQL oracle via COMPONENT_FILTER) — components_of_edges applied to
+    the events derivation."""
+    et, mv = COMPONENT_FILTER
+    return components_of_edges(
+        _distinct_edges(sf_dir, event_type=et, min_value=mv),
+        force_distributed=force_distributed)
+
+
+def components_of_edges(edges, force_distributed: bool = False):
+    """WEAK connected components over an arbitrary DISTINCT edge
+    Dataset[(src, dst)] — direction is ignored (the propagation
+    symmetrizes internally).  Returns (cluster_id, node) for every
+    node, cluster_id = lexicographic min node id of the component.
 
     Same adaptive shape as webtext.dedup_minhash_clusters: driver
     union-find over the edge-count-sized DISTINCT edge list below the
@@ -286,8 +297,6 @@ def graph_components(sf_dir: str, force_distributed: bool = False):
     in tests and must agree."""
     import ray.data as rd
 
-    et, mv = COMPONENT_FILTER
-    edges = _distinct_edges(sf_dir, event_type=et, min_value=mv)
     n_edges = edges.count()
     empty = pa.table({"cluster_id": pa.array([], pa.string()),
                       "node": pa.array([], pa.string())})
@@ -316,10 +325,17 @@ def graph_components(sf_dir: str, force_distributed: bool = False):
         }))
 
     def to_msgs(t: pa.Table) -> pa.Table:
+        # symmetrize: weak components ignore direction (no-op duplicate
+        # messages when the input was already symmetric)
+        def _flat(x):
+            return x.combine_chunks() if isinstance(x, pa.ChunkedArray) \
+                else x
+
+        a, b = _flat(t["src"]), _flat(t["dst"])
         return pa.table({
-            "node": t["src"],
-            "lbl": pa.nulls(t.num_rows, pa.string()),
-            "dst": t["dst"],
+            "node": pa.chunked_array([a, b]),
+            "lbl": pa.nulls(2 * t.num_rows, pa.string()),
+            "dst": pa.chunked_array([b, a]),
         })
 
     edge_rows = edges.map_batches(

@@ -53,3 +53,38 @@ def test_run_crawl_cli_fresh_and_resume(tmp_path):
     assert eng.seen_table().equals(oracle.seen_table())
     assert eng.order_table().equals(oracle.order_table())
     assert eng.text_table().equals(oracle.text_table())
+
+
+def test_run_graph_cli_stages_and_resume(tmp_path):
+    """run_graph.py must derive edges, rank them, label host
+    components, write stage markers — and skip completed stages on
+    rerun."""
+    from spider_ray.datagen import default_politeness, write_fixture
+
+    pol = default_politeness(max_per_host_per_epoch=8, max_epochs=2)
+    paths = write_fixture(str(tmp_path / "fix"), n_pages=600, seed=11,
+                          politeness=pol)
+    out = str(tmp_path / "graph")
+    env = dict(os.environ, RAY_ADDRESS="local")
+    args = [sys.executable, os.path.join(REPO, "jobs", "run_graph.py"),
+            "--pages", paths["pages"], "--out", out,
+            "--iters", "3", "--components", "--num-cpus", "2"]
+    r = subprocess.run(args, capture_output=True, text=True, env=env,
+                       cwd=REPO, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    for stage in ("edges", "ranks", "components"):
+        assert os.path.exists(os.path.join(out, stage, "_SUCCESS")), stage
+    edges = pq.read_table(os.path.join(out, "edges"))
+    ranks = pq.read_table(os.path.join(out, "ranks"))
+    comps = pq.read_table(os.path.join(out, "components"))
+    assert edges.num_rows > 0 and ranks.num_rows > 0 and comps.num_rows > 0
+    # rank universe == node universe of the edge table
+    nodes = set(edges["src"].to_pylist()) | set(edges["dst"].to_pylist())
+    assert set(ranks["node"].to_pylist()) == nodes
+    # components are host-level
+    assert all("/" not in n for n in comps["node"].to_pylist())
+    # resume: a rerun skips every stage (markers echoed, fast)
+    r2 = subprocess.run(args, capture_output=True, text=True, env=env,
+                        cwd=REPO, timeout=420)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert r2.stdout.count('"done": true') == 0  # markers not rewritten
