@@ -103,6 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sources_per_lang": rel.sources_per_lang,
         "histogram_event_value": rel.histogram_event_value,
         "approx_distinct_tokens": sk.approx_distinct_tokens,
+        # rows-only: grouped HLL; per-group error bound asserted in tests
+        "approx_distinct_tokens_by_lang": sk.approx_distinct_tokens_by_lang,
         "heavy_hitter_tokens": sk.heavy_hitter_tokens,
         # rows-only: mergeable epsilon-summary; rank-error bound is the
         # contract (asserted in tests), not value equality with SQL

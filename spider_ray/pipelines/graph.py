@@ -112,6 +112,10 @@ def pagerank_edges(edges, iters: int = 5, force_distributed: bool = False):
 
     edges = edges.materialize()  # consumed by count + every iteration
     n_edges = edges.count()
+    if n_edges == 0:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "rank_fp": pa.array([], pa.int64())}))
 
     if n_edges <= _DRIVER_MAX_EDGES and not force_distributed:
         df = edges.to_pandas()

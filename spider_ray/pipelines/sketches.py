@@ -244,3 +244,52 @@ def approx_quantile_event_value(sf_dir: str, qs=(0.5, 0.9, 0.99),
         out[f"p{int(q * 100)}"] = pa.array(
             [float(vals[min(i, len(vals) - 1)])], pa.float64())
     return pa.table(out)
+
+
+def approx_distinct_tokens_by_lang(sf_dir: str, p: int = 12):
+    """GROUPED approximate distinct: one HLL per (batch, lang), merged
+    per language by a grouped register-max — the mergeable-sketch
+    pattern keyed.  The shuffle carries |langs|×4 KB register rows per
+    block, never the token stream; the final merge is a groupby over a
+    lang-cardinality-sized sketch table.  rows-only for the driver
+    (approximate by construction); the per-group error bound vs the
+    exact distinct count is asserted in tests."""
+    import ray.data as rd
+
+    from ..common.tokens import token_hashes
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text", "lang"])
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        langs = pc.unique(t["lang"]).to_pylist()
+        out_lang, out_regs = [], []
+        for lang in langs:  # few langs per batch; work inside is batched
+            sub = t.filter(pc.equal(t["lang"], lang))
+            hll = HyperLogLog(p)
+            th, _ = token_hashes(sub["text"], lower=False)
+            hll.add_hashes(_splitmix64(th))
+            out_lang.append(lang)
+            out_regs.append(hll.registers.tolist())
+        return pa.table({"lang": pa.array(out_lang, pa.string()),
+                         "registers": pa.array(out_regs,
+                                               pa.list_(pa.uint8()))})
+
+    def merge_group(t: pa.Table) -> pa.Table:
+        merged = HyperLogLog(p)
+        for regs in t["registers"].to_pylist():
+            other = HyperLogLog(p)
+            other.registers = np.asarray(regs, dtype=np.uint8)
+            merged.merge(other)
+        return pa.table({
+            "lang": pa.array([t["lang"][0].as_py()], pa.string()),
+            "approx_distinct": pa.array([int(round(merged.estimate()))],
+                                        pa.int64()),
+        })
+
+    return (ds.map_batches(sketch_batch, batch_format="pyarrow")
+            .groupby("lang").map_groups(merge_group,
+                                        batch_format="pyarrow")
+            .sort("lang"))

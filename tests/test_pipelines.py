@@ -1439,3 +1439,26 @@ class TestPagerankProperty:
         pd.testing.assert_frame_equal(r, o, check_dtype=False)
         # rank mass never exceeds the initial mass (leaky variant)
         assert r["rank_fp"].sum() <= len(r) * 10**12
+
+
+class TestGroupedHLL:
+    def test_per_group_error_bound(self):
+        import duckdb
+
+        from spider_ray.pipelines.sketches import (
+            approx_distinct_tokens_by_lang)
+
+        r = (approx_distinct_tokens_by_lang(SF).to_pandas()
+             .set_index("lang")["approx_distinct"])
+        con = duckdb.connect()
+        exact = con.execute(f"""
+            SELECT lang, count(DISTINCT w) AS n FROM (
+              SELECT lang, unnest(regexp_extract_all(text,
+                                                     '[A-Za-z0-9_]+')) AS w
+              FROM read_parquet('{SF}/documents.parquet'))
+            GROUP BY lang ORDER BY lang""").fetchdf() \
+            .set_index("lang")["n"]
+        assert set(r.index) == set(exact.index)
+        for lang in exact.index:
+            err = abs(r[lang] - exact[lang]) / max(exact[lang], 1)
+            assert err < 0.08, (lang, r[lang], exact[lang])
