@@ -44,6 +44,9 @@ def main() -> int:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--force-distributed", action="store_true",
                     help="disable driver-side small-data fast paths")
+    ap.add_argument("--emit-edges", action="store_true",
+                    help="also write per-epoch href-edge shards "
+                         "(ckpt/epoch_*/edges/) for graph analytics")
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
                     help="local mode only; ignored on a cluster")
@@ -73,7 +76,8 @@ def main() -> int:
                       seen_shards=args.seen_shards,
                       fetch_concurrency=args.fetch_concurrency,
                       force_distributed=args.force_distributed,
-                      politeness_path=args.politeness)
+                      politeness_path=args.politeness,
+                      emit_edges=args.emit_edges)
     if not args.seeds and not args.resume:
         ap.error("--seeds required for fresh runs")
     # --resume with --seeds: seeds pass through so resuming against a

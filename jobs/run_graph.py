@@ -49,8 +49,14 @@ def _mark(stage_dir: str, **info) -> str:
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--pages", required=True,
-                    help="pages parquet (url, html, ...)")
+    ap.add_argument("--pages",
+                    help="pages parquet (url, html, ...) — edges are "
+                         "derived by re-parsing html")
+    ap.add_argument("--edges-from",
+                    help="pre-extracted edge parquet (e.g. a crawl run's "
+                         "ckpt/epoch_*/edges/ shards from run_crawl.py "
+                         "--emit-edges) — skips the html parse; shards "
+                         "are made globally DISTINCT here")
     ap.add_argument("--out", required=True, help="output directory")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--components", action="store_true",
@@ -81,7 +87,26 @@ def main() -> int:
     comp_dir = os.path.join(args.out, "components")
 
     if not _done(edges_dir):
-        edges = crawl_link_edges(args.pages)
+        if bool(args.pages) == bool(args.edges_from):
+            ap.error("exactly one of --pages / --edges-from is required")
+        if args.edges_from:
+            import glob
+
+            matches = sorted(glob.glob(args.edges_from)) \
+                if any(c in args.edges_from for c in "*?[") \
+                else [args.edges_from]
+            srcs = []
+            for m in matches:  # expand dirs: read_parquet([...]) wants files
+                srcs += sorted(glob.glob(os.path.join(m, "**", "*.parquet"),
+                                         recursive=True)) \
+                    if os.path.isdir(m) else [m]
+            if not srcs:
+                ap.error(f"--edges-from matched nothing: {args.edges_from}")
+            edges = (rd.read_parquet(srcs)
+                     .groupby(["src", "dst"]).count()
+                     .drop_columns(["count()"]))
+        else:
+            edges = crawl_link_edges(args.pages)
         edges.write_parquet(edges_dir, mode="overwrite")
         print(_mark(edges_dir, stage="edges"))
     edges = rd.read_parquet(edges_dir)

@@ -258,7 +258,12 @@ class CrawlEngine:
                  force_distributed: bool = False,
                  driver_threshold: int = 2_000_000,
                  index_dir: str | None = None,
-                 politeness_path: str | None = None):
+                 politeness_path: str | None = None,
+                 emit_edges: bool = False):
+        # optional per-epoch href-edge artifact (edges/ beside texts/),
+        # written actor-side like the texts shards — graph analytics
+        # read it instead of re-parsing html (see edges_table())
+        self.emit_edges = emit_edges
         self.pages_path = pages_path
         self.politeness = politeness
         self.budget = int(politeness["max_per_host_per_epoch"])
@@ -324,7 +329,8 @@ class CrawlEngine:
         pool_size = max(1, min(self.fetch_concurrency, cpus))  # x0.5 => <=50%
         cls = ray.remote(num_cpus=0.5)(FetchWorker)
         self._fetch_pool = [
-            cls.remote(self.index_dir, self.robots)
+            cls.remote(self.index_dir, self.robots,
+                       emit_edges=self.emit_edges)
             for _ in range(pool_size)
         ]
 
@@ -610,6 +616,9 @@ class CrawlEngine:
             # while the driver does link-dedup / frontier work below; the
             # join before the stats/manifest write keeps crash-replay exact
             flush_refs.append(pool[rank].flush_texts.remote(texts_path))
+            if self.emit_edges:
+                flush_refs.append(pool[rank].flush_edges.remote(
+                    os.path.join(edir, "edges", f"shard-{rank:04d}.parquet")))
             outcome_refs.append(oref)
             link_refs.append(lref)
 
@@ -832,6 +841,11 @@ class CrawlEngine:
             pool[r].flush_texts.remote(
                 os.path.join(edir, "texts", f"shard-{r:04d}.parquet"))
             for r in active]
+        if self.emit_edges:
+            flush_refs += [
+                pool[r].flush_edges.remote(
+                    os.path.join(edir, "edges", f"shard-{r:04d}.parquet"))
+                for r in active]
         _mark("order_write")
 
         # 4+5 fused: P partition-aligned tasks — each gathers its part's
@@ -915,6 +929,24 @@ class CrawlEngine:
         if not parts:
             return pa.Table.from_pylist([], schema=_ORDER_SCHEMA)
         return pa.concat_tables(parts).sort_by("seq")
+
+    def edges_table(self) -> pa.Table:
+        """DISTINCT href edges across epochs (requires emit_edges=True) —
+        each shard is per-actor-distinct; the cross-shard distinct here
+        is tiny because the seen set guarantees each page is fetched
+        (and therefore contributes edges) exactly once."""
+        parts = []
+        for name in sorted(os.listdir(self.ckpt_dir)):
+            files = self._parquet_files(os.path.join(self.ckpt_dir, name, "edges"))
+            if name.startswith("epoch_") and files:
+                parts.append(pq.read_table(files))
+        if not parts:
+            return pa.table({"src": pa.array([], pa.string()),
+                             "dst": pa.array([], pa.string())})
+        allp = pa.concat_tables(parts, promote_options="default")
+        return (pa.TableGroupBy(allp, ["src", "dst"]).aggregate([])
+                .select(["src", "dst"]).sort_by([("src", "ascending"),
+                                                 ("dst", "ascending")]))
 
     def text_table(self) -> pa.Table:
         parts = []

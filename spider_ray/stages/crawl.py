@@ -350,7 +350,9 @@ class FetchWorker:
     """
 
     def __init__(self, index_dir: str, robots: dict[str, list[str]],
-                 max_cached_parts: int = 64, fetcher=None):
+                 max_cached_parts: int = 64, fetcher=None,
+                 emit_edges: bool = False):
+        self.emit_edges = emit_edges
         # one Arrow thread per actor: the POOL is the parallelism unit;
         # letting every actor spawn a machine-wide Arrow thread pool
         # (join/parquet default) makes N actors thrash N*cores threads
@@ -495,6 +497,25 @@ class FetchWorker:
             fetched.filter(pc.equal(fetched["outcome"], "ok"))
                    .select(["canonical_url", "text"])
                    .rename_columns(["url", "text"]))
+        if self.emit_edges:
+            # optional first-class href-graph artifact: the (src, dst)
+            # edges THIS actor just extracted, deduped in-table — flushed
+            # actor-side by flush_edges like the texts shard, so graph
+            # analytics (jobs/run_graph.py, pipelines/graph.py) never
+            # re-parse the corpus.  Purely additive: the existing link
+            # flow (explode_links -> frontier) is untouched.
+            lcol = fetched["links"]
+            if isinstance(lcol, pa.ChunkedArray):
+                lcol = lcol.combine_chunks()
+            flat = lcol.flatten()
+            par = pc.list_parent_indices(lcol)
+            edges = pa.table({
+                "src": pc.take(fetched["canonical_url"], par),
+                "dst": flat,
+            })
+            self._pending_edges = (
+                pa.TableGroupBy(edges, ["src", "dst"]).aggregate([])
+                .select(["src", "dst"]))
         links = explode_links(fetched, num_parts)
         outcomes = fetched.select(
             ["canonical_url", "host", "priority", "outcome"])
@@ -629,6 +650,19 @@ class FetchWorker:
         pq.write_table(texts, tmp, compression="zstd")
         os.replace(tmp, texts_path)
         return texts.num_rows
+
+    def flush_edges(self, edges_path: str) -> int:
+        """Write the stashed href-edge shard (same atomic-rename,
+        one-file-per-actor-per-epoch layout as flush_texts)."""
+        edges = getattr(self, "_pending_edges", None)
+        if edges is None:
+            return 0
+        self._pending_edges = None
+        os.makedirs(os.path.dirname(edges_path), exist_ok=True)
+        tmp = edges_path + ".tmp"
+        pq.write_table(edges, tmp, compression="zstd")
+        os.replace(tmp, edges_path)
+        return edges.num_rows
 
 
 # schema of split_links slices (and their concat in the fused epoch tail)

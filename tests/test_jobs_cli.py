@@ -88,3 +88,36 @@ def test_run_graph_cli_stages_and_resume(tmp_path):
                         cwd=REPO, timeout=420)
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert r2.stdout.count('"done": true') == 0  # markers not rewritten
+
+
+def test_crawl_edges_feed_graph_job(tmp_path):
+    """Composition: run_crawl --emit-edges produces edge shards that
+    run_graph --edges-from ranks without re-parsing html."""
+    import glob
+
+    from spider_ray.datagen import default_politeness, write_fixture
+
+    pol = default_politeness(max_per_host_per_epoch=8, max_epochs=2)
+    paths = write_fixture(str(tmp_path / "fix"), n_pages=500, seed=3,
+                          politeness=pol)
+    ckpt = str(tmp_path / "ckpt")
+    env = dict(os.environ, RAY_ADDRESS="local")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "run_crawl.py"),
+         "--pages", paths["pages"], "--ckpt", ckpt,
+         "--politeness", paths["politeness"], "--seeds", paths["seeds"],
+         "--num-parts", "4", "--seen-shards", "2",
+         "--fetch-concurrency", "2", "--num-cpus", "2", "--emit-edges"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    shards = glob.glob(os.path.join(ckpt, "epoch_*", "edges", "*.parquet"))
+    assert shards
+    out = str(tmp_path / "graph")
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "run_graph.py"),
+         "--edges-from", os.path.join(ckpt, "epoch_*", "edges"),
+         "--out", out, "--iters", "3", "--num-cpus", "2"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=420)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    ranks = pq.read_table(os.path.join(out, "ranks"))
+    assert ranks.num_rows > 0

@@ -1462,3 +1462,38 @@ class TestGroupedHLL:
         for lang in exact.index:
             err = abs(r[lang] - exact[lang]) / max(exact[lang], 1)
             assert err < 0.08, (lang, r[lang], exact[lang])
+
+
+class TestCrawlEdgesArtifact:
+    """emit_edges=True: the engine's per-epoch edges/ shards must equal
+    the independently derived href graph restricted to fetched pages —
+    on BOTH epoch paths."""
+
+    @pytest.mark.parametrize("distributed", [False, True])
+    def test_edges_match_derived_graph(self, tmp_path, distributed):
+        import pyarrow.compute as pc2
+
+        from spider_ray.datagen import default_politeness, write_fixture
+        from spider_ray.engine import CrawlEngine
+        from spider_ray.pipelines.crawl_queries import crawl_link_edges
+
+        pol = default_politeness(max_per_host_per_epoch=8, max_epochs=3)
+        paths = write_fixture(str(tmp_path / "fix"), n_pages=700, seed=5,
+                              politeness=pol)
+        eng = CrawlEngine(paths["pages"], pol,
+                          str(tmp_path / f"ckpt{int(distributed)}"),
+                          num_parts=4, seen_shards=2, fetch_concurrency=2,
+                          emit_edges=True, force_distributed=distributed,
+                          driver_threshold=0 if distributed else 2_000_000)
+        eng.run(seeds=pq.read_table(paths["seeds"]))
+        got = eng.edges_table().to_pandas()
+
+        order = eng.order_table()
+        ok_urls = set(order.filter(
+            pc2.equal(order["outcome"], "ok"))["canonical_url"].to_pylist())
+        full = crawl_link_edges(paths["pages"]).to_pandas()
+        want = (full[full["src"].isin(ok_urls)]
+                .sort_values(["src", "dst"], ignore_index=True))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want, check_dtype=False)
+        assert len(got) > 0
