@@ -152,9 +152,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": ann.ann_lsh_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,
         "dedup_embedding_ivf": ann.dedup_embedding_ivf,
+        "embedding_centroids_by_label": ann.embedding_centroids_by_label,
         # -- alternative source/sink formats (roundtrip-certified) ---------
         "csv_source_doc_stats": src.csv_source_doc_stats,
         "jsonl_source_token_stats": src.jsonl_source_token_stats,
+        # rows-only: WARC roundtrip over the self-generated crawl corpus
+        # (pytest pins parsed records == source parquet exactly)
+        "warc_source_host_stats": src.warc_source_host_stats,
         # -- multimodal plumbing (deterministic fake codec) ----------------
         "multimodal_features": mm.multimodal_features,
         "multimodal_feature_stats": mm.multimodal_feature_stats,
@@ -269,6 +273,15 @@ def oracle_sql() -> dict[str, str]:
                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
                        AS med_cents
             FROM events ORDER BY event_id
+        """,
+        # Vector aggregate: per-label embedding centroid, long-form,
+        # 1-based dims; round(6) in both engines absorbs accumulation-
+        # order noise in the double sums.
+        "embedding_centroids_by_label": """
+            SELECT label, i AS dim, round(avg(embedding[i]), 6) AS mean_v
+            FROM embeddings,
+                 UNNEST(generate_series(1, len(embedding))) AS s(i)
+            GROUP BY label, i ORDER BY label, dim
         """,
         "union_distinct_names": """
             SELECT n_name AS name FROM nation

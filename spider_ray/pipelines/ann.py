@@ -552,3 +552,52 @@ def dedup_embedding_ivf(sf_dir: str, threshold: float = 0.40,
     tdf = (tdf[tdf["vec_a"] >= 0]
            .sort_values(["vec_a", "vec_b"], ignore_index=True))
     return pa.Table.from_pandas(tdf, preserve_index=False)
+
+
+def embedding_centroids_by_label(sf_dir: str):
+    """Per-label embedding centroids (the class-centroid / prototype
+    aggregate an embedding pipeline needs): grouped MEAN over a vector
+    column.  Pre-aggregated per block — each batch emits one
+    (label, count, sum-vector) row per label via a vectorized
+    scatter-add, so the shuffle carries |labels|×dim doubles per block,
+    never the vectors.  Output is long-form (label, dim, mean_v)
+    rounded at 6 dp in both engines (dim is 1-based, matching the SQL
+    oracle's generate_series subscripts)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.stack(
+            t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), mat.shape[1]), np.float64)
+        np.add.at(sums, inv, mat)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(uniq, pa.int64()),
+            "n": pa.array(cnt, pa.int64()),
+            "sum_vec": pa.array(list(sums), pa.list_(pa.float64())),
+        })
+
+    def merge_group(t: pa.Table) -> pa.Table:
+        label = int(t["label"][0].as_py())
+        sums = np.stack(t["sum_vec"].to_numpy(zero_copy_only=False))
+        total = sums.sum(axis=0)
+        n = int(t["n"].to_numpy(zero_copy_only=False).sum())
+        mean = total / n
+        d = len(mean)
+        # round half-away-from-zero at 6 dp == DuckDB round()
+        mean = np.floor(np.abs(mean) * 1e6 + 0.5) / 1e6 * np.sign(mean)
+        return pa.table({
+            "label": pa.array([label] * d, pa.int64()),
+            "dim": pa.array(np.arange(1, d + 1), pa.int64()),
+            "mean_v": pa.array(mean, pa.float64()),
+        })
+
+    return (ds.map_batches(partials, batch_format="pyarrow")
+            .groupby("label").map_groups(merge_group,
+                                         batch_format="pyarrow")
+            .sort(["label", "dim"]))

@@ -98,3 +98,128 @@ def jsonl_source_token_stats(sf_dir: str):
             .aggregate(Count(alias_name="n_docs"),
                        Sum("n_tokens", alias_name="total_tokens"))
             .sort("source"))
+
+
+# ---------------------------------------------------------------------------
+# WARC (the web-archive format Common-Crawl ships) — minimal response
+# records, written sharded and read back as a distributed source
+# ---------------------------------------------------------------------------
+
+def write_warc_shards(pages_path: str, out_dir: str,
+                      shards: int = 8) -> str:
+    """Convert a pages parquet into `shards` plain (uncompressed) WARC
+    files of minimal response records:
+
+        WARC/1.0\\r\\n
+        WARC-Type: response\\r\\n
+        WARC-Target-URI: <url>\\r\\n
+        Content-Length: <len(html)>\\r\\n
+        \\r\\n
+        <html bytes>\\r\\n\\r\\n
+
+    Distributed: one Ray task per shard reads its row-range slice of the
+    parquet (row-group pruned by pyarrow) and streams records to its
+    file; idempotent via a _DONE marker keyed on the source version."""
+    import ray
+    import pyarrow.parquet as pq
+
+    st = os.stat(pages_path)
+    out = os.path.join(out_dir,
+                       f"warc-{st.st_mtime_ns}-{st.st_size}-{shards}")
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    n = pq.ParquetFile(pages_path).metadata.num_rows
+    bounds = [n * i // shards for i in range(shards + 1)]
+
+    @ray.remote(num_cpus=0.5)
+    def write_shard(i: int) -> int:
+        t = pq.read_table(pages_path, columns=["url", "html"])
+        t = t.slice(bounds[i], bounds[i + 1] - bounds[i])
+        path = os.path.join(out, f"shard-{i:04d}.warc")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            for url, html in zip(t["url"].to_pylist(),
+                                 t["html"].to_pylist()):
+                body = html if isinstance(html, bytes) \
+                    else str(html).encode()
+                f.write(b"WARC/1.0\r\n"
+                        b"WARC-Type: response\r\n"
+                        b"WARC-Target-URI: " + url.encode() + b"\r\n" +
+                        f"Content-Length: {len(body)}\r\n\r\n".encode()
+                        + body + b"\r\n\r\n")
+        os.replace(tmp, path)
+        return t.num_rows
+
+    ray.get([write_shard.remote(i) for i in range(shards)])
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def read_warc(warc_dir: str):
+    """Distributed WARC source: one binary read per shard file
+    (ray.data.read_binary_files), records parsed per file by
+    Content-Length walking (O(records) header scans, body extraction by
+    slice — bodies are never re-scanned).  Returns Dataset[(url,
+    html)]."""
+    import numpy as np
+    import ray.data as rd
+
+    ds = rd.read_binary_files(warc_dir, file_extensions=["warc"])
+
+    def parse(t: pa.Table) -> pa.Table:
+        urls, htmls = [], []
+        for buf in t["bytes"].to_pylist():
+            pos = 0
+            while pos < len(buf):
+                hdr_end = buf.index(b"\r\n\r\n", pos)
+                header = buf[pos:hdr_end].decode()
+                fields = {}
+                for line in header.split("\r\n")[1:]:
+                    k, _, v = line.partition(": ")
+                    fields[k] = v
+                clen = int(fields["Content-Length"])
+                body_start = hdr_end + 4
+                urls.append(fields["WARC-Target-URI"])
+                htmls.append(buf[body_start:body_start + clen])
+                pos = body_start + clen + 4  # trailing \r\n\r\n
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "html": pa.array(htmls, pa.binary())})
+
+    return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def warc_source_host_stats(sf_dir: str):
+    """End-to-end WARC roundtrip over the crawl fixture: pages parquet →
+    sharded WARC sink → distributed WARC source → text extraction with
+    the SHARED kernel → per-host (docs, total extracted chars).
+    rows-only for the driver (the corpus is self-generated); pytest
+    pins the parsed (url, html) EXACTLY equal to the source parquet
+    and the stats to a DuckDB aggregate over it."""
+    from ..common.extract import extract_text_batch
+    from ..common.urlnorm import host_of_batch
+    from .crawl_queries import run_crawl_cached
+
+    eng = run_crawl_cached(sf_dir)  # shares the cached fixture
+    warc_dir = write_warc_shards(eng.pages_path,
+                                 os.path.join(_CACHE_ROOT, "warc"))
+
+    def stats(t: pa.Table) -> pa.Table:
+        texts = extract_text_batch(t["html"])
+        nchars = pa.array([len(x) for x in texts], pa.int64())
+        out = pa.table({"host": host_of_batch(t["url"]),
+                        "n_chars": nchars})
+        return pa.TableGroupBy(out, ["host"]).aggregate(
+            [("n_chars", "sum"), ("n_chars", "count")]
+        ).rename_columns(["host", "total_chars", "docs"])
+
+    from ray.data.aggregate import Sum
+
+    return (read_warc(warc_dir)
+            .map_batches(stats, batch_format="pyarrow")
+            .groupby("host")
+            .aggregate(Sum("total_chars", alias_name="total_chars"),
+                       Sum("docs", alias_name="docs"))
+            .sort("host"))

@@ -1497,3 +1497,65 @@ class TestCrawlEdgesArtifact:
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want, check_dtype=False)
         assert len(got) > 0
+
+
+class TestEmbeddingCentroids:
+    def test_matches_duckdb(self):
+        import duckdb
+
+        from spider_ray.pipelines.ann import embedding_centroids_by_label
+
+        r = (embedding_centroids_by_label(SF).to_pandas()
+             .sort_values(["label", "dim"], ignore_index=True))
+        con = duckdb.connect()
+        o = con.execute(f"""
+            SELECT label, i AS dim, round(avg(embedding[i]), 6) AS mean_v
+            FROM read_parquet('{SF}/embeddings.parquet'),
+                 UNNEST(generate_series(1, len(embedding))) AS s(i)
+            GROUP BY label, i ORDER BY label, dim""").fetchdf()
+        pd.testing.assert_frame_equal(r, o, check_dtype=False)
+        # full (label x dim) grid present
+        emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+        assert len(r) == emb["label"].nunique() * len(emb["embedding"][0])
+
+
+class TestWarcSource:
+    def test_roundtrip_exact_and_stats(self, tmp_path):
+        import pyarrow as pa2
+
+        from spider_ray.common.extract import extract_text_batch
+        from spider_ray.common.urlnorm import host_of_batch
+        from spider_ray.datagen import default_politeness, write_fixture
+        from spider_ray.pipelines.sources import (read_warc,
+                                                  warc_source_host_stats,
+                                                  write_warc_shards)
+
+        pol = default_politeness(max_per_host_per_epoch=8, max_epochs=2)
+        paths = write_fixture(str(tmp_path / "fix"), n_pages=400, seed=9,
+                              politeness=pol)
+        warc_dir = write_warc_shards(paths["pages"], str(tmp_path / "warc"),
+                                     shards=4)
+        got = (read_warc(warc_dir).to_pandas()
+               .sort_values("url", ignore_index=True))
+        want = (pq.read_table(paths["pages"], columns=["url", "html"])
+                .to_pandas().sort_values("url", ignore_index=True))
+        want["html"] = want["html"].map(
+            lambda x: x if isinstance(x, bytes) else str(x).encode())
+        pd.testing.assert_frame_equal(got, want)
+
+        # driver-query stats equal the same aggregation computed
+        # directly from the parquet via the shared kernels
+        r = (warc_source_host_stats(SF).to_pandas()
+             .sort_values("host", ignore_index=True))
+        from spider_ray.pipelines.crawl_queries import run_crawl_cached
+
+        pages = pq.read_table(run_crawl_cached(SF).pages_path,
+                              columns=["url", "html"])
+        texts = extract_text_batch(pages["html"])
+        df = pd.DataFrame({
+            "host": host_of_batch(pages["url"]).to_pylist(),
+            "n": [len(x) for x in texts]})
+        want2 = (df.groupby("host").agg(total_chars=("n", "sum"),
+                                        docs=("n", "count"))
+                 .reset_index().sort_values("host", ignore_index=True))
+        pd.testing.assert_frame_equal(r, want2, check_dtype=False)

@@ -135,3 +135,41 @@ def test_fused_admit_task_replay_idempotent(tmp_path):
     assert open(args[7], "rb").read() == fr_bytes
     for s in shards:
         ray.kill(s)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_seen_actor_loss_fails_fast_then_resume_matches(smoke_fixture,
+                                                        tmp_path):
+    """Actor-loss semantics (SURVEY §7.4): losing a seen-shard actor
+    mid-run FAILS the run (no silent duplicate admission — the shards
+    are not restartable in-place by design), and a fresh engine resumed
+    from the checkpoint tree reproduces the uninterrupted run exactly
+    (shards rebuild from the admitted deltas)."""
+    import ray
+
+    from spider_ray.engine import CrawlEngine
+
+    seeds = pq.read_table(smoke_fixture["seeds"])
+    pol = json.load(open(smoke_fixture["politeness"]))
+    pol = {**pol, "max_epochs": 3}
+
+    full = CrawlEngine(smoke_fixture["pages"], pol, str(tmp_path / "full"),
+                       num_parts=4, seen_shards=2)
+    full.run(seeds=seeds)
+
+    crash = CrawlEngine(smoke_fixture["pages"], pol,
+                        str(tmp_path / "crash"), num_parts=4,
+                        seen_shards=2)
+    manifest = crash.prepare(seeds=seeds)
+    ray.kill(crash._checker.shards[0])
+    with pytest.raises(Exception):
+        crash.run_epochs(manifest)
+    crash.close()
+
+    fresh = CrawlEngine(smoke_fixture["pages"], pol,
+                        str(tmp_path / "crash"), num_parts=4,
+                        seen_shards=2)
+    fresh.run(resume=True)
+    assert fresh.seen_table().equals(full.seen_table())
+    assert fresh.order_table().equals(full.order_table())
+    assert fresh.text_table().equals(full.text_table())
