@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_view_click_purchase": rel.funnel_view_click_purchase,
         "rolling_median_user_value": rel.rolling_median_user_value,
         "winsorize_event_value": rel.winsorize_event_value,
+        "trending_event_types_hourly": rel.trending_event_types_hourly,
         "cumsum_value_by_user": rel.cumsum_value_by_user,
         "rollup_orders_status_priority": rel.rollup_orders_status_priority,
         "cube_orders_status_priority": rel.cube_orders_status_priority,
@@ -296,6 +297,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 20 OFFSET 40
+        """,
+        # Trending: per hour bucket, top-2 event types by count with
+        # count-desc / type-asc tie-break.
+        "trending_event_types_hourly": """
+            SELECT hour, event_type, n, rank FROM (
+              SELECT date_trunc('hour', ts) AS hour, event_type,
+                     count(*) AS n,
+                     row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                        ORDER BY count(*) DESC, event_type)
+                         AS rank
+              FROM events GROUP BY hour, event_type)
+            WHERE rank <= 2 ORDER BY hour, rank
         """,
         # Winsorize: clip each event's value (integer cents) to its
         # event_type's exact [p05, p95] order statistics — the repo's

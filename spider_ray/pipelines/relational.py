@@ -1385,3 +1385,39 @@ def union_distinct_names(sf_dir: str):
         lambda t: pa.table({"name": t["r_name"]}), batch_format="pyarrow")
     out = n.union(r).groupby("name").count()
     return out.drop_columns(["count()"])
+
+
+def trending_event_types_hourly(sf_dir: str, k: int = 2):
+    """Top-k per time window (the trending-items shape): per hour
+    bucket, the k most frequent event types with count-desc /
+    type-asc tie-break.  Pre-aggregated per block — (hour, type) count
+    partials — then ONE grouped sum and a per-hour head over ≤|types|
+    rows; the event stream never shuffles."""
+    from ray.data.aggregate import Sum
+
+    ds = _rp(sf_dir, "events", ["ts", "event_type"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        g = pa.TableGroupBy(pa.table({"hour": hour,
+                                      "event_type": t["event_type"]}),
+                            ["hour", "event_type"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["hour", "event_type", "n"])
+
+    counts = (ds.map_batches(partials, batch_format="pyarrow")
+              .groupby(["hour", "event_type"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def per_hour(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "event_type"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        return pd.DataFrame({
+            "hour": g["hour"].to_numpy(),
+            "event_type": g["event_type"].to_numpy(),
+            "n": g["n"].astype(np.int64).to_numpy(),
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+        })
+
+    return counts.groupby("hour").map_groups(
+        per_hour, batch_format="pandas").sort(["hour", "rank"])

@@ -1559,3 +1559,27 @@ class TestWarcSource:
                                         docs=("n", "count"))
                  .reset_index().sort_values("host", ignore_index=True))
         pd.testing.assert_frame_equal(r, want2, check_dtype=False)
+
+
+class TestTrending:
+    def test_matches_duckdb(self):
+        import duckdb
+
+        from spider_ray.pipelines.relational import (
+            trending_event_types_hourly)
+
+        r = (trending_event_types_hourly(SF).to_pandas()
+             .sort_values(["hour", "rank"], ignore_index=True))
+        con = duckdb.connect()
+        o = con.execute(f"""
+            SELECT hour, event_type, n, rank FROM (
+              SELECT date_trunc('hour', ts) AS hour, event_type,
+                     count(*) AS n,
+                     row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                        ORDER BY count(*) DESC, event_type)
+                         AS rank
+              FROM read_parquet('{SF}/events.parquet')
+              GROUP BY hour, event_type)
+            WHERE rank <= 2 ORDER BY hour, rank""").fetchdf()
+        pd.testing.assert_frame_equal(r, o, check_dtype=False)
+        assert (r.groupby("hour")["rank"].max() <= 2).all()
