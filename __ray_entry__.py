@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_val_test_split": wt.train_val_test_split,
         "paragraph_dedup": wt.paragraph_dedup,
         "c4_style_filter": wt.c4_style_filter,
+        "webtext_prep_v2": wt.webtext_prep_v2,
         "global_shuffle_rank": wt.global_shuffle_rank,
         # -- link-graph analytics (fixed-point PageRank, components) -------
         "pagerank_user_item": gph.pagerank_user_item,
@@ -207,6 +208,49 @@ def oracle_sql() -> dict[str, str]:
                   FROM m)
             SELECT doc_id, reason = 'ok' AS kept, n AS n_tokens, reason
             FROM r ORDER BY doc_id
+        """,
+        # Composed webtext prep v2: C4 filter -> paragraph dedup over
+        # the survivors -> hash split -> per-split integer stats, all
+        # in ONE statement — the composition is what's hash-checked.
+        "webtext_prep_v2": """
+            WITH tok AS (SELECT doc_id, text,
+                                regexp_extract_all(lower(text),
+                                                   '[a-z0-9_]+') AS t
+                         FROM documents),
+            m AS (SELECT doc_id, text, len(t) AS n,
+                         list_sum(list_transform(t, x -> length(x)))
+                             AS sumlen,
+                         len(list_filter(t, x -> x IN
+                             ('the','a','of','to','and','in','is','it')))
+                             AS stopn,
+                         list_contains(t, 'dup') AS blocked
+                  FROM tok),
+            kept AS (SELECT doc_id, text FROM m
+                     WHERE NOT (n < 20 OR n > 5000 OR sumlen < 3 * n
+                                OR sumlen > 10 * n OR stopn * 100 < 3 * n
+                                OR blocked)),
+            chunks AS (
+              SELECT doc_id, i AS chunk_idx,
+                     substring(text, CAST(i AS INT) * 80 + 1, 80) AS chunk
+              FROM kept,
+                   UNNEST(generate_series(
+                       0, CAST(ceil(length(text) / 80.0) AS BIGINT) - 1))
+                       AS u(i)),
+            keep AS (
+              SELECT doc_id, chunk_idx, chunk,
+                     row_number() OVER (PARTITION BY chunk
+                                        ORDER BY doc_id, chunk_idx) AS rn
+              FROM chunks),
+            rec AS (SELECT doc_id, count(*) AS kept_chunks,
+                           sum(length(chunk)) AS chars
+                    FROM keep WHERE rn = 1 GROUP BY doc_id)
+            SELECT CASE WHEN (doc_id * 25781) % 100 < 80 THEN 'train'
+                        WHEN (doc_id * 25781) % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS docs,
+                   CAST(sum(kept_chunks) AS BIGINT) AS chunks,
+                   CAST(sum(chars) AS BIGINT) AS chars
+            FROM rec GROUP BY split ORDER BY split
         """,
         # Sub-document (paragraph-level) dedup: fixed-width chunk grid,
         # corpus-wide first-wins per distinct chunk (keeper = min

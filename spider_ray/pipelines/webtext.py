@@ -662,6 +662,15 @@ _PARA_DRIVER_MAX_DUPS = 500_000
 
 def paragraph_dedup(sf_dir: str, width: int = 80,
                     force_distributed: bool = False):
+    """CCNet-style sub-document dedup over the documents table — see
+    paragraph_dedup_ds for semantics and scale shape."""
+    return paragraph_dedup_ds(_rp(sf_dir, "documents", ["doc_id", "text"]),
+                              width=width,
+                              force_distributed=force_distributed)
+
+
+def paragraph_dedup_ds(docs, width: int = 80,
+                       force_distributed: bool = False):
     """CCNet-style sub-document dedup (Wenzek et al. 2019 dedup stage):
     split every document into fixed-width character chunks, keep ONE
     occurrence of every distinct chunk corpus-wide (keeper = min
@@ -694,8 +703,6 @@ def paragraph_dedup(sf_dir: str, width: int = 80,
     from ray.data.aggregate import Count, Min
 
     from spider_ray.common.tokens import hash_string_array
-
-    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
 
     def _chunks(df: pd.DataFrame) -> pd.DataFrame:
         s = df["text"]
@@ -734,11 +741,19 @@ def paragraph_dedup(sf_dir: str, width: int = 80,
            .groupby("h").aggregate(Min("ck", alias_name="keep_ck"),
                                    Count(alias_name="cnt")))
 
-    def only_dups(df: pd.DataFrame) -> pd.DataFrame:
-        return df.loc[df["cnt"] > 1, ["h", "keep_ck"]] \
-            .reset_index(drop=True)
+    _DUPS_SCHEMA = pa.schema([("h", pa.int64()), ("keep_ck", pa.int64())])
 
-    dups = agg.map_batches(only_dups, batch_format="pandas").materialize()
+    def only_dups(t: pa.Table) -> pa.Table:
+        # explicit schema on EVERY output block (incl. empties): grouped
+        # aggregates can emit schema-less empty blocks, and a
+        # schema-less block on Dataset.join's right side is a hard error
+        if "cnt" not in t.column_names or t.num_rows == 0:
+            return _DUPS_SCHEMA.empty_table()
+        t = t.filter(pc.greater(t["cnt"], 1))
+        return pa.table({"h": pc.cast(t["h"], pa.int64()),
+                         "keep_ck": pc.cast(t["keep_ck"], pa.int64())})
+
+    dups = agg.map_batches(only_dups, batch_format="pyarrow").materialize()
     n_dup = dups.count()
 
     def _reconstruct_batch(c: pd.DataFrame) -> pd.DataFrame:
@@ -754,8 +769,12 @@ def paragraph_dedup(sf_dir: str, width: int = 80,
             "text_dedup": g["chunk_text"].agg("".join).to_numpy(),
         })
 
-    if n_dup == 0 and not force_distributed:
-        # nothing duplicated: reconstruction is the identity per batch
+    if n_dup == 0:
+        # nothing duplicated: reconstruction is the identity per batch —
+        # taken even under force_distributed (an all-empty dup Dataset
+        # has no schema, which Ray's hash-shuffle join rejects; with
+        # zero removals the join path IS the identity anyway — the join
+        # machinery is force-exercised by the constructed dup corpora)
         return docs.map_batches(
             lambda df: _reconstruct_batch(_chunks(df)),
             batch_format="pandas")
@@ -780,9 +799,26 @@ def paragraph_dedup(sf_dir: str, width: int = 80,
     # distributed removal application: one content-sized shuffle (the
     # CCNet cost) — LEFT-join the chunk stream against the dup table on
     # h, drop non-keeper matches, reconstruct by doc groupby
-    chunk_ds = docs.map_batches(_with_keys, batch_format="pandas")
-    joined = chunk_ds.join(dups, join_type="left_outer", on=("h",),
-                           num_partitions=16)
+    _CHUNK_SCHEMA = pa.schema([
+        ("doc_id", pa.int64()), ("chunk_idx", pa.int64()),
+        ("chunk_text", pa.string()), ("h", pa.int64()), ("ck", pa.int64())])
+
+    def chunk_rows(df: pd.DataFrame) -> pa.Table:
+        # explicit schema on EVERY block: an upstream filter can empty a
+        # whole batch, and an empty pandas frame round-trips to a
+        # schema-less Arrow block that the hash-shuffle join rejects
+        return pa.Table.from_pandas(_with_keys(df), schema=_CHUNK_SCHEMA,
+                                    preserve_index=False)
+
+    chunk_ds = docs.map_batches(chunk_rows, batch_format="pandas")
+    # sparse side LEFT + right_outer keeps every chunk row exactly once.
+    # repartition first so the sparse side has NO empty blocks: the hash
+    # shuffle silently drops empty input blocks, and a join partition
+    # that then receives nothing from one side builds a zero-column
+    # table pyarrow rejects ("no match for key field").
+    dups_nonempty = dups.repartition(max(1, min(16, n_dup)))
+    joined = dups_nonempty.join(chunk_ds, join_type="right_outer",
+                                on=("h",), num_partitions=16)
 
     def reconstruct(g: pd.DataFrame) -> pd.DataFrame:
         rm = g["keep_ck"].notna() & (g["ck"] != g["keep_ck"])
@@ -824,35 +860,9 @@ def c4_style_filter(sf_dir: str):
     kernel, every rule is a bincount/is_in over the flat token array,
     zero shuffle, nothing on the driver."""
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
-    stop_set = pa.array(list(C4_STOPWORDS), pa.string())
-    block_set = pa.array(list(C4_BLOCKLIST), pa.string())
 
     def fn(t: pa.Table) -> pa.Table:
-        from spider_ray.common.tokens import split_tokens
-
-        rows = t.num_rows
-        flat, parent = split_tokens(t["text"])
-        n = np.zeros(rows, np.int64)
-        np.add.at(n, parent, 1)
-        lens = np.asarray(pc.binary_length(flat), dtype=np.int64)
-        sumlen = np.zeros(rows, np.int64)
-        np.add.at(sumlen, parent, lens)
-        stopm = np.asarray(pc.is_in(flat, value_set=stop_set))
-        stopn = np.zeros(rows, np.int64)
-        np.add.at(stopn, parent[stopm], 1)
-        blockm = np.asarray(pc.is_in(flat, value_set=block_set))
-        blockn = np.zeros(rows, np.int64)
-        np.add.at(blockn, parent[blockm], 1)
-        reason = np.select(
-            [n < C4_MIN_TOKENS,
-             n > C4_MAX_TOKENS,
-             sumlen < C4_MIN_MEAN_LEN * n,
-             sumlen > C4_MAX_MEAN_LEN * n,
-             stopn * 100 < C4_MIN_STOP_PCT * n,
-             blockn > 0],
-            ["too_few_tokens", "too_many_tokens", "short_tokens",
-             "long_tokens", "low_stopword", "blocklisted"],
-            default="ok")
+        n, reason = _c4_reasons(t["text"], t.num_rows)
         return pa.table({
             "doc_id": t["doc_id"],
             "kept": pa.array(reason == "ok"),
@@ -861,3 +871,82 @@ def c4_style_filter(sf_dir: str):
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _c4_reasons(text_col, rows: int) -> tuple[np.ndarray, np.ndarray]:
+    """The C4 rule kernel: (n_tokens, reason) arrays for a text column —
+    shared by c4_style_filter and the composed webtext_prep_v2."""
+    from spider_ray.common.tokens import split_tokens
+
+    stop_set = pa.array(list(C4_STOPWORDS), pa.string())
+    block_set = pa.array(list(C4_BLOCKLIST), pa.string())
+    flat, parent = split_tokens(text_col)
+    n = np.zeros(rows, np.int64)
+    np.add.at(n, parent, 1)
+    lens = np.asarray(pc.binary_length(flat), dtype=np.int64)
+    sumlen = np.zeros(rows, np.int64)
+    np.add.at(sumlen, parent, lens)
+    stopm = np.asarray(pc.is_in(flat, value_set=stop_set))
+    stopn = np.zeros(rows, np.int64)
+    np.add.at(stopn, parent[stopm], 1)
+    blockm = np.asarray(pc.is_in(flat, value_set=block_set))
+    blockn = np.zeros(rows, np.int64)
+    np.add.at(blockn, parent[blockm], 1)
+    reason = np.select(
+        [n < C4_MIN_TOKENS,
+         n > C4_MAX_TOKENS,
+         sumlen < C4_MIN_MEAN_LEN * n,
+         sumlen > C4_MAX_MEAN_LEN * n,
+         stopn * 100 < C4_MIN_STOP_PCT * n,
+         blockn > 0],
+        ["too_few_tokens", "too_many_tokens", "short_tokens",
+         "long_tokens", "low_stopword", "blocklisted"],
+        default="ok")
+    return n, reason
+
+
+def webtext_prep_v2(sf_dir: str, force_distributed: bool = False):
+    """Composed modern-webtext prep, hash-checked END TO END against ONE
+    SQL statement: C4 rule filter → CCNet paragraph dedup over the
+    SURVIVING documents → deterministic train/val/test split → per-split
+    integer stats (docs, kept chunks, reconstructed chars).
+
+    Scale shape: the filter finalizes in-batch (rejected docs never
+    leave their read batch), the dedup is paragraph_dedup_ds's
+    dup-table-broadcast machinery over the filtered stream, and the
+    split/stats tail is a pure map + per-block count partials + one
+    grouped sum over ≤3 rows per block.  All outputs are integers, so
+    the composition hash-matches the oracle at any parallelism."""
+    from ray.data.aggregate import Sum
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        _, reason = _c4_reasons(t["text"], t.num_rows)
+        return t.filter(pa.array(reason == "ok"))
+
+    kept = docs.map_batches(keep, batch_format="pyarrow")
+    deduped = paragraph_dedup_ds(kept,
+                                 force_distributed=force_distributed)
+
+    def split_partials(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        b = (ids * 25781) % 100
+        split = np.where(b < 80, "train",
+                         np.where(b < 90, "val", "test"))
+        out = pa.table({
+            "split": pa.array(split, pa.string()),
+            "kept_chunks": t["kept_chunks"],
+            "chars": pc.utf8_length(t["text_dedup"]),
+        })
+        g = pa.TableGroupBy(out, ["split"]).aggregate(
+            [("kept_chunks", "sum"), ("chars", "sum"),
+             ([], "count_all")])
+        return g.rename_columns(["split", "chunks", "chars", "docs"])
+
+    return (deduped.map_batches(split_partials, batch_format="pyarrow")
+            .groupby("split")
+            .aggregate(Sum("docs", alias_name="docs"),
+                       Sum("chunks", alias_name="chunks"),
+                       Sum("chars", alias_name="chars"))
+            .sort("split"))

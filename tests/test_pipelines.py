@@ -1583,3 +1583,59 @@ class TestTrending:
             WHERE rank <= 2 ORDER BY hour, rank""").fetchdf()
         pd.testing.assert_frame_equal(r, o, check_dtype=False)
         assert (r.groupby("hour")["rank"].max() <= 2).all()
+
+
+class TestWebtextPrepV2:
+    ORACLE = """
+        WITH tok AS (SELECT doc_id, text,
+                            regexp_extract_all(lower(text),
+                                               '[a-z0-9_]+') AS t
+                     FROM read_parquet('{p}')),
+        m AS (SELECT doc_id, text, len(t) AS n,
+                     list_sum(list_transform(t, x -> length(x))) AS sumlen,
+                     len(list_filter(t, x -> x IN
+                         ('the','a','of','to','and','in','is','it')))
+                         AS stopn,
+                     list_contains(t, 'dup') AS blocked
+              FROM tok),
+        kept AS (SELECT doc_id, text FROM m
+                 WHERE NOT (n < 20 OR n > 5000 OR sumlen < 3 * n
+                            OR sumlen > 10 * n OR stopn * 100 < 3 * n
+                            OR blocked)),
+        chunks AS (
+          SELECT doc_id, i AS chunk_idx,
+                 substring(text, CAST(i AS INT) * 80 + 1, 80) AS chunk
+          FROM kept,
+               UNNEST(generate_series(
+                   0, CAST(ceil(length(text) / 80.0) AS BIGINT) - 1))
+                   AS u(i)),
+        keep AS (
+          SELECT doc_id, chunk_idx, chunk,
+                 row_number() OVER (PARTITION BY chunk
+                                    ORDER BY doc_id, chunk_idx) AS rn
+          FROM chunks),
+        rec AS (SELECT doc_id, count(*) AS kept_chunks,
+                       sum(length(chunk)) AS chars
+                FROM keep WHERE rn = 1 GROUP BY doc_id)
+        SELECT CASE WHEN (doc_id * 25781) % 100 < 80 THEN 'train'
+                    WHEN (doc_id * 25781) % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS docs,
+               CAST(sum(kept_chunks) AS BIGINT) AS chunks,
+               CAST(sum(chars) AS BIGINT) AS chars
+        FROM rec GROUP BY split ORDER BY split"""
+
+    @pytest.mark.parametrize("distributed", [False, True])
+    def test_composition_matches_duckdb(self, distributed):
+        import duckdb
+
+        from spider_ray.pipelines.webtext import webtext_prep_v2
+
+        r = (webtext_prep_v2(SF, force_distributed=distributed)
+             .to_pandas().sort_values("split", ignore_index=True))
+        o = duckdb.connect().execute(
+            self.ORACLE.format(p=f"{SF}/documents.parquet")).fetchdf()
+        pd.testing.assert_frame_equal(r, o, check_dtype=False)
+        # the filter must actually drop docs: total docs < corpus size
+        total = pd.read_parquet(f"{SF}/documents.parquet").shape[0]
+        assert r["docs"].sum() < total
