@@ -1639,3 +1639,44 @@ class TestWebtextPrepV2:
         # the filter must actually drop docs: total docs < corpus size
         total = pd.read_parquet(f"{SF}/documents.parquet").shape[0]
         assert r["docs"].sum() < total
+
+
+class TestComponentsProperty:
+    """Property gate for the components engine/oracle pair: driver
+    union-find over random directed edge lists must equal the
+    recursive-CTE transitive closure."""
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @given(st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1, max_size=30))
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def test_driver_matches_recursive_cte(self, raw_edges):
+        import duckdb
+        import ray.data as rd
+
+        from spider_ray.pipelines.graph import components_of_edges
+
+        df = pd.DataFrame({
+            "src": [f"n{a:02d}" for a, _ in raw_edges],
+            "dst": [f"n{b:02d}" for _, b in raw_edges],
+        }).drop_duplicates(ignore_index=True)
+        r = (components_of_edges(rd.from_pandas(df))
+             .to_pandas()
+             .sort_values(["cluster_id", "node"], ignore_index=True))
+        con = duckdb.connect()
+        con.register("e", df)
+        o = con.execute("""
+            WITH RECURSIVE edges AS (
+              SELECT src AS a, dst AS b FROM e
+              UNION SELECT dst, src FROM e),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, x.b FROM reach r JOIN edges x ON r.b = x.a)
+            SELECT least(a, min(b)) AS cluster_id, a AS node
+            FROM reach GROUP BY a ORDER BY cluster_id, node""").fetchdf()
+        pd.testing.assert_frame_equal(r, o, check_dtype=False)

@@ -173,3 +173,39 @@ def test_seen_actor_loss_fails_fast_then_resume_matches(smoke_fixture,
     assert fresh.seen_table().equals(full.seen_table())
     assert fresh.order_table().equals(full.order_table())
     assert fresh.text_table().equals(full.text_table())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fetch_actor_loss_fails_fast_then_resume_matches(smoke_fixture,
+                                                         tmp_path):
+    """Same failure model for the fetch pool: a dead fetch actor fails
+    the run (its shard cache and stashed state are gone), and resume
+    from the checkpoint tree reproduces the uninterrupted run."""
+    import ray
+
+    from spider_ray.engine import CrawlEngine
+
+    seeds = pq.read_table(smoke_fixture["seeds"])
+    pol = json.load(open(smoke_fixture["politeness"]))
+    pol = {**pol, "max_epochs": 3}
+
+    full = CrawlEngine(smoke_fixture["pages"], pol, str(tmp_path / "full"),
+                       num_parts=4, seen_shards=2, fetch_concurrency=2)
+    full.run(seeds=seeds)
+
+    crash = CrawlEngine(smoke_fixture["pages"], pol,
+                        str(tmp_path / "crash"), num_parts=4,
+                        seen_shards=2, fetch_concurrency=2)
+    manifest = crash.prepare(seeds=seeds)
+    ray.kill(crash._fetch_pool[0])
+    with pytest.raises(Exception):
+        crash.run_epochs(manifest)
+    crash.close()
+
+    fresh = CrawlEngine(smoke_fixture["pages"], pol,
+                        str(tmp_path / "crash"), num_parts=4,
+                        seen_shards=2, fetch_concurrency=2)
+    fresh.run(resume=True)
+    assert fresh.seen_table().equals(full.seen_table())
+    assert fresh.order_table().equals(full.order_table())
+    assert fresh.text_table().equals(full.text_table())
