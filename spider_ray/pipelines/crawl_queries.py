@@ -119,7 +119,8 @@ def crawl_link_edges(pages_path: str):
 
 
 def crawl_pagerank(sf_dir: str, iters: int = 4, topn: int = 100,
-                   force_distributed: bool = False):
+                   force_distributed: bool = False,
+                   tier: str | None = None):
     """Link-graph centrality over the crawl corpus: fixed-point
     PageRank (graph.pagerank_edges) on the pages fixture's href graph.
     Unlike the symmetric interaction graph, this one is directed and
@@ -134,4 +135,5 @@ def crawl_pagerank(sf_dir: str, iters: int = 4, topn: int = 100,
     eng = run_crawl_cached(sf_dir)  # shares the cached fixture
     edges = crawl_link_edges(eng.pages_path)
     return pagerank_edges(edges, iters=iters,
-                          force_distributed=force_distributed).limit(topn)
+                          force_distributed=force_distributed,
+                          tier=tier).limit(topn)

@@ -1,5 +1,8 @@
-"""Link-graph analytics: PageRank and connected components over the
-events-derived interaction graph.
+"""Link-graph analytics: fixed-point PageRank and weak connected
+components — generic cores over any distinct edge Dataset
+(pagerank_edges / components_of_edges, used by the crawl href graph via
+crawl_queries.crawl_pagerank and jobs/run_graph.py), plus the
+events-derived interaction-graph driver queries with exact SQL oracles.
 
 The crawl graft's frontier IS a link graph (pages -> href targets), and
 the two canonical whole-graph operations a web-scale corpus needs are
@@ -10,11 +13,12 @@ storage_workflow_mongodb.go:251-294); these operators are the bulk
 equivalents: iterate (join contributions along edges -> grouped reduce)
 until fixed-point / fixed iteration count.
 
-Graph derivation (shared verbatim with the SQL oracles): every event row
-contributes a (user "u<user_id>", item "k<props.k>") edge; edges are
-DISTINCT and symmetrized (both directions present), so every node has
->= 1 out-edge and the dangling-node correction of full PageRank is
-unnecessary — omitted identically in both engines.
+Interaction-graph derivation (shared verbatim with the SQL oracles):
+every event row contributes a (user "u<user_id>", item "k<props.k>")
+edge; edges are DISTINCT and symmetrized (both directions present), so
+in THAT graph no node dangles.  The cores themselves handle arbitrary
+directed graphs — dangling nodes stay ranked via a zero
+self-contribution (engine) / LEFT JOIN + COALESCE (generated SQL).
 
 Determinism: PageRank runs in FIXED-POINT int64 arithmetic
 (SCALE = 10^12; damping 0.85 applied as integer ops 15*SCALE//100 +
@@ -93,7 +97,11 @@ def _distinct_edges(sf_dir: str, event_type: str | None = None,
 # PageRank
 # ---------------------------------------------------------------------------
 
-def pagerank_edges(edges, iters: int = 5, force_distributed: bool = False):
+_BCAST_MAX_NODES = 20_000_000  # rank vector comfortably fits one worker
+
+
+def pagerank_edges(edges, iters: int = 5, force_distributed: bool = False,
+                   tier: str | None = None):
     """Fixed-point PageRank (d=0.85, fixed iterations) over an
     arbitrary DIRECTED distinct-edge Dataset[(src,dst)].  Returns every
     node's final rank in SCALE fixed-point units, sorted by
@@ -104,12 +112,29 @@ def pagerank_edges(edges, iters: int = 5, force_distributed: bool = False):
 
     Dangling nodes (no out-edges — a real web graph is full of them)
     receive contributions but send none: rank leaks, the standard
-    simplified variant; the message-passing rounds keep every node
-    alive via a zero self-contribution.  All arithmetic is int64 floor
-    division/sums — exact and order-independent, hash-matching the
-    unrolled SQL of pagerank_sql_for_edges at any parallelism."""
+    simplified variant.  All arithmetic is int64 floor division/sums —
+    exact and order-independent, hash-matching the unrolled SQL of
+    pagerank_sql_for_edges at any parallelism and in every tier.
+
+    THREE execution tiers (auto by size; `tier` forces one in tests):
+      driver     edges fit the driver: numpy scatter-add loop.
+      broadcast  edges arbitrarily large, NODES fit a worker (the 10^10
+                 -edge / 10^8-host web regime): the (node, deg, rank)
+                 vectors are ray.put once per iteration; each edge block
+                 gathers ranks by searchsorted, pre-aggregates its
+                 contributions by dst IN-BATCH, and one grouped sum —
+                 node-cardinality-sized — finishes the iteration.  Fully
+                 vectorized, one shuffle of node-sized partials per
+                 iteration, edges never leave their blocks.
+      msgpass    nodes too big to broadcast: classic message-passing —
+                 ONE groupby over (rank rows ∪ edge rows) keyed on node
+                 emits contributions along out-edges (zero
+                 self-contribution keeps receive-only nodes alive), one
+                 grouped sum reduces.  Per-node Python in the group fn
+                 is the price of unbounded node counts."""
     import ray.data as rd
 
+    assert tier in (None, "driver", "broadcast", "msgpass")
     edges = edges.materialize()  # consumed by count + every iteration
     n_edges = edges.count()
     if n_edges == 0:
@@ -117,7 +142,10 @@ def pagerank_edges(edges, iters: int = 5, force_distributed: bool = False):
             "node": pa.array([], pa.string()),
             "rank_fp": pa.array([], pa.int64())}))
 
-    if n_edges <= _DRIVER_MAX_EDGES and not force_distributed:
+    use_driver = (tier == "driver" or
+                  (tier is None and n_edges <= _DRIVER_MAX_EDGES
+                   and not force_distributed))
+    if use_driver:
         df = edges.to_pandas()
         src = df["src"].to_numpy()
         dst = df["dst"].to_numpy()
@@ -140,7 +168,64 @@ def pagerank_edges(edges, iters: int = 5, force_distributed: bool = False):
             "rank_fp": pa.array(rank[order], pa.int64()),
         }))
 
-    # distributed message-passing rounds (see module docstring)
+    from ray.data.aggregate import Sum
+
+    # node universe + out-degrees in ONE aggregate pass (node-sized)
+    def node_deg_partials(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        us, cs = np.unique(src, return_counts=True)
+        ud = np.unique(dst)
+        return pa.table({
+            "node": pa.array(np.concatenate([us, ud])),
+            "deg": pa.array(np.concatenate(
+                [cs.astype(np.int64), np.zeros(len(ud), np.int64)]),
+                pa.int64()),
+        })
+
+    node_deg = (edges.map_batches(node_deg_partials, batch_format="pyarrow")
+                .groupby("node").aggregate(Sum("deg", alias_name="deg"))
+                .materialize())
+    n_nodes = node_deg.count()
+
+    if tier == "broadcast" or (tier is None and n_nodes <= _BCAST_MAX_NODES):
+        import ray
+
+        nd = node_deg.to_pandas().sort_values("node", ignore_index=True)
+        nodes_arr = nd["node"].to_numpy()
+        deg_arr = nd["deg"].to_numpy(np.int64)
+        rank_arr = np.full(n_nodes, SCALE, np.int64)
+        for _ in range(iters):
+            state_ref = ray.put((nodes_arr, deg_arr, rank_arr))
+
+            def contrib_partials(t: pa.Table,
+                                 _ref=state_ref) -> pa.Table:
+                nodes_b, deg_b, rank_b = ray.get(_ref)  # shm, once/task
+                src = t["src"].to_numpy(zero_copy_only=False)
+                dst = t["dst"].to_numpy(zero_copy_only=False)
+                si = np.searchsorted(nodes_b, src)
+                contrib = rank_b[si] // deg_b[si]
+                ud, inv = np.unique(dst, return_inverse=True)
+                s = np.zeros(len(ud), np.int64)
+                np.add.at(s, inv, contrib)  # in-batch pre-aggregation
+                return pa.table({"node": pa.array(ud),
+                                 "s": pa.array(s, pa.int64())})
+
+            summed = (edges.map_batches(contrib_partials,
+                                        batch_format="pyarrow")
+                      .groupby("node").aggregate(Sum("s", alias_name="s"))
+                      .to_pandas())
+            s_full = np.zeros(n_nodes, np.int64)
+            pos = np.searchsorted(nodes_arr, summed["node"].to_numpy())
+            s_full[pos] = summed["s"].to_numpy().astype(np.int64)
+            rank_arr = _BASE + (85 * s_full) // 100
+        order = np.lexsort((nodes_arr, -rank_arr))
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes_arr[order]),
+            "rank_fp": pa.array(rank_arr[order], pa.int64()),
+        }))
+
+    # msgpass tier: distributed message-passing rounds (see docstring)
     def to_edge_rows(t: pa.Table) -> pa.Table:
         return pa.table({
             "node": t["src"],
@@ -216,12 +301,13 @@ def pagerank_edges(edges, iters: int = 5, force_distributed: bool = False):
 
 
 def pagerank_user_item(sf_dir: str, iters: int = 5,
-                       force_distributed: bool = False):
+                       force_distributed: bool = False,
+                       tier: str | None = None):
     """PageRank over the full user-item interaction graph (symmetric
     DISTINCT edges, so no node dangles) — pagerank_edges applied to the
     events derivation."""
     return pagerank_edges(_distinct_edges(sf_dir), iters=iters,
-                          force_distributed=force_distributed)
+                          force_distributed=force_distributed, tier=tier)
 
 
 _USER_ITEM_EDGES_CTE = """pairs AS (
@@ -272,7 +358,8 @@ def pagerank_oracle_sql(iters: int = 5) -> str:
 # Connected components
 # ---------------------------------------------------------------------------
 
-def graph_components(sf_dir: str, force_distributed: bool = False):
+def graph_components(sf_dir: str, force_distributed: bool = False,
+                     tier: str | None = None):
     """Connected components over the SPARSIFIED interaction graph
     (high-value error events only — the full graph is one dense
     component; the filter is part of the query contract, shared with the
@@ -281,33 +368,43 @@ def graph_components(sf_dir: str, force_distributed: bool = False):
     et, mv = COMPONENT_FILTER
     return components_of_edges(
         _distinct_edges(sf_dir, event_type=et, min_value=mv),
-        force_distributed=force_distributed)
+        force_distributed=force_distributed, tier=tier)
 
 
-def components_of_edges(edges, force_distributed: bool = False):
+def components_of_edges(edges, force_distributed: bool = False,
+                        tier: str | None = None):
     """WEAK connected components over an arbitrary DISTINCT edge
     Dataset[(src, dst)] — direction is ignored (the propagation
     symmetrizes internally).  Returns (cluster_id, node) for every
     node, cluster_id = lexicographic min node id of the component.
 
-    Same adaptive shape as webtext.dedup_minhash_clusters: driver
-    union-find over the edge-count-sized DISTINCT edge list below the
-    threshold, join-free distributed min-label propagation above it (one
-    groupby round per hop).  Convergence check for STRING labels: per
-    round, sum a 64-bit hash of every (node, min-label) pair — labels
-    move monotonically downward, so an unchanged fingerprint sum ==
-    fixpoint (up to a ~2^-64 hash-collision risk; the loop still caps at
-    64 rounds and falls back to a final grouped min).  Both paths forced
-    in tests and must agree."""
+    THREE tiers like pagerank_edges (auto by size; `tier` forces one):
+      driver     union-find over the edge-count-sized DISTINCT list.
+      broadcast  edges arbitrarily large, nodes fit a worker: the label
+                 vector is ray.put per round; each edge block computes
+                 (node -> min incoming label) partials IN-BATCH, one
+                 node-sized grouped min finishes the round, and
+                 convergence is an exact array compare on the driver.
+      msgpass    nodes too big to broadcast: join-free min-label
+                 propagation, one groupby round per hop; convergence =
+                 per-round 64-bit (node,label) fingerprint sum (labels
+                 move monotonically downward; ~2^-64 collision risk;
+                 loop caps at 64 rounds with a grouped-min fallback).
+    All tiers forced in tests and must agree."""
     import ray.data as rd
 
+    assert tier in (None, "driver", "broadcast", "msgpass")
+    edges = edges.materialize()
     n_edges = edges.count()
     empty = pa.table({"cluster_id": pa.array([], pa.string()),
                       "node": pa.array([], pa.string())})
     if n_edges == 0:
         return rd.from_arrow(empty)
 
-    if n_edges <= _DRIVER_MAX_EDGES and not force_distributed:
+    use_driver = (tier == "driver" or
+                  (tier is None and n_edges <= _DRIVER_MAX_EDGES
+                   and not force_distributed))
+    if use_driver:
         df = edges.to_pandas()
         parent: dict[str, str] = {}
 
@@ -326,6 +423,62 @@ def components_of_edges(edges, force_distributed: bool = False):
         return rd.from_arrow(pa.table({
             "cluster_id": pa.array([r[0] for r in rows]),
             "node": pa.array([r[1] for r in rows]),
+        }))
+
+    # node universe (node-sized aggregate; also sizes the tier choice)
+    def node_partials(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(
+            np.unique(np.concatenate([s, d])))})
+
+    node_ds = (edges.map_batches(node_partials, batch_format="pyarrow")
+               .groupby("node").count().drop_columns(["count()"])
+               .materialize())
+    n_nodes = node_ds.count()
+
+    if tier == "broadcast" or (tier is None and n_nodes <= _BCAST_MAX_NODES):
+        import ray
+
+        nodes_arr = np.sort(node_ds.to_pandas()["node"].to_numpy())
+        # labels as indices into the sorted node array (int64 min is
+        # cheaper and exactly mirrors lexicographic min on node ids)
+        labels = np.arange(len(nodes_arr), dtype=np.int64)
+        while True:  # exact fixpoint: labels strictly decrease until
+            #          converged (<= diameter rounds), compare is exact
+            state_ref = ray.put((nodes_arr, labels))
+
+            def min_partials(t: pa.Table, _ref=state_ref) -> pa.Table:
+                nodes_b, lbl_b = ray.get(_ref)
+                s = t["src"].to_numpy(zero_copy_only=False)
+                d = t["dst"].to_numpy(zero_copy_only=False)
+                si = np.searchsorted(nodes_b, s)
+                di = np.searchsorted(nodes_b, d)
+                # symmetrized: each edge proposes its other end's label
+                tgt = np.concatenate([si, di])
+                prop = np.concatenate([lbl_b[di], lbl_b[si]])
+                order = np.argsort(tgt, kind="stable")
+                tgt, prop = tgt[order], prop[order]
+                cuts = np.flatnonzero(np.concatenate(
+                    [[True], tgt[1:] != tgt[:-1]]))
+                mins = np.minimum.reduceat(prop, cuts)
+                return pa.table({"idx": pa.array(tgt[cuts], pa.int64()),
+                                 "m": pa.array(mins, pa.int64())})
+
+            summed = (edges.map_batches(min_partials,
+                                        batch_format="pyarrow")
+                      .groupby("idx").min("m").to_pandas())
+            new_labels = labels.copy()
+            idx = summed["idx"].to_numpy().astype(np.int64)
+            m = summed["min(m)"].to_numpy().astype(np.int64)
+            np.minimum.at(new_labels, idx, m)
+            if np.array_equal(new_labels, labels):
+                break
+            labels = new_labels
+        order = np.lexsort((nodes_arr, labels))
+        return rd.from_arrow(pa.table({
+            "cluster_id": pa.array(nodes_arr[labels][order]),
+            "node": pa.array(nodes_arr[order]),
         }))
 
     def to_msgs(t: pa.Table) -> pa.Table:

@@ -1023,14 +1023,14 @@ class TestGraph:
     components — both adaptive paths must match the SQL oracles
     exactly (integer arithmetic makes PageRank hash-exact)."""
 
-    @pytest.mark.parametrize("distributed", [False, True])
-    def test_pagerank_paths_match_duckdb(self, distributed):
+    @pytest.mark.parametrize("tier", ["driver", "broadcast", "msgpass"])
+    def test_pagerank_paths_match_duckdb(self, tier):
         import duckdb
 
         from spider_ray.pipelines.graph import (
             pagerank_oracle_sql, pagerank_user_item)
 
-        r = (pagerank_user_item(SF, force_distributed=distributed)
+        r = (pagerank_user_item(SF, tier=tier)
              .to_pandas()
              .sort_values(["rank_fp", "node"], ascending=[False, True],
                           ignore_index=True))
@@ -1044,13 +1044,13 @@ class TestGraph:
         assert (r["rank_fp"] >= 15 * 10**12 // 100).all()
         assert r["rank_fp"].sum() <= len(r) * 10**12
 
-    @pytest.mark.parametrize("distributed", [False, True])
-    def test_components_paths_match_duckdb(self, distributed):
+    @pytest.mark.parametrize("tier", ["driver", "broadcast", "msgpass"])
+    def test_components_paths_match_duckdb(self, tier):
         import duckdb
 
         from spider_ray.pipelines.graph import graph_components
 
-        r = (graph_components(SF, force_distributed=distributed)
+        r = (graph_components(SF, tier=tier)
              .to_pandas()
              .sort_values(["cluster_id", "node"], ignore_index=True))
         con = duckdb.connect()
@@ -1335,14 +1335,13 @@ class TestCrawlPagerank:
             "edges AS (SELECT src, dst FROM edges_tbl)",
             iters=iters)).fetchdf()
 
-    @pytest.mark.parametrize("distributed", [False, True])
-    def test_full_vector_matches_oracle(self, edge_df, distributed):
+    @pytest.mark.parametrize("tier", ["driver", "broadcast", "msgpass"])
+    def test_full_vector_matches_oracle(self, edge_df, tier):
         import ray.data as rd
 
         from spider_ray.pipelines.graph import pagerank_edges
 
-        r = (pagerank_edges(rd.from_pandas(edge_df), iters=4,
-                            force_distributed=distributed)
+        r = (pagerank_edges(rd.from_pandas(edge_df), iters=4, tier=tier)
              .to_pandas()
              .sort_values(["rank_fp", "node"], ascending=[False, True],
                           ignore_index=True))
