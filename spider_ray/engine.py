@@ -557,7 +557,8 @@ class CrawlEngine:
         # selection) must not inherit stale outputs: clear EVERY epoch
         # artifact before (re)producing it (ADVICE.md: a small-path rerun
         # after a distributed crash must not union stale frontier shards)
-        for sub in ("texts", "admitted", "selected", "order", "frontier"):
+        for sub in ("texts", "admitted", "selected", "order", "frontier",
+                    "edges"):
             shutil.rmtree(os.path.join(edir, sub), ignore_errors=True)
         for f in ("order.parquet",):
             try:

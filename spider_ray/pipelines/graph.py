@@ -25,9 +25,10 @@ Determinism: PageRank runs in FIXED-POINT int64 arithmetic
 (85*sum)//100).  Integer sums commute exactly, so the distributed result
 hash-matches the unrolled SQL oracle bit-for-bit at any parallelism — a
 float PageRank would drift in the low bits under different accumulation
-orders.  SCALE is sized so N_nodes * SCALE * 100 < 2^63 holds for any
-corpus this repo targets per-partition; at a 10^10-node web graph the
-same code runs with a smaller SCALE (knob, not redesign).
+orders.  SCALE must satisfy N_nodes * SCALE < 2^63 (the total rank
+mass bounds every partial sum; damping itself is overflow-safe via
+_damp); at a 10^10-node web graph the same code runs with a smaller
+SCALE (knob, not redesign).
 
 Scale shape: both operators follow the repo's adaptive dispatch — the
 driver path (numpy / union-find over the edge-count-sized DISTINCT edge
@@ -53,9 +54,47 @@ from . import read_table as _rp
 
 SCALE = 1_000_000_000_000  # fixed-point: 1.0 of rank == 10^12
 _BASE = 15 * SCALE // 100  # (1 - d) * SCALE with d = 0.85, integer-exact
+
+
+def _damp(s):
+    """(85*s)//100 without the 85× overflow: 85/100 == 17/20 and with
+    s = 20q + r, floor(17s/20) == 17q + floor(17r/20) exactly — so the
+    largest intermediate is 17*(s//20) < s.  Safe for any s < 2^63 (the
+    rank-mass bound is N_nodes * SCALE, see module docstring); a plain
+    85*s wraps int64 once a hub accumulates s >= 1.08e17, i.e. ~10^5
+    nodes' worth of mass — far inside the tier limits.  Works for numpy
+    arrays and Python ints; the SQL oracle keeps the literal
+    (85*SUM)//100 form because DuckDB widens to HUGEINT (the two are
+    equal by the identity above)."""
+    q, r = s // 20, s % 20
+    return 17 * q + (17 * r) // 20
+
+
 _DRIVER_MAX_EDGES = 2_000_000
 # shared with the SQL oracles verbatim (graph_components edge filter)
 COMPONENT_FILTER = ("error", 150.0)
+
+
+def _int_index_edges(edges, nodes_arr: np.ndarray):
+    """Translate an edge Dataset's (src, dst) strings to int64 indices
+    into the SORTED node array — done ONCE so iteration loops broadcast
+    only int64 vectors (zero-copy shm views; an object-dtype string
+    array would re-pickle into every task every round, measured 5-10x
+    slower).  Shared by both broadcast tiers."""
+    import ray
+
+    nodes_ref = ray.put(nodes_arr)
+
+    def to_idx(t: pa.Table, _nref=nodes_ref) -> pa.Table:
+        nodes_b = ray.get(_nref)
+        si = np.searchsorted(nodes_b,
+                             t["src"].to_numpy(zero_copy_only=False))
+        di = np.searchsorted(nodes_b,
+                             t["dst"].to_numpy(zero_copy_only=False))
+        return pa.table({"si": pa.array(si, pa.int64()),
+                         "di": pa.array(di, pa.int64())})
+
+    return edges.map_batches(to_idx, batch_format="pyarrow").materialize()
 
 
 def _pair_batches(t: pa.Table, event_type: str | None,
@@ -161,7 +200,7 @@ def pagerank_edges(edges, iters: int = 5, force_distributed: bool = False,
             contrib = rank[src_idx] // deg[src_idx]
             s = np.zeros(len(nodes), np.int64)
             np.add.at(s, dst_idx, contrib)  # int64-exact scatter-add
-            rank = _BASE + (85 * s) // 100
+            rank = _BASE + _damp(s)
         order = np.lexsort((nodes, -rank))
         return rd.from_arrow(pa.table({
             "node": pa.array(nodes[order]),
@@ -194,23 +233,7 @@ def pagerank_edges(edges, iters: int = 5, force_distributed: bool = False,
         nd = node_deg.to_pandas().sort_values("node", ignore_index=True)
         nodes_arr = nd["node"].to_numpy()
         deg_arr = nd["deg"].to_numpy(np.int64)
-        # translate the edge STRINGS to int64 node indices ONCE — the
-        # iteration loop then broadcasts only int64 vectors (zero-copy
-        # shm views; an object-dtype string array would re-pickle into
-        # every task every iteration, which measured 5-10x slower)
-        nodes_ref = ray.put(nodes_arr)
-
-        def to_idx(t: pa.Table, _nref=nodes_ref) -> pa.Table:
-            nodes_b = ray.get(_nref)
-            si = np.searchsorted(nodes_b,
-                                 t["src"].to_numpy(zero_copy_only=False))
-            di = np.searchsorted(nodes_b,
-                                 t["dst"].to_numpy(zero_copy_only=False))
-            return pa.table({"si": pa.array(si, pa.int64()),
-                             "di": pa.array(di, pa.int64())})
-
-        int_edges = edges.map_batches(
-            to_idx, batch_format="pyarrow").materialize()
+        int_edges = _int_index_edges(edges, nodes_arr)
 
         rank_arr = np.full(n_nodes, SCALE, np.int64)
         for _ in range(iters):
@@ -241,7 +264,7 @@ def pagerank_edges(edges, iters: int = 5, force_distributed: bool = False,
             s_full = np.zeros(n_nodes, np.int64)
             np.add.at(s_full, part["idx"].to_numpy(),
                       part["s"].to_numpy())
-            rank_arr = _BASE + (85 * s_full) // 100
+            rank_arr = _BASE + _damp(s_full)
         order = np.lexsort((nodes_arr, -rank_arr))
         return rd.from_arrow(pa.table({
             "node": pa.array(nodes_arr[order]),
@@ -305,12 +328,10 @@ def pagerank_edges(edges, iters: int = 5, force_distributed: bool = False,
             Sum("contrib", alias_name="s"))
 
         def finish(t: pa.Table) -> pa.Table:
-            r = pc.add(pa.scalar(_BASE, pa.int64()),
-                       pc.divide(pc.multiply(pa.scalar(85, pa.int64()),
-                                             pc.cast(t["s"], pa.int64())),
-                                 pa.scalar(100, pa.int64())))
+            s = np.asarray(pc.cast(t["s"], pa.int64()), dtype=np.int64)
+            r = _BASE + _damp(s)  # overflow-safe damping, see _damp
             return pa.table({
-                "node": t["node"], "rank": r,
+                "node": t["node"], "rank": pa.array(r, pa.int64()),
                 "dst": pa.nulls(t.num_rows, pa.string()),
             })
 
@@ -465,22 +486,8 @@ def components_of_edges(edges, force_distributed: bool = False,
 
         nodes_arr = np.sort(node_ds.to_pandas()["node"].to_numpy())
         # labels as indices into the sorted node array (int64 min is
-        # cheaper and exactly mirrors lexicographic min on node ids);
-        # edge strings are translated to indices ONCE so the rounds
-        # broadcast only an int64 label vector (zero-copy shm)
-        nodes_ref = ray.put(nodes_arr)
-
-        def to_idx(t: pa.Table, _nref=nodes_ref) -> pa.Table:
-            nodes_b = ray.get(_nref)
-            si = np.searchsorted(nodes_b,
-                                 t["src"].to_numpy(zero_copy_only=False))
-            di = np.searchsorted(nodes_b,
-                                 t["dst"].to_numpy(zero_copy_only=False))
-            return pa.table({"si": pa.array(si, pa.int64()),
-                             "di": pa.array(di, pa.int64())})
-
-        int_edges = edges.map_batches(
-            to_idx, batch_format="pyarrow").materialize()
+        # cheaper and exactly mirrors lexicographic min on node ids)
+        int_edges = _int_index_edges(edges, nodes_arr)
         labels = np.arange(len(nodes_arr), dtype=np.int64)
         while True:  # exact fixpoint: labels strictly decrease until
             #          converged (<= diameter rounds), compare is exact
@@ -573,7 +580,11 @@ def components_of_edges(edges, force_distributed: bool = False,
                          "h": pa.array(h.view(np.int64), pa.int64())})
 
     prev_fp = None
-    for _ in range(64):  # >= diameter of any component
+    # labels hop one edge per round, so fixpoint arrives within the
+    # largest component diameter; a generous cap turns a pathological
+    # non-convergence into a loud error instead of a silently-partial
+    # clustering (the pre-cap code aggregated the UNCONVERGED state)
+    for _ in range(4096):
         labels = (labels.union(edge_rows).groupby("node")
                   .map_groups(propagate, batch_format="pyarrow")
                   ).materialize()
@@ -585,8 +596,9 @@ def components_of_edges(edges, force_distributed: bool = False,
             break
         prev_fp = fp
     else:
-        labels = labels.groupby("node").aggregate(
-            Min("lbl", alias_name="lbl"))
+        raise RuntimeError(
+            "components_of_edges: min-label propagation did not converge "
+            "within 4096 rounds (component diameter > 4096?)")
     return (labels.map_batches(
         lambda t: pa.table({"cluster_id": t["lbl"], "node": t["node"]}),
         batch_format="pyarrow").sort(["cluster_id", "node"]))

@@ -30,6 +30,13 @@ import pyarrow.compute as pc
 from . import read_table as _rp  # shared column-pruned read (one definition)
 
 
+def _cents(v: np.ndarray) -> np.ndarray:
+    """Integer cents, half-away-from-zero — THE oracle-critical rounding
+    rule (== DuckDB round(value*100)); one definition so the
+    integer-exact window/clip operators can never drift apart."""
+    return (np.floor(np.abs(v) * 100 + 0.5) * np.sign(v)).astype(np.int64)
+
+
 def _round_cols(round_spec: dict[str, int]):
     def fn(t: pa.Table) -> pa.Table:
         for col, nd in round_spec.items():
@@ -738,7 +745,7 @@ def cumsum_value_by_user(sf_dir: str):
         g = g.sort_values(["ts", "event_id"], kind="mergesort")
         # half-away-from-zero to match the oracle's round(value*100)
         v = g["value"].to_numpy()
-        cents = (np.floor(np.abs(v) * 100 + 0.5) * np.sign(v)).astype(np.int64)
+        cents = _cents(v)
         return pd.DataFrame({
             "event_id": g["event_id"].to_numpy(),
             "user_id": g["user_id"].to_numpy(),
@@ -1159,7 +1166,7 @@ def window_lead_first_dense(sf_dir: str):
         g = g.sort_values(["ts", "event_id"], kind="mergesort")
         v = g["value"].to_numpy()
         # half-away-from-zero, the oracle's round(value*100)
-        cents = (np.floor(np.abs(v) * 100 + 0.5) * np.sign(v)).astype(np.int64)
+        cents = _cents(v)
         nxt = np.concatenate([cents[1:], [-1]])
         uniq = np.unique(g["event_type"].to_numpy())
         type_rank = (np.searchsorted(uniq, g["event_type"].to_numpy())
@@ -1257,8 +1264,7 @@ def rolling_median_user_value(sf_dir: str, window: int = 4):
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], kind="mergesort")
         v = g["value"].to_numpy()
-        cents = (np.floor(np.abs(v) * 100 + 0.5)
-                 * np.sign(v)).astype(np.int64)
+        cents = _cents(v)
         med = (pd.Series(cents).rolling(window, min_periods=1)
                .median().to_numpy())
         return pd.DataFrame({
@@ -1283,7 +1289,7 @@ def winsorize_event_value(sf_dir: str, lo: float = 0.05, hi: float = 0.95):
 
     def cents_col(t: pa.Table) -> pa.Table:
         v = t["value"].to_numpy(zero_copy_only=False)
-        c = (np.floor(np.abs(v) * 100 + 0.5) * np.sign(v)).astype(np.int64)
+        c = _cents(v)
         return pa.table({"event_id": t["event_id"],
                          "event_type": t["event_type"],
                          "c": pa.array(c, pa.int64())})

@@ -135,8 +135,23 @@ def write_warc_shards(pages_path: str, out_dir: str,
 
     @ray.remote(num_cpus=0.5)
     def write_shard(i: int) -> int:
-        t = pq.read_table(pages_path, columns=["url", "html"])
-        t = t.slice(bounds[i], bounds[i + 1] - bounds[i])
+        # read ONLY the row groups overlapping this shard's row range —
+        # a full read_table per shard would decode the whole corpus
+        # `shards` times over
+        pf = pq.ParquetFile(pages_path)
+        md = pf.metadata
+        offs = [0]
+        for g in range(md.num_row_groups):
+            offs.append(offs[-1] + md.row_group(g).num_rows)
+        lo, hi = bounds[i], bounds[i + 1]
+        groups = [g for g in range(md.num_row_groups)
+                  if offs[g + 1] > lo and offs[g] < hi]
+        if not groups:
+            t = pq.read_schema(pages_path).empty_table() \
+                .select(["url", "html"])
+        else:
+            t = pf.read_row_groups(groups, columns=["url", "html"])
+            t = t.slice(lo - offs[groups[0]], hi - lo)
         path = os.path.join(out, f"shard-{i:04d}.warc")
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:

@@ -206,7 +206,11 @@ def dedup_minhash_clusters(sf_dir: str, threshold: float = 0.8,
     from ray.data.aggregate import Min, Sum
 
     prev_sum = None
-    for _ in range(64):  # >= diameter of any real dup cluster
+    # labels hop one edge per round => fixpoint within the largest dup
+    # cluster's diameter; the generous cap turns pathological
+    # non-convergence into a loud error, never a silently-partial
+    # clustering
+    for _ in range(4096):
         labels = (labels.union(edges).groupby("node")
                   .map_groups(propagate, batch_format="pyarrow")
                   ).materialize()
@@ -221,8 +225,9 @@ def dedup_minhash_clusters(sf_dir: str, threshold: float = 0.8,
             break
         prev_sum = cur_sum
     else:
-        labels = labels.groupby("node").aggregate(
-            Min("lbl", alias_name="lbl"))
+        raise RuntimeError(
+            "dedup_minhash_clusters: min-label propagation did not "
+            "converge within 4096 rounds")
     return (labels.map_batches(
         lambda t: pa.table({"cluster_id": t["lbl"], "doc_id": t["node"]}),
         batch_format="pyarrow").sort(["cluster_id", "doc_id"]))
@@ -730,8 +735,18 @@ def paragraph_dedup_ds(docs, width: int = 80,
         c = _chunks(df)
         h = hash_string_array(pa.array(c["chunk_text"], pa.string()))
         c["h"] = h.view(np.int64)
-        c["ck"] = (c["doc_id"].to_numpy().astype(np.int64) << np.int64(32)) \
-            | c["chunk_idx"].to_numpy().astype(np.int64)
+        ids = c["doc_id"].to_numpy().astype(np.int64)
+        idx = c["chunk_idx"].to_numpy().astype(np.int64)
+        # 21-bit chunk slot: doc_id < 2^42 (4.4e12 docs) and <= 2^21
+        # chunks/doc (168 MB of text at width 80) — checked loudly, a
+        # silent overflow would corrupt keeper selection
+        if len(ids) and (int(ids.max()) >= 1 << 42
+                         or int(idx.max()) >= 1 << 21):
+            raise ValueError(
+                "paragraph_dedup packing overflow: need doc_id < 2^42 "
+                f"and chunk_idx < 2^21 (got max doc_id={ids.max()}, "
+                f"max chunk_idx={idx.max()})")
+        c["ck"] = (ids << np.int64(21)) | idx
         return c
 
     def meta(df: pd.DataFrame) -> pd.DataFrame:
@@ -820,9 +835,17 @@ def paragraph_dedup_ds(docs, width: int = 80,
     joined = dups_nonempty.join(chunk_ds, join_type="right_outer",
                                 on=("h",), num_partitions=16)
 
+    def drop_removed(t: pa.Table) -> pa.Table:
+        # null-safe int64 compare in ARROW: a pandas round-trip would
+        # promote the nullable keep_ck to float64 and lose exactness
+        # for ck >= 2^53
+        rm = pc.fill_null(pc.not_equal(t["ck"], t["keep_ck"]), False)
+        return t.filter(pc.invert(rm))
+
+    joined = joined.map_batches(drop_removed, batch_format="pyarrow")
+
     def reconstruct(g: pd.DataFrame) -> pd.DataFrame:
-        rm = g["keep_ck"].notna() & (g["ck"] != g["keep_ck"])
-        g = g[~rm].sort_values("chunk_idx", kind="mergesort")
+        g = g.sort_values("chunk_idx", kind="mergesort")
         if not len(g):
             return pd.DataFrame({
                 "doc_id": pd.Series([], dtype=np.int64),
@@ -925,7 +948,11 @@ def webtext_prep_v2(sf_dir: str, force_distributed: bool = False):
         _, reason = _c4_reasons(t["text"], t.num_rows)
         return t.filter(pa.array(reason == "ok"))
 
-    kept = docs.map_batches(keep, batch_format="pyarrow")
+    # materialize the filtered stream: paragraph_dedup_ds consumes it
+    # twice (keeper aggregate, then reconstruction), and re-running the
+    # C4 tokenize battery — the pipeline's heaviest kernel — per pass
+    # would double the dominant cost
+    kept = docs.map_batches(keep, batch_format="pyarrow").materialize()
     deduped = paragraph_dedup_ds(kept,
                                  force_distributed=force_distributed)
 

@@ -1679,3 +1679,39 @@ class TestComponentsProperty:
             SELECT least(a, min(b)) AS cluster_id, a AS node
             FROM reach GROUP BY a ORDER BY cluster_id, node""").fetchdf()
         pd.testing.assert_frame_equal(r, o, check_dtype=False)
+
+
+class TestPagerankOverflow:
+    def test_damp_equals_exact_bigint(self):
+        from spider_ray.pipelines.graph import _damp
+
+        rng = np.random.default_rng(3)
+        s = rng.integers(0, (1 << 62), 10_000, dtype=np.int64)
+        got = _damp(s)
+        want = np.array([(85 * int(x)) // 100 for x in s], dtype=object)
+        assert all(int(g) == w for g, w in zip(got, want))
+
+    def test_hub_star_matches_oracle_past_int64_wrap(self):
+        """150k leaves -> one hub: the hub's incoming sum is ~1.5e17
+        fixed-point units, where a literal 85*s wraps int64; the result
+        must stay positive and hash-match the HUGEINT SQL oracle."""
+        import duckdb
+        import ray.data as rd
+
+        from spider_ray.pipelines.graph import (
+            pagerank_edges, pagerank_sql_for_edges)
+
+        n = 150_000
+        df = pd.DataFrame({"src": [f"l{i:06d}" for i in range(n)],
+                           "dst": ["hub"] * n})
+        r = (pagerank_edges(rd.from_pandas(df), iters=2)
+             .to_pandas()
+             .sort_values(["rank_fp", "node"], ascending=[False, True],
+                          ignore_index=True))
+        assert (r["rank_fp"] > 0).all()
+        con = duckdb.connect()
+        con.register("edges_tbl", df)
+        o = con.execute(pagerank_sql_for_edges(
+            "edges AS (SELECT src, dst FROM edges_tbl)",
+            iters=2)).fetchdf()
+        pd.testing.assert_frame_equal(r, o, check_dtype=False)
