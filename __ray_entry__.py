@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": wt.dedup_incremental,
         "train_val_test_split": wt.train_val_test_split,
         "paragraph_dedup": wt.paragraph_dedup,
+        "dedup_substring_spans": wt.dedup_substring_spans,
         "c4_style_filter": wt.c4_style_filter,
         "webtext_prep_v2": wt.webtext_prep_v2,
         "global_shuffle_rank": wt.global_shuffle_rank,
@@ -272,6 +273,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS kept_chunks,
                    string_agg(chunk, '' ORDER BY chunk_idx) AS text_dedup
             FROM keep WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
+        """,
+        # Exact substring-span dedup (Lee et al. 2021 ExactSubstr report
+        # over word-8-gram windows): shingles via a windowed string_agg,
+        # first occurrence in (doc_id, pos) order wins, every other
+        # occurrence covers positions pos..pos+7, maximal covered runs
+        # via gaps-and-islands.  The engine keys on the 63-bit shingle
+        # hash chain; this oracle compares true shingle strings, so a
+        # hash collision would surface as a mismatch here.
+        "dedup_substring_spans": """
+            WITH tok AS (SELECT doc_id,
+                                regexp_extract_all(lower(text),
+                                                   '[a-z0-9_]+') AS t
+                         FROM documents),
+            toks AS (SELECT doc_id, len(t) AS n, unnest(t) AS w,
+                            unnest(generate_series(1, len(t))) AS i
+                     FROM tok),
+            sh AS (SELECT doc_id, i AS pos, n,
+                          string_agg(w, ' ') OVER (
+                              PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN CURRENT ROW
+                              AND 7 FOLLOWING) AS s
+                   FROM toks),
+            occ AS (SELECT doc_id, pos, s FROM sh WHERE pos <= n - 7),
+            dup AS (SELECT doc_id, pos FROM (
+                      SELECT doc_id, pos,
+                             row_number() OVER (PARTITION BY s
+                                 ORDER BY doc_id, pos) AS rn
+                      FROM occ) WHERE rn > 1),
+            cov AS (SELECT DISTINCT doc_id, pos + d AS tp
+                    FROM dup,
+                         (SELECT unnest(generate_series(0, 7)) AS d) g),
+            isl AS (SELECT doc_id, tp,
+                           tp - row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tp) AS grp
+                    FROM cov)
+            SELECT doc_id, min(tp) AS span_start, max(tp) AS span_end,
+                   count(*) AS n_tokens
+            FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start
         """,
         # LEAD / DENSE_RANK / FIRST_VALUE in one window pass — integer
         # cents keep LEAD exact; type_rank has heavy ties by design.

@@ -977,3 +977,208 @@ def webtext_prep_v2(sf_dir: str, force_distributed: bool = False):
                        Sum("chunks", alias_name="chunks"),
                        Sum("chars", alias_name="chars"))
             .sort("split"))
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-span dedup (Lee et al. 2021, "Deduplicating Training Data
+# Makes Language Models Better") — the ExactSubstr duplicate-span REPORT,
+# re-expressed over word-k-gram shingles instead of a suffix array: a token
+# position is duplicated iff it is covered by some k-token window whose
+# token sequence also occurs at an earlier (doc_id, pos) anywhere in the
+# corpus; maximal runs of covered positions are the output spans.
+# ---------------------------------------------------------------------------
+
+_SPAN_DRIVER_MAX_DUPS = 500_000
+_SPAN_K = 8
+
+
+def dedup_substring_spans(sf_dir: str, k: int = _SPAN_K,
+                          force_distributed: bool = False):
+    """Duplicate-span report over the documents table — see
+    substring_spans_ds for semantics and scale shape."""
+    return substring_spans_ds(_rp(sf_dir, "documents", ["doc_id", "text"]),
+                              k=k, force_distributed=force_distributed)
+
+
+def substring_spans_ds(docs, k: int = _SPAN_K,
+                       force_distributed: bool = False):
+    """Exact substring-span dedup report: (doc_id, span_start, span_end,
+    n_tokens) for every maximal duplicated token run, positions 1-based
+    in the doc's token sequence (the suite-wide [a-z0-9_]+ class).
+    First-wins: of all occurrences of a given k-token window, the
+    minimum (doc_id, pos) is the keeper; every other occurrence marks
+    its k covered positions as duplicated.  Overlapping/adjacent covered
+    windows merge (gap in occurrence starts <= k tokens).
+
+    Scale shape — text never shuffles, and every token is touched twice:
+      phase 1  tokenize per batch with the shared kernel -> positional
+               k-window splitmix chain over the token hashes -> ONLY the
+               int64 pair (h, packed=(doc_id<<21|pos)) enters ONE grouped
+               (Min, Count) aggregate; hashes with count > 1 plus their
+               keeper key — the DUP-VOLUME-sized table — are all that
+               leaves it.
+      phase 2  adaptive: below _SPAN_DRIVER_MAX_DUPS the dup table is
+               broadcast (ray.put, two sorted int64 arrays) and span
+               detection folds into a second tokenize pass — a document's
+               occurrences never leave their batch, islands merge with
+               one vectorized boundary scan; above the threshold the
+               occurrence stream RIGHT-joins the dup table on h (one
+               int64-only shuffle), and islands merge per doc in
+               map_groups (groups = docs-with-duplicates, each
+               dup-occurrence-sized).  Both paths forced in tests and
+               hash-matched against the SQL oracle (windowed string_agg
+               shingles + row_number first-wins + gaps-and-islands).
+    Collision caveat: spans key on the 63-bit shingle hash chain (the
+    shingle text is never shipped), so two distinct windows colliding
+    would merge; at n windows the probability is ~n^2/2^63 and the SQL
+    oracle (which compares true shingle strings) would flag any actual
+    collision."""
+    import ray
+    import ray.data as rd
+
+    from ray.data.aggregate import Count, Min
+
+    from spider_ray.common.tokens import _MASK63, token_hashes
+    from spider_ray.state.bloom import _splitmix64
+
+    _OUT_SCHEMA = pa.schema([
+        ("doc_id", pa.int64()), ("span_start", pa.int64()),
+        ("span_end", pa.int64()), ("n_tokens", pa.int64())])
+
+    def _occurrences(t: pa.Table):
+        """(h, doc, pos, packed) int64 arrays for one batch of docs —
+        every occurrence of every k-window, doc-major / pos-ascending."""
+        th, parent = token_hashes(t["text"])
+        n = len(th)
+        m = n - k + 1
+        if m <= 0:
+            z = np.zeros(0, np.int64)
+            return z, z, z, z
+        acc = _splitmix64(th[:m])
+        for j in range(1, k):
+            acc = _splitmix64(acc ^ th[j:m + j])
+        valid = parent[:m] == parent[k - 1:]
+        # 1-based position within the doc: parent is ascending, so the
+        # first flat index of each doc is a searchsorted over itself
+        first = np.searchsorted(parent, parent)
+        pos = (np.arange(n, dtype=np.int64) - first + 1)[:m][valid]
+        par = parent[:m][valid]
+        doc = np.asarray(t["doc_id"], dtype=np.int64)[par]
+        h = (acc[valid] & _MASK63).view(np.int64)
+        # 21-bit position slot: doc_id < 2^42 and < 2^21 (~2M) tokens per
+        # doc — checked loudly; a silent overflow would corrupt the
+        # first-wins keeper ordering
+        if len(doc) and (int(doc.max()) >= 1 << 42
+                         or int(pos.max()) >= 1 << 21):
+            raise ValueError(
+                "substring_spans packing overflow: need doc_id < 2^42 "
+                f"and token pos < 2^21 (got max doc_id={doc.max()}, "
+                f"max pos={pos.max()})")
+        packed = (doc << np.int64(21)) | pos
+        return h, doc, pos, packed
+
+    def occ_meta(t: pa.Table) -> pa.Table:
+        h, _doc, _pos, packed = _occurrences(t)
+        return pa.table({"h": h, "pk": packed})
+
+    agg = (docs.map_batches(occ_meta, batch_format="pyarrow")
+           .groupby("h").aggregate(Min("pk", alias_name="keep_pk"),
+                                   Count(alias_name="cnt")))
+
+    _DUPS_SCHEMA = pa.schema([("h", pa.int64()), ("keep_pk", pa.int64())])
+
+    def only_dups(t: pa.Table) -> pa.Table:
+        # explicit schema on EVERY output block (incl. empties) — see
+        # paragraph_dedup_ds.only_dups
+        if "cnt" not in t.column_names or t.num_rows == 0:
+            return _DUPS_SCHEMA.empty_table()
+        t = t.filter(pc.greater(t["cnt"], 1))
+        return pa.table({"h": pc.cast(t["h"], pa.int64()),
+                         "keep_pk": pc.cast(t["keep_pk"], pa.int64())})
+
+    dups = agg.map_batches(only_dups, batch_format="pyarrow").materialize()
+    n_dup = dups.count()
+
+    def _merge_islands(doc: np.ndarray, pos: np.ndarray) -> pa.Table:
+        """Maximal covered spans from dup occurrence starts, which MUST
+        arrive doc-contiguous and pos-ascending within each doc.  Two
+        occurrences p1 < p2 cover overlapping/adjacent token ranges
+        [p,p+k-1] iff p2 - p1 <= k."""
+        if len(pos) == 0:
+            return _OUT_SCHEMA.empty_table()
+        boundary = np.ones(len(pos), dtype=bool)
+        boundary[1:] = (doc[1:] != doc[:-1]) | (pos[1:] - pos[:-1] > k)
+        starts = np.flatnonzero(boundary)
+        last = np.r_[starts[1:], len(pos)] - 1
+        span_start = pos[starts]
+        span_end = pos[last] + k - 1
+        return pa.table({
+            "doc_id": pa.array(doc[starts], pa.int64()),
+            "span_start": pa.array(span_start, pa.int64()),
+            "span_end": pa.array(span_end, pa.int64()),
+            "n_tokens": pa.array(span_end - span_start + 1, pa.int64()),
+        })
+
+    if n_dup == 0:
+        # nothing duplicated: the report is empty per batch — taken even
+        # under force_distributed (an all-empty dup Dataset has no
+        # schema, which the hash-shuffle join rejects; with zero dups
+        # the join path IS the empty report anyway)
+        return docs.map_batches(lambda t: _OUT_SCHEMA.empty_table(),
+                                batch_format="pyarrow")
+
+    if n_dup <= _SPAN_DRIVER_MAX_DUPS and not force_distributed:
+        dd = dups.to_pandas().sort_values("h", ignore_index=True)
+        dup_ref = ray.put((dd["h"].to_numpy(np.int64),
+                           dd["keep_pk"].to_numpy(np.int64)))
+
+        def spans_batch(t: pa.Table) -> pa.Table:
+            hs, keep_pk = ray.get(dup_ref)  # zero-copy shm views
+            h, doc, pos, packed = _occurrences(t)
+            idx = np.searchsorted(hs, h)
+            idx_c = np.minimum(idx, max(len(hs) - 1, 0))
+            matched = (len(hs) > 0) & (hs[idx_c] == h)
+            dup_mask = matched & (packed != keep_pk[idx_c])
+            # occurrences are doc-major / pos-ascending by construction
+            return _merge_islands(doc[dup_mask], pos[dup_mask])
+
+        return docs.map_batches(spans_batch, batch_format="pyarrow")
+
+    # distributed: the occurrence stream (int64s only, never text)
+    # RIGHT-joins the dup table on h; non-keeper matches are the dup
+    # occurrences; islands merge per doc (groups = docs-with-dups)
+    _OCC_SCHEMA = pa.schema([
+        ("h", pa.int64()), ("pk", pa.int64()),
+        ("doc_id", pa.int64()), ("pos", pa.int64())])
+
+    def occ_rows(t: pa.Table) -> pa.Table:
+        h, doc, pos, packed = _occurrences(t)
+        return pa.table({"h": pa.array(h, pa.int64()),
+                         "pk": pa.array(packed, pa.int64()),
+                         "doc_id": pa.array(doc, pa.int64()),
+                         "pos": pa.array(pos, pa.int64())},
+                        schema=_OCC_SCHEMA)
+
+    occ_ds = docs.map_batches(occ_rows, batch_format="pyarrow")
+    # no empty blocks on the sparse side (hash shuffle drops them and
+    # the join then builds a zero-column table) — see paragraph_dedup_ds
+    dups_nonempty = dups.repartition(max(1, min(16, n_dup)))
+    joined = dups_nonempty.join(occ_ds, join_type="right_outer",
+                                on=("h",), num_partitions=16)
+
+    def dup_occurrences(t: pa.Table) -> pa.Table:
+        # null-safe int64 compare in ARROW (a pandas round-trip would
+        # promote nullable keep_pk to float64, losing >2^53 exactness)
+        is_dup = pc.fill_null(pc.not_equal(t["pk"], t["keep_pk"]), False)
+        t = t.filter(is_dup)
+        return t.select(["doc_id", "pos"])
+
+    dup_occ = joined.map_batches(dup_occurrences, batch_format="pyarrow")
+
+    def doc_spans(g: pd.DataFrame) -> pd.DataFrame:
+        pos = np.sort(g["pos"].to_numpy(np.int64))
+        doc = np.full(len(pos), int(g["doc_id"].iloc[0]), np.int64)
+        return _merge_islands(doc, pos).to_pandas()
+
+    return dup_occ.groupby("doc_id").map_groups(
+        doc_spans, batch_format="pandas")

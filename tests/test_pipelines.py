@@ -1715,3 +1715,99 @@ class TestPagerankOverflow:
             "edges AS (SELECT src, dst FROM edges_tbl)",
             iters=2)).fetchdf()
         pd.testing.assert_frame_equal(r, o, check_dtype=False)
+
+
+class TestSubstringSpanDedup:
+    """Exact substring-span dedup (Lee et al. 2021 ExactSubstr report):
+    word-8-gram first-wins + gaps-and-islands span merge vs DuckDB."""
+
+    ORACLE = """
+        WITH tok AS (SELECT doc_id,
+                            regexp_extract_all(lower(text),
+                                               '[a-z0-9_]+') AS t
+                     FROM read_parquet('{p}')),
+        toks AS (SELECT doc_id, len(t) AS n, unnest(t) AS w,
+                        unnest(generate_series(1, len(t))) AS i FROM tok),
+        sh AS (SELECT doc_id, i AS pos, n,
+                      string_agg(w, ' ') OVER (PARTITION BY doc_id
+                          ORDER BY i ROWS BETWEEN CURRENT ROW
+                          AND 7 FOLLOWING) AS s
+               FROM toks),
+        occ AS (SELECT doc_id, pos, s FROM sh WHERE pos <= n - 7),
+        dup AS (SELECT doc_id, pos FROM (
+                  SELECT doc_id, pos, row_number() OVER (PARTITION BY s
+                      ORDER BY doc_id, pos) AS rn
+                  FROM occ) WHERE rn > 1),
+        cov AS (SELECT DISTINCT doc_id, pos + d AS tp
+                FROM dup, (SELECT unnest(generate_series(0, 7)) AS d) g),
+        isl AS (SELECT doc_id, tp, tp - row_number() OVER (
+                    PARTITION BY doc_id ORDER BY tp) AS grp
+                FROM cov)
+        SELECT doc_id, min(tp) AS span_start, max(tp) AS span_end,
+               count(*) AS n_tokens
+        FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start"""
+
+    @pytest.fixture(scope="class")
+    def span_corpus(self, tmp_path_factory):
+        """Constructed duplicate structure: doc 4k+1 repeats doc 4k's
+        first 20 tokens mid-text (one interior span), doc 4k+2 is doc 4k
+        verbatim (one whole-doc span), doc 4k+3 shares two DISJOINT
+        12-token runs of doc 4k separated by >8 unique tokens (two
+        spans in one doc)."""
+        d = str(tmp_path_factory.mktemp("spans"))
+        base = pq.read_table(f"{SF}/documents.parquet")
+        texts = [t for t in base["text"].to_pylist()[:40]
+                 if len(t.split()) > 40]
+        rows_id, rows_tx = [], []
+        nid = 0
+        for j, t in enumerate(texts):
+            w = t.split()
+            uniq = [f"uq{j}x{i}" for i in range(12)]
+            rows_id += [nid, nid + 1, nid + 2, nid + 3]
+            rows_tx += [
+                t,
+                " ".join(uniq[:3] + w[:20] + uniq[3:6]),
+                t,
+                " ".join(w[:12] + uniq + w[20:32]),
+            ]
+            nid += 4
+        pq.write_table(pa.table({
+            "doc_id": pa.array(rows_id, pa.int64()),
+            "text": pa.array(rows_tx, pa.string()),
+        }), f"{d}/documents.parquet")
+        return d
+
+    @pytest.mark.parametrize("distributed", [False, True])
+    def test_paths_match_duckdb(self, span_corpus, distributed):
+        import duckdb
+
+        from spider_ray.pipelines.webtext import dedup_substring_spans
+
+        r = (dedup_substring_spans(span_corpus,
+                                   force_distributed=distributed)
+             .to_pandas()
+             .sort_values(["doc_id", "span_start"], ignore_index=True))
+        o = duckdb.connect().execute(self.ORACLE.format(
+            p=f"{span_corpus}/documents.parquet")).fetchdf()
+        pd.testing.assert_frame_equal(r, o, check_dtype=False)
+        # the constructed corpus must exercise the shapes we claim:
+        by_doc = r.groupby("doc_id").size()
+        ids = r["doc_id"].to_numpy()
+        assert (by_doc[by_doc.index % 4 == 3] == 2).any(), \
+            "expected some doc with two disjoint spans"
+        assert ((ids % 4) == 2).any(), "verbatim copies must span"
+        # spans never start before token 1, and n_tokens is consistent
+        assert (r["span_start"] >= 1).all()
+        assert (r["n_tokens"]
+                == r["span_end"] - r["span_start"] + 1).all()
+
+    def test_real_corpus_matches_duckdb(self):
+        import duckdb
+
+        from spider_ray.pipelines.webtext import dedup_substring_spans
+
+        r = (dedup_substring_spans(SF).to_pandas()
+             .sort_values(["doc_id", "span_start"], ignore_index=True))
+        o = duckdb.connect().execute(self.ORACLE.format(
+            p=f"{SF}/documents.parquet")).fetchdf()
+        pd.testing.assert_frame_equal(r, o, check_dtype=False)
