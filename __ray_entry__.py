@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from spider_ray.pipelines import sketches as sk
     from spider_ray.pipelines import sources as src
     from spider_ray.pipelines import textstats as ts
+    from spider_ray.pipelines import urls as ur
     from spider_ray.pipelines import webtext as wt
 
     return {
@@ -141,6 +142,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_style_filter": wt.c4_style_filter,
         "webtext_prep_v2": wt.webtext_prep_v2,
         "global_shuffle_rank": wt.global_shuffle_rank,
+        # URL-identity kernel conformance: the engine's canonicalizer
+        # (the seen set's key function) vs an independent SQL replica
+        # of the rules over constructed messy URLs
+        "url_canonicalize": ur.url_canonicalize,
         # -- link-graph analytics (fixed-point PageRank, components) -------
         "pagerank_user_item": gph.pagerank_user_item,
         "graph_components": gph.graph_components,
@@ -273,6 +278,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS kept_chunks,
                    string_agg(chunk, '' ORDER BY chunk_idx) AS text_dedup
             FROM keep WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
+        """,
+        # URL-identity kernel conformance: SQL replica of the
+        # canonicalization rules (strip default port / resolve './' and
+        # '//' path segments / sort query params / drop fragment /
+        # http(s)-only) over the SAME constructed messy URLs the engine
+        # builds (spider_ray/pipelines/urls.py — recipes in lockstep).
+        # Host lowering + trailing-dot strip are folded into the SQL
+        # construction (built already-normal); the remaining rules are
+        # genuine SQL transforms.
+        "url_canonicalize": """
+            WITH k AS (SELECT o_orderkey AS key FROM orders),
+            parts AS (SELECT key,
+                CASE WHEN key % 11 = 0 THEN 'ftp'
+                     WHEN key % 3 = 0 THEN 'http'
+                     ELSE 'https' END AS scheme,
+                'host' || CAST(key % 40 AS VARCHAR) || '.example.com'
+                    AS bare,
+                CASE WHEN key % 5 = 0 THEN
+                         (CASE WHEN key % 2 = 0 THEN '80' ELSE '443' END)
+                     WHEN key % 7 = 0 THEN '8080'
+                     ELSE '' END AS port,
+                CASE key % 4 WHEN 0 THEN ''
+                     WHEN 1 THEN '/a/./p' || CAST(key % 10 AS VARCHAR)
+                     WHEN 2 THEN '/a//p' || CAST(key % 10 AS VARCHAR)
+                     ELSE '/x/y' || CAST(key % 10 AS VARCHAR)
+                     END AS rawpath,
+                CASE WHEN key % 2 = 0
+                     THEN 'z=9&a=' || CAST(key % 8 AS VARCHAR)
+                     ELSE '' END AS rawq
+              FROM k),
+            norm AS (SELECT key, scheme,
+                'www.' || bare AS host,
+                CASE WHEN port = '' THEN ''
+                     WHEN scheme = 'http'  AND port = '80'  THEN ''
+                     WHEN scheme = 'https' AND port = '443' THEN ''
+                     ELSE ':' || port END AS portpart,
+                CASE WHEN rawpath = '' THEN '/'
+                     ELSE replace(replace(rawpath, '/./', '/'),
+                                  '//', '/') END AS path,
+                CASE WHEN rawq = '' THEN ''
+                     ELSE '?' || array_to_string(
+                         list_sort(string_split(rawq, '&')), '&')
+                     END AS querypart
+              FROM parts)
+            SELECT key AS url_key,
+                   scheme || '://' || host || portpart || path
+                       || querypart AS canonical_url,
+                   host
+            FROM norm WHERE scheme IN ('http', 'https') ORDER BY url_key
         """,
         # Exact substring-span dedup (Lee et al. 2021 ExactSubstr report
         # over word-8-gram windows): shingles via a windowed string_agg,

@@ -1811,3 +1811,37 @@ class TestSubstringSpanDedup:
         o = duckdb.connect().execute(self.ORACLE.format(
             p=f"{SF}/documents.parquet")).fetchdf()
         pd.testing.assert_frame_equal(r, o, check_dtype=False)
+
+
+class TestUrlCanonicalizeQuery:
+    """URL-identity kernel conformance: engine canonicalizer vs the SQL
+    rule replica over the shared messy-URL recipe."""
+
+    def test_matches_sql_replica(self):
+        import duckdb
+
+        import __ray_entry__ as entry
+
+        r = (entry.queries()["url_canonicalize"](SF).to_pandas()
+             .sort_values("url_key", ignore_index=True))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                    f"read_parquet('{SF}/orders.parquet')")
+        o = con.execute(entry.oracle_sql()["url_canonicalize"]).fetchdf()
+        pd.testing.assert_frame_equal(r, o.reset_index(drop=True),
+                                      check_dtype=False)
+        # the recipe must exercise what we claim: ftp rows dropped ...
+        keys = pd.read_parquet(f"{SF}/orders.parquet")["o_orderkey"]
+        assert len(r) == (keys % 11 != 0).sum()
+        # ... fragments gone, queries sorted, default ports stripped,
+        # dot-segments and duplicate slashes resolved
+        joined = "\n".join(r["canonical_url"])
+        assert "#" not in joined and "z=9&a=" not in joined
+        # default ports stripped, scheme-MISmatched ports kept
+        for u in r["canonical_url"]:
+            assert not (u.startswith("http://") and ":80/" in u), u
+            assert not (u.startswith("https://") and ":443/" in u), u
+        assert any(u.startswith("https://") and ":80/" in u
+                   for u in r["canonical_url"])
+        assert ":8080" in joined and "?a=" in joined
+        assert "/./" not in joined and "//p" not in joined
