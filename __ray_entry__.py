@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": dedup.dedup_embedding,
         # -- similarity search ---------------------------------------------
         "ann_topk_bruteforce": ann.ann_topk_bruteforce,
+        "ann_topk_quantized": ann.ann_topk_quantized,
         "ann_lsh_topk": ann.ann_lsh_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,
         "dedup_embedding_ivf": ann.dedup_embedding_ivf,
@@ -1349,5 +1350,29 @@ def oracle_sql() -> dict[str, str]:
                 QUALIFY row_number() OVER (
                     PARTITION BY q.vec_id ORDER BY cosine DESC, c.vec_id) <= 5
             ) t
+        """,
+        # Quantized ANN: fixed-point int8 (floor(x*128), power-of-2
+        # scale -> the float64 multiply/floor are exact in BOTH engines)
+        # and integer dot-product scores — an ANN variant with a full
+        # value-hash oracle.  list_dot_product over integer-valued lists
+        # is exact (values << 2^53).
+        "ann_topk_quantized": """
+            WITH qz AS (SELECT vec_id,
+                               list_transform(embedding,
+                                   x -> LEAST(CAST(floor(
+                                       CAST(x AS DOUBLE) * 128) AS BIGINT),
+                                       127)) AS v
+                        FROM embeddings),
+            q AS (SELECT * FROM qz WHERE vec_id IN
+                    (SELECT vec_id FROM embeddings
+                     ORDER BY vec_id LIMIT 10)),
+            s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                         CAST(list_dot_product(q.v, c.v) AS BIGINT)
+                             AS score_q
+                  FROM q, qz c WHERE c.vec_id <> q.vec_id),
+            r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY score_q DESC, neighbor_id) AS rn FROM s)
+            SELECT query_id, neighbor_id, score_q FROM r WHERE rn <= 5
+            ORDER BY query_id, neighbor_id
         """,
     }

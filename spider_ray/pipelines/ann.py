@@ -44,7 +44,7 @@ def _assert_nonneg(ids: np.ndarray) -> np.ndarray:
     return ids
 
 
-def _load_queries(sf_dir: str, n_queries: int):
+def _load_queries(sf_dir: str, n_queries: int, normalize: bool = True):
     """Query vectors for the first n_queries vec_ids (by sorted id),
     WITHOUT a full-corpus driver materialization: a vec_id-only column
     read with a per-block smallest-n combiner (tiny partials), then a
@@ -65,7 +65,8 @@ def _load_queries(sf_dir: str, n_queries: int):
     order = np.argsort(np.asarray(emb["vec_id"], dtype=np.int64))
     ids = np.asarray(emb["vec_id"], dtype=np.int64)[order]
     mat = np.stack(emb["embedding"].to_numpy(zero_copy_only=False))[order]
-    return ids, _normalize(mat.astype(np.float64))
+    mat = mat.astype(np.float64)
+    return ids, (_normalize(mat) if normalize else mat)
 
 
 def _final_topk(partials: pd.DataFrame, k: int) -> pa.Table:
@@ -116,6 +117,72 @@ def ann_topk_bruteforce(sf_dir: str, n_queries: int = 10, k: int = 5):
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
     return _final_topk(partials, k)
+
+
+def _quantize_i8(mat: np.ndarray) -> np.ndarray:
+    """Fixed-point int8 quantization q = min(floor(x * 128), 127).
+    The scale is a power of two, so the float64 multiply and floor are
+    EXACT IEEE ops — the SQL oracle (floor(CAST(x AS DOUBLE) * 128))
+    reproduces every quantized value bit-for-bit, which is what makes a
+    hash-matched oracle possible for an ANN variant.  Requires
+    x >= -1.0078125 (unit-norm embeddings qualify); checked loudly."""
+    q = np.minimum(np.floor(mat.astype(np.float64) * 128.0), 127.0)
+    if len(q) and q.min() < -128.0:
+        raise ValueError(
+            "ann_topk_quantized: embedding value below the int8 range "
+            f"(min quantized {q.min()}); expected near-unit-norm input")
+    return q.astype(np.int8)
+
+
+def ann_topk_quantized(sf_dir: str, n_queries: int = 10, k: int = 5):
+    """Top-k by QUANTIZED inner product: corpus and queries are
+    fixed-point int8 (4 bytes/dim -> 1; see _quantize_i8), scores are
+    exact int32 dot products accumulated per batch (nq x dim @ dim x b
+    integer matmul), per-block top-k combiner + tiny final reduce.
+    The scale path for memory-bound ANN: the int8 corpus is 4x smaller
+    in the object store and in shuffle, and scores stay integer-exact —
+    this query is DuckDB-hash-matched (rare for ANN), while recall vs
+    the float bruteforce is pytest-gated.  The corpus is ~unit-norm, so
+    inner product ranks ~cosine."""
+    import ray
+    import ray.data as rd
+
+    q_ids, q_mat = _load_queries(sf_dir, n_queries, normalize=False)
+    q_ref = ray.put((q_ids, _quantize_i8(q_mat)))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        qids, qq = ray.get(q_ref)
+        cids = _assert_nonneg(np.asarray(t["vec_id"], dtype=np.int64))
+        cq = _quantize_i8(np.stack(
+            t["embedding"].to_numpy(zero_copy_only=False)))
+        # int32 accumulation: |q| <= 128, dim <= 2^15 keeps the dot
+        # product far inside int32; int8 storage, int32 compute
+        sims = qq.astype(np.int32) @ cq.T.astype(np.int32)   # (nq, b)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(qids)):
+            s = sims[qi]
+            cand_idx = np.nonzero(cids != qids[qi])[0]  # exclude self
+            if len(cand_idx) == 0:
+                continue
+            top = cand_idx[np.lexsort((cids[cand_idx], -s[cand_idx]))[:k]]
+            out_q += [qids[qi]] * len(top)
+            out_n += cids[top].tolist()
+            out_s += s[top].tolist()
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "score_q": pa.array(out_s, pa.int64())})
+
+    partials = (ds.map_batches(partial_topk, batch_format="pyarrow")
+                .to_pandas())
+    out = (partials.sort_values(["query_id", "score_q", "neighbor_id"],
+                                ascending=[True, False, True],
+                                kind="mergesort")
+           .groupby("query_id", sort=True).head(k)
+           .sort_values(["query_id", "neighbor_id"], ignore_index=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 class _Hyperplanes:

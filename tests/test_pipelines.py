@@ -1845,3 +1845,50 @@ class TestUrlCanonicalizeQuery:
                    for u in r["canonical_url"])
         assert ":8080" in joined and "?a=" in joined
         assert "/./" not in joined and "//p" not in joined
+
+
+class TestAnnQuantized:
+    """Fixed-point int8 ANN: integer-exact scores vs the SQL oracle,
+    recall vs the float bruteforce."""
+
+    def test_matches_sql_oracle(self):
+        import duckdb
+
+        import __ray_entry__ as entry
+
+        r = (entry.queries()["ann_topk_quantized"](SF).to_pandas()
+             .sort_values(["query_id", "neighbor_id"], ignore_index=True))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                    f"read_parquet('{SF}/embeddings.parquet')")
+        o = con.execute(entry.oracle_sql()["ann_topk_quantized"]).fetchdf()
+        pd.testing.assert_frame_equal(r, o.reset_index(drop=True),
+                                      check_dtype=False)
+
+    def test_recall_vs_float_bruteforce(self):
+        from spider_ray.pipelines.ann import (ann_topk_bruteforce,
+                                              ann_topk_quantized)
+
+        bf = ann_topk_bruteforce(SF, n_queries=10, k=5).to_pandas()
+        qz = ann_topk_quantized(SF, n_queries=10, k=5).to_pandas()
+        num = den = 0
+        for q in bf["query_id"].unique():
+            truth = set(bf[bf["query_id"] == q]["neighbor_id"])
+            approx = set(qz[qz["query_id"] == q]["neighbor_id"])
+            num += len(truth & approx)
+            den += len(truth)
+        # 1/128 resolution on a 64-dim unit vector loses little ranking
+        # information even in this weak-similarity corpus
+        assert num / den >= 0.8, f"quantized recall {num / den:.2f}"
+
+    def test_quantizer_is_int8_and_exact(self):
+        import numpy as np
+
+        from spider_ray.pipelines.ann import _quantize_i8
+
+        x = np.array([[0.9999, -0.9999, 0.0078125, -0.0078125, 0.0]])
+        q = _quantize_i8(x)
+        assert q.dtype == np.int8
+        assert q.tolist() == [[127, -128, 1, -1, 0]]
+        with pytest.raises(ValueError):
+            _quantize_i8(np.array([[-1.5]]))
