@@ -57,6 +57,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (rows-only here; pytest hash-matches the full rank vector
         # against the unrolled SQL oracle over the same edge table)
         "crawl_pagerank": cq.crawl_pagerank,
+        # anchor-text aggregation per link target (web-index signal);
+        # rows-only here — pytest gates the kernel vs an independent
+        # python-re reference and the aggregate vs pandas
+        "crawl_anchor_stats": cq.crawl_anchor_stats,
         # -- engine-conformance layer (flow DAG + expression mappers) ------
         "flow_basic_leaves": fq.flow_basic_leaves,
         # -- relational coverage (DuckDB-checked) -------------------------

@@ -218,6 +218,88 @@ def extract_hrefs_batch(htmls) -> tuple[list[str], "object"]:
     return out, parent
 
 
+_ANCHOR_FRAG = (r'(?is)^[^>]*?\bhref\s*=\s*'
+                r'(?:"(?P<d>[^"]*)"|\'(?P<s>[^\']*)\'|(?P<u>[^\s>]+))'
+                r'[^>]*>(?P<t>.*?)</a>')
+
+
+def extract_anchors_batch(htmls) -> tuple[list[str], list[str], "object"]:
+    """(href, anchor_text) pairs of <a> tags for a whole html column, in
+    document order, flattened with parent row indices — the web-index
+    side of the href scan (anchor text is the classic relevance signal
+    aggregated per TARGET url).
+
+    Same vectorized shape as extract_hrefs_batch (one RE2 split on
+    `<a\\b` + one RE2 first-match extract per fragment); anchors without
+    a closing </a> in their fragment are skipped.  Anchor text is
+    tag-stripped, entity-unescaped and whitespace-collapsed; pairs with
+    an empty href are dropped (empty TEXT is kept — a bare image link is
+    still a link)."""
+    import numpy as np
+
+    arr = _decode_column(htmls)
+    if len(arr) > _CHUNK_ROWS:
+        all_h: list[str] = []
+        all_t: list[str] = []
+        parents = []
+        for start in range(0, len(arr), _CHUNK_ROWS):
+            h, tx, p = extract_anchors_batch(arr.slice(start, _CHUNK_ROWS))
+            all_h.extend(h)
+            all_t.extend(tx)
+            parents.append(p + start)
+        return all_h, all_t, (np.concatenate(parents) if parents
+                              else np.zeros(0, dtype=np.int64))
+    n = len(arr)
+    empty = ([], [], np.zeros(0, dtype=np.int64))
+    if n == 0:
+        return empty
+    frags = pc.split_pattern_regex(arr, pattern=r"(?i)<a\b")
+    if isinstance(frags, pa.ChunkedArray):
+        frags = frags.combine_chunks()
+    offsets = np.asarray(frags.offsets)
+    values = frags.flatten()
+    if len(values) == 0:
+        return empty
+    parent = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+    pos = np.arange(len(values), dtype=np.int64) - offsets[:-1][parent]
+    tag_mask = pos > 0
+    tags = values.filter(pa.array(tag_mask))
+    parent = parent[tag_mask]
+    if len(tags) == 0:
+        return empty
+    m = pc.extract_regex(tags, pattern=_ANCHOR_FRAG)
+    d = pc.struct_field(m, "d")
+    s = pc.struct_field(m, "s")
+    u = pc.struct_field(m, "u")
+    href = pc.if_else(pc.greater(pc.utf8_length(d), 0), d,
+                      pc.if_else(pc.greater(pc.utf8_length(s), 0), s, u))
+    text = pc.struct_field(m, "t")
+    keep = np.asarray(pc.fill_null(pc.greater(pc.utf8_length(href), 0),
+                                   False))
+    href = href.filter(pa.array(keep))
+    text = text.filter(pa.array(keep))
+    parent = parent[keep]
+    # anchor text: strip nested tags, collapse whitespace runs, trim
+    text = pc.replace_substring_regex(text, pattern=r"<[^>]*>",
+                                      replacement=" ")
+    text = pc.replace_substring_regex(text, pattern=r"\s+",
+                                      replacement=" ")
+    text = pc.utf8_trim_whitespace(text)
+    hrefs = href.to_pylist()
+    texts = text.to_pylist()
+    for i, h in enumerate(hrefs):
+        if "&" in h:
+            hrefs[i] = unescape(h)
+        if "&" in texts[i]:
+            texts[i] = unescape(texts[i])
+    final_keep = [bool(h) for h in hrefs]
+    if not all(final_keep):
+        hrefs = [h for h in hrefs if h]
+        texts = [t for t, k in zip(texts, final_keep) if k]
+        parent = parent[np.asarray(final_keep)]
+    return hrefs, texts, parent
+
+
 def extract_hrefs(html: bytes | str) -> list[str]:
     """Raw href attribute values of <a> tags, in document order — the
     single-page wrapper over the SAME batch kernel (one implementation,

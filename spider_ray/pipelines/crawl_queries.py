@@ -137,3 +137,63 @@ def crawl_pagerank(sf_dir: str, iters: int = 4, topn: int = 100,
     return pagerank_edges(edges, iters=iters,
                           force_distributed=force_distributed,
                           tier=tier).limit(topn)
+
+
+def crawl_anchor_stats(sf_dir: str):
+    """Anchor-text aggregation per link TARGET — the web-index signal
+    (the text other pages use to link to a url is a classic relevance
+    feature).  Over the crawl fixture's pages: extract (href, anchor
+    text) with the vectorized kernel, resolve+canonicalize targets with
+    the SAME kernels the fetch stage runs, then per target url:
+    n_links (total in-links), distinct_anchors, and top_anchor (most
+    frequent anchor text, ties -> lexicographically smallest).
+
+    Scale shape = grouped MODE: per-block (url, anchor) count partials
+    pre-aggregate in Arrow before ONE grouped sum (only
+    distinct-pair-sized rows shuffle — never the raw link stream), and
+    the per-url argmax runs over <= |distinct anchors of that url| rows.
+    Driver check is rows-only (the corpus is self-generated); pytest
+    gates the kernel against an independent python-re reference and the
+    aggregate against pandas over those pairs."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    from ..common.extract import extract_anchors_batch
+    from ..common.urlnorm import canonicalize, resolve_batch
+
+    eng = run_crawl_cached(sf_dir)
+
+    def partials(t: pa.Table) -> pa.Table:
+        srcs = [canonicalize(u) for u in t["url"].to_pylist()]
+        hrefs, texts, parents = extract_anchors_batch(t["html"])
+        bases = np.array(srcs, dtype=object)[parents].tolist()
+        dsts = resolve_batch(hrefs, bases)
+        d_all = pa.array(dsts, pa.string())
+        out = pa.table({"url": d_all,
+                        "anchor": pa.array(texts, pa.string())}
+                       ).filter(pc.is_valid(d_all))
+        g = pa.TableGroupBy(out, ["url", "anchor"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["url", "anchor", "n"])
+
+    counts = (rd.read_parquet(eng.pages_path, columns=["url", "html"])
+              .map_batches(partials, batch_format="pyarrow")
+              .groupby(["url", "anchor"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def per_url(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "anchor"], ascending=[False, True],
+                          kind="mergesort")
+        return pd.DataFrame({
+            "url": g["url"].iloc[:1].to_numpy(),
+            "n_links": np.array([int(g["n"].sum())], np.int64),
+            "distinct_anchors": np.array([len(g)], np.int64),
+            "top_anchor": g["anchor"].iloc[:1].to_numpy(),
+        })
+
+    return counts.groupby("url").map_groups(per_url, batch_format="pandas")

@@ -1892,3 +1892,99 @@ class TestAnnQuantized:
         assert q.tolist() == [[127, -128, 1, -1, 0]]
         with pytest.raises(ValueError):
             _quantize_i8(np.array([[-1.5]]))
+
+
+class TestAnchorStats:
+    """Anchor-text extraction kernel vs an independent python-re
+    reference, and the per-target aggregate vs pandas."""
+
+    @staticmethod
+    def _ref_pairs(html: str) -> list[tuple[str, str]]:
+        import html as ht
+        import re
+
+        out = []
+        for frag in re.split(r"(?i)<a\b", html)[1:]:
+            m = re.match(
+                r"(?is)^[^>]*?\bhref\s*=\s*"
+                r"(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))"
+                r"[^>]*>(.*?)</a>", frag)
+            if not m:
+                continue
+            href = m.group(1) or m.group(2) or m.group(3)
+            if not href:
+                continue
+            text = re.sub(r"\s+", " ",
+                          re.sub(r"<[^>]*>", " ", m.group(4))).strip()
+            if "&" in href:
+                href = ht.unescape(href)
+            if "&" in text:
+                text = ht.unescape(text)
+            if href:
+                out.append((href, text))
+        return out
+
+    TRICKY = [
+        '<a href="/x">plain</a>',
+        "<a href='/y' class=z>sq <b>bold</b>\n text</a>",
+        '<a href=/bare>unquoted</a><a href="">empty href</a>',
+        '<a href="/noclose">never closed',
+        '<A HREF="/upper">CASE</a>',
+        '<a rel=x href="/second-attr">attr order</a>',
+        '<a href="/amp&amp;q">a &amp; b</a>',
+        '<a href="/img"><img src="i.png"/></a>',
+        'text with no anchors at all',
+        '<a href="/a">one</a> mid <a href="/b">two</a>',
+    ]
+
+    def test_kernel_matches_python_re(self):
+        from spider_ray.common.extract import extract_anchors_batch
+
+        htmls = list(self.TRICKY)
+        import pyarrow.parquet as pq_
+
+        from spider_ray.pipelines.crawl_queries import run_crawl_cached
+        eng = run_crawl_cached(SF)
+        htmls += pq_.read_table(eng.pages_path, columns=["html"]
+                                )["html"].to_pylist()[:200]
+        hrefs, texts, parents = extract_anchors_batch(htmls)
+        got = {}
+        for h, t, p in zip(hrefs, texts, parents):
+            got.setdefault(int(p), []).append((h, t))
+        for i, html in enumerate(htmls):
+            raw = html.decode() if isinstance(html, bytes) else html
+            assert got.get(i, []) == self._ref_pairs(raw), f"page {i}"
+
+    def test_aggregate_matches_pandas(self):
+        import pyarrow.parquet as pq_
+
+        from spider_ray.common.urlnorm import canonicalize, resolve_batch
+        from spider_ray.pipelines.crawl_queries import (crawl_anchor_stats,
+                                                        run_crawl_cached)
+
+        r = (crawl_anchor_stats(SF).to_pandas()
+             .sort_values("url", ignore_index=True))
+        eng = run_crawl_cached(SF)
+        pages = pq_.read_table(eng.pages_path, columns=["url", "html"])
+        rows = []
+        for u, html in zip(pages["url"].to_pylist(),
+                           pages["html"].to_pylist()):
+            src = canonicalize(u)
+            raw = html.decode() if isinstance(html, bytes) else html
+            pairs = self._ref_pairs(raw)
+            dsts = resolve_batch([h for h, _ in pairs],
+                                 [src] * len(pairs))
+            rows += [(d, t) for d, (_, t) in zip(dsts, pairs)
+                     if d is not None]
+        df = pd.DataFrame(rows, columns=["url", "anchor"])
+        cnt = (df.groupby(["url", "anchor"]).size().rename("n")
+               .reset_index()
+               .sort_values(["url", "n", "anchor"],
+                            ascending=[True, False, True],
+                            kind="mergesort"))
+        o = cnt.groupby("url", sort=True).agg(
+            n_links=("n", "sum"), distinct_anchors=("n", "size"),
+            top_anchor=("anchor", "first")).reset_index()
+        pd.testing.assert_frame_equal(r, o, check_dtype=False)
+        assert (r["n_links"] >= r["distinct_anchors"]).all()
+        assert len(r) > 100  # the fixture's link graph is dense
