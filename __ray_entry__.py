@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_val_test_split": wt.train_val_test_split,
         "paragraph_dedup": wt.paragraph_dedup,
         "dedup_substring_spans": wt.dedup_substring_spans,
+        "dedup_substring_apply": wt.dedup_substring_apply,
         "c4_style_filter": wt.c4_style_filter,
         "webtext_prep_v2": wt.webtext_prep_v2,
         "global_shuffle_rank": wt.global_shuffle_rank,
@@ -370,6 +371,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, min(tp) AS span_start, max(tp) AS span_end,
                    count(*) AS n_tokens
             FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start
+        """,
+        # ExactSubstr REMOVAL applied: kept (uncovered) tokens rejoined
+        # per doc; same dup/cov machinery as the span report, then an
+        # anti-membership grouped string_agg.
+        "dedup_substring_apply": """
+            WITH tok AS (SELECT doc_id,
+                                regexp_extract_all(lower(text),
+                                                   '[a-z0-9_]+') AS t
+                         FROM documents),
+            toks AS (SELECT doc_id, len(t) AS n, unnest(t) AS w,
+                            unnest(generate_series(1, len(t))) AS i
+                     FROM tok),
+            sh AS (SELECT doc_id, i AS pos, n,
+                          string_agg(w, ' ') OVER (
+                              PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN CURRENT ROW
+                              AND 7 FOLLOWING) AS s
+                   FROM toks),
+            occ AS (SELECT doc_id, pos, s FROM sh WHERE pos <= n - 7),
+            dup AS (SELECT doc_id, pos FROM (
+                      SELECT doc_id, pos,
+                             row_number() OVER (PARTITION BY s
+                                 ORDER BY doc_id, pos) AS rn
+                      FROM occ) WHERE rn > 1),
+            cov AS (SELECT DISTINCT doc_id, pos + d AS tp
+                    FROM dup,
+                         (SELECT unnest(generate_series(0, 7)) AS d) g)
+            SELECT t.doc_id, count(*) AS n_tokens_kept,
+                   string_agg(t.w, ' ' ORDER BY t.i) AS text_dedup
+            FROM toks t LEFT JOIN cov c
+                ON c.doc_id = t.doc_id AND c.tp = t.i
+            WHERE c.tp IS NULL
+            GROUP BY t.doc_id ORDER BY t.doc_id
         """,
         # LEAD / DENSE_RANK / FIRST_VALUE in one window pass — integer
         # cents keep LEAD exact; type_rank has heavy ties by design.

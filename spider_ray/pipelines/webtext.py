@@ -1182,3 +1182,160 @@ def substring_spans_ds(docs, k: int = _SPAN_K,
 
     return dup_occ.groupby("doc_id").map_groups(
         doc_spans, batch_format="pandas")
+
+
+def dedup_substring_apply(sf_dir: str, k: int = _SPAN_K,
+                          force_distributed: bool = False):
+    """Apply substring-span removal over the documents table — see
+    substring_apply_ds for semantics and scale shape."""
+    return substring_apply_ds(
+        lambda: _rp(sf_dir, "documents", ["doc_id", "text"]), k=k,
+        force_distributed=force_distributed)
+
+
+def substring_apply_ds(docs_factory, k: int = _SPAN_K,
+                       force_distributed: bool = False):
+    """Lee et al. 2021 ExactSubstr REMOVAL: drop every duplicated token
+    (positions covered by the spans substring_spans_ds reports) and
+    reconstruct each document as its kept normalized token sequence —
+    (doc_id, n_tokens_kept, text_dedup), space-joined lowercased tokens
+    in original order.  Documents with zero tokens or zero kept tokens
+    drop out (the SQL-group semantics).
+
+    ``docs_factory`` is a zero-arg callable returning a FRESH documents
+    Dataset — the span phase and the apply phase each consume one (a
+    shared lazy Dataset would re-execute anyway; the factory makes the
+    two-pass shape explicit).
+
+    Scale shape: spans come from substring_spans_ds (only int64s
+    shuffle); removal application is IN-BATCH on both paths — the text
+    column never shuffles on the driver path (span table broadcast as
+    three sorted int64 arrays, interval membership one searchsorted),
+    and on the distributed path pays ONE doc-keyed text shuffle: spans
+    pre-fold to one (doc_id, starts, ends) list-row per dup doc
+    (dup-volume-sized map_groups), LEFT-join against the docs — one row
+    per doc, reconstruction stays in-batch (never a corpus-scale
+    per-doc Python group)."""
+    import ray
+
+    from spider_ray.common.tokens import split_tokens
+
+    _APPLY_SCHEMA = pa.schema([
+        ("doc_id", pa.int64()), ("n_tokens_kept", pa.int64()),
+        ("text_dedup", pa.string())])
+
+    spans = substring_spans_ds(docs_factory(), k=k,
+                               force_distributed=force_distributed
+                               ).materialize()
+    n_span = spans.count()
+
+    def _reconstruct(t: pa.Table, sp_doc: np.ndarray,
+                     sp_start: np.ndarray, sp_end: np.ndarray) -> pa.Table:
+        """Drop covered tokens and rejoin — fully vectorized.  Span
+        arrays must be sorted by (doc, start); spans of one doc are
+        disjoint (maximal islands), so a token at pos is covered iff
+        the FLOOR span by (doc, start) is its doc's and ends at/after
+        pos."""
+        flat, parent = split_tokens(t["text"])
+        if len(flat) == 0:
+            return _APPLY_SCHEMA.empty_table()
+        doc = np.asarray(t["doc_id"], dtype=np.int64)[parent]
+        first = np.searchsorted(parent, parent)
+        pos = np.arange(len(parent), dtype=np.int64) - first + 1
+        if len(sp_doc):
+            # same packing domain as the span phase (checked there)
+            tok_key = (doc << np.int64(21)) | pos
+            sp_key = (sp_doc << np.int64(21)) | sp_start
+            idx = np.searchsorted(sp_key, tok_key, side="right") - 1
+            idx_c = np.maximum(idx, 0)
+            covered = ((idx >= 0) & (sp_doc[idx_c] == doc)
+                       & (sp_end[idx_c] >= pos))
+            keep = ~covered
+        else:
+            keep = np.ones(len(parent), dtype=bool)
+        flat = flat.filter(pa.array(keep))
+        kept_counts = np.bincount(parent[keep], minlength=t.num_rows)
+        nz = kept_counts > 0
+        offsets = np.concatenate(
+            [[0], np.cumsum(kept_counts[nz])]).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                         flat)
+        return pa.table({
+            "doc_id": pa.array(
+                np.asarray(t["doc_id"], dtype=np.int64)[nz], pa.int64()),
+            "n_tokens_kept": pa.array(kept_counts[nz], pa.int64()),
+            "text_dedup": pc.binary_join(lists, " "),
+        })
+
+    if n_span == 0:
+        def apply_none(t: pa.Table) -> pa.Table:
+            z = np.zeros(0, np.int64)
+            return _reconstruct(t, z, z, z)
+
+        return docs_factory().map_batches(apply_none,
+                                          batch_format="pyarrow")
+
+    if n_span <= _SPAN_DRIVER_MAX_DUPS and not force_distributed:
+        sp = (spans.to_pandas()
+              .sort_values(["doc_id", "span_start"], ignore_index=True))
+        sp_ref = ray.put((sp["doc_id"].to_numpy(np.int64),
+                          sp["span_start"].to_numpy(np.int64),
+                          sp["span_end"].to_numpy(np.int64)))
+
+        def apply_bcast(t: pa.Table) -> pa.Table:
+            sd, ss, se = ray.get(sp_ref)  # zero-copy shm views
+            return _reconstruct(t, sd, ss, se)
+
+        return docs_factory().map_batches(apply_bcast,
+                                          batch_format="pyarrow")
+
+    # distributed: fold spans to ONE list-row per dup doc (map_groups
+    # over docs-with-dups only — dup-volume-sized), LEFT-join the docs
+    # against it (the one text shuffle), reconstruct in-batch
+    def fold_spans(g: pd.DataFrame) -> pa.Table:
+        # Arrow's hash join rejects list-typed payload columns, so the
+        # per-doc span list crosses the shuffle as ONE string of packed
+        # (start<<21|end) ints — both < 2^21 (checked in the span
+        # phase), comma-separated, start-ascending
+        g = g.sort_values("span_start", kind="mergesort")
+        packed = ((g["span_start"].to_numpy(np.int64) << np.int64(21))
+                  | g["span_end"].to_numpy(np.int64))
+        return pa.table({
+            "doc_id": pa.array([int(g["doc_id"].iloc[0])], pa.int64()),
+            "spans_packed": pa.array(
+                [",".join(map(str, packed.tolist()))], pa.string()),
+        })
+
+    span_lists = spans.groupby("doc_id").map_groups(
+        fold_spans, batch_format="pandas")
+    span_lists = span_lists.repartition(
+        max(1, min(16, span_lists.count())))
+    joined = span_lists.join(docs_factory(), join_type="right_outer",
+                             on=("doc_id",), num_partitions=16)
+
+    def apply_joined(t: pa.Table) -> pa.Table:
+        doc_ids = np.asarray(t["doc_id"], dtype=np.int64)
+        enc = t["spans_packed"].to_pylist()
+        docs_l, packs = [], []
+        for d, s in zip(doc_ids.tolist(), enc):
+            if not s:
+                continue  # doc with no spans (join null)
+            p = np.array(s.split(","), dtype=np.int64)
+            packs.append(p)
+            docs_l.append(np.full(len(p), d, np.int64))
+        if packs:
+            sp_doc = np.concatenate(docs_l)
+            packed = np.concatenate(packs)
+            sp_start = packed >> np.int64(21)
+            sp_end = packed & np.int64((1 << 21) - 1)
+            # join output rows are not doc-sorted: sort by (doc, start)
+            # for the floor-span searchsorted
+            order = np.lexsort((sp_start, sp_doc))
+            sp_doc, sp_start, sp_end = (sp_doc[order], sp_start[order],
+                                        sp_end[order])
+        else:
+            sp_doc = sp_start = sp_end = np.zeros(0, np.int64)
+        return _reconstruct(t.select(["doc_id", "text"]),
+                            sp_doc, sp_start, sp_end)
+
+    return joined.map_batches(apply_joined, batch_format="pyarrow")

@@ -1988,3 +1988,79 @@ class TestAnchorStats:
         pd.testing.assert_frame_equal(r, o, check_dtype=False)
         assert (r["n_links"] >= r["distinct_anchors"]).all()
         assert len(r) > 100  # the fixture's link graph is dense
+
+
+class TestSubstringApply:
+    """ExactSubstr removal: kept-token reconstruction vs DuckDB."""
+
+    ORACLE = """
+        WITH tok AS (SELECT doc_id,
+                            regexp_extract_all(lower(text),
+                                               '[a-z0-9_]+') AS t
+                     FROM read_parquet('{p}')),
+        toks AS (SELECT doc_id, len(t) AS n, unnest(t) AS w,
+                        unnest(generate_series(1, len(t))) AS i FROM tok),
+        sh AS (SELECT doc_id, i AS pos, n,
+                      string_agg(w, ' ') OVER (PARTITION BY doc_id
+                          ORDER BY i ROWS BETWEEN CURRENT ROW
+                          AND 7 FOLLOWING) AS s
+               FROM toks),
+        occ AS (SELECT doc_id, pos, s FROM sh WHERE pos <= n - 7),
+        dup AS (SELECT doc_id, pos FROM (
+                  SELECT doc_id, pos, row_number() OVER (PARTITION BY s
+                      ORDER BY doc_id, pos) AS rn
+                  FROM occ) WHERE rn > 1),
+        cov AS (SELECT DISTINCT doc_id, pos + d AS tp
+                FROM dup, (SELECT unnest(generate_series(0, 7)) AS d) g)
+        SELECT t.doc_id, count(*) AS n_tokens_kept,
+               string_agg(t.w, ' ' ORDER BY t.i) AS text_dedup
+        FROM toks t LEFT JOIN cov c
+            ON c.doc_id = t.doc_id AND c.tp = t.i
+        WHERE c.tp IS NULL
+        GROUP BY t.doc_id ORDER BY t.doc_id"""
+
+    @pytest.mark.parametrize("distributed", [False, True])
+    def test_paths_match_duckdb(self, distributed, tmp_path):
+        import duckdb
+
+        from spider_ray.pipelines.webtext import dedup_substring_apply
+
+        # reuse the span-heavy constructed corpus shape: verbatim
+        # copies must collapse to zero kept tokens and DROP OUT
+        base = pq.read_table(f"{SF}/documents.parquet")
+        texts = [t for t in base["text"].to_pylist()[:30]
+                 if len(t.split()) > 40]
+        rows_id, rows_tx = [], []
+        nid = 0
+        for j, t in enumerate(texts):
+            w = t.split()
+            rows_id += [nid, nid + 1, nid + 2]
+            rows_tx += [t, t,
+                        " ".join([f"un{j}q{i}" for i in range(6)]
+                                 + w[:20])]
+            nid += 3
+        d = str(tmp_path)
+        pq.write_table(pa.table({
+            "doc_id": pa.array(rows_id, pa.int64()),
+            "text": pa.array(rows_tx, pa.string()),
+        }), f"{d}/documents.parquet")
+        r = (dedup_substring_apply(d, force_distributed=distributed)
+             .to_pandas().sort_values("doc_id", ignore_index=True))
+        o = duckdb.connect().execute(self.ORACLE.format(
+            p=f"{d}/documents.parquet")).fetchdf()
+        pd.testing.assert_frame_equal(r, o, check_dtype=False)
+        ids = r["doc_id"].to_numpy()
+        assert not ((ids % 3) == 1).any(), \
+            "verbatim copies must lose every token and drop out"
+        assert ((ids % 3) == 2).any()  # partial-dup docs keep their head
+
+    def test_real_corpus_matches_duckdb(self):
+        import duckdb
+
+        from spider_ray.pipelines.webtext import dedup_substring_apply
+
+        r = (dedup_substring_apply(SF).to_pandas()
+             .sort_values("doc_id", ignore_index=True))
+        o = duckdb.connect().execute(self.ORACLE.format(
+            p=f"{SF}/documents.parquet")).fetchdf()
+        pd.testing.assert_frame_equal(r, o, check_dtype=False)
