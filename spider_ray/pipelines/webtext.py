@@ -1120,12 +1120,13 @@ def substring_spans_ds(docs, k: int = _SPAN_K,
         })
 
     if n_dup == 0:
-        # nothing duplicated: the report is empty per batch — taken even
-        # under force_distributed (an all-empty dup Dataset has no
-        # schema, which the hash-shuffle join rejects; with zero dups
-        # the join path IS the empty report anyway)
-        return docs.map_batches(lambda t: _OUT_SCHEMA.empty_table(),
-                                batch_format="pyarrow")
+        # nothing duplicated: the report is the empty table — returned
+        # as ONE schema-carrying literal block (a map over docs emitting
+        # empties loses the schema at to_pandas; and an all-empty dup
+        # Dataset has no schema for the join path, which with zero dups
+        # IS the empty report anyway — so this branch is taken even
+        # under force_distributed)
+        return rd.from_arrow(_OUT_SCHEMA.empty_table())
 
     if n_dup <= _SPAN_DRIVER_MAX_DUPS and not force_distributed:
         dd = dups.to_pandas().sort_values("h", ignore_index=True)

@@ -2064,3 +2064,71 @@ class TestSubstringApply:
         o = duckdb.connect().execute(self.ORACLE.format(
             p=f"{SF}/documents.parquet")).fetchdf()
         pd.testing.assert_frame_equal(r, o, check_dtype=False)
+
+
+class TestSubstringSpanProperty:
+    """Property gate for the ExactSubstr machinery: on random token
+    corpora (tiny vocab -> dense k-gram collisions by construction),
+    the engine's span report must equal a brute-force Python reference
+    of the same spec (first occurrence in (doc_id, pos) order wins,
+    covered positions merge)."""
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @staticmethod
+    def _ref_spans(texts: list[str], k: int) -> pd.DataFrame:
+        first: dict[tuple, tuple] = {}
+        occ = []
+        for d, tx in enumerate(texts):
+            toks = tx.split()
+            for p in range(len(toks) - k + 1):
+                sh = tuple(toks[p:p + k])
+                occ.append((d, p + 1, sh))
+        dup_pos: dict[int, set] = {}
+        for d, p, sh in occ:  # (doc, pos) ascending by construction
+            if sh in first:
+                dup_pos.setdefault(d, set()).update(
+                    range(p, p + k))
+            else:
+                first[sh] = (d, p)
+        rows = []
+        for d in sorted(dup_pos):
+            ps = sorted(dup_pos[d])
+            start = prev = ps[0]
+            for x in ps[1:] + [None]:
+                if x is None or x != prev + 1:
+                    rows.append((d, start, prev, prev - start + 1))
+                    if x is not None:
+                        start = x
+                prev = x if x is not None else prev
+            # (loop emits on the None sentinel)
+        return pd.DataFrame(rows, columns=[
+            "doc_id", "span_start", "span_end", "n_tokens"])
+
+    @given(st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc"]),
+                 min_size=0, max_size=14),
+        min_size=1, max_size=8), st.booleans())
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def test_matches_bruteforce(self, docs, distributed):
+        import ray.data as rd
+
+        from spider_ray.pipelines.webtext import substring_spans_ds
+
+        texts = [" ".join(ws) for ws in docs]
+        k = 3
+        ds = rd.from_pandas(pd.DataFrame({
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "text": texts}))
+        r = substring_spans_ds(ds, k=k,
+                               force_distributed=distributed).to_pandas()
+        o = self._ref_spans(texts, k)
+        if len(r) == 0:
+            # Ray's to_pandas drops columns on zero-row Datasets — the
+            # empty report is only comparable by emptiness
+            assert len(o) == 0
+            return
+        r = r.sort_values(["doc_id", "span_start"], ignore_index=True)
+        pd.testing.assert_frame_equal(r, o, check_dtype=False)
