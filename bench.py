@@ -113,6 +113,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "text_quality_score", "ann_topk_bruteforce", "multimodal_features",
         "repetition_stats", "dedup_minhash_clusters", "pack_documents",
         "paragraph_dedup", "pagerank_user_item", "c4_style_filter",
+        "dedup_substring_apply", "ann_topk_quantized", "url_canonicalize",
     ]
     qs = entry.queries()
     # untimed warmup: the first Dataset execution of a session pays

@@ -121,3 +121,45 @@ def test_crawl_edges_feed_graph_job(tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     ranks = pq.read_table(os.path.join(out, "ranks"))
     assert ranks.num_rows > 0
+
+
+def test_run_exactsubstr_cli_stages_and_resume(tmp_path):
+    """run_exactsubstr.py must write the span report + deduped corpus
+    with per-stage _SUCCESS markers, resume idempotently, and its
+    parquet output must equal the driver-facing queries."""
+    import pandas as pd
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "xs")
+    env = dict(os.environ, RAY_ADDRESS="local")
+    args = [sys.executable, os.path.join(REPO, "jobs", "run_exactsubstr.py"),
+            "--docs", sf, "--out", out, "--k", "8", "--num-cpus", "2"]
+    r = subprocess.run(args, capture_output=True, text=True, env=env,
+                       cwd=REPO, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["done"] and len(summary["stages"]) == 2
+    assert os.path.exists(os.path.join(out, "spans", "_SUCCESS"))
+    assert os.path.exists(os.path.join(out, "dedup", "_SUCCESS"))
+
+    # rerun = pure marker read, byte-identical summary stages
+    r2 = subprocess.run(args, capture_output=True, text=True, env=env,
+                        cwd=REPO, timeout=420)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert json.loads(r2.stdout.strip().splitlines()[-1])["stages"] \
+        == summary["stages"]
+
+    # parquet output equals the driver-facing queries
+    import __ray_entry__ as entry
+
+    def _read(d):
+        files = [os.path.join(root, f) for root, _, fs in os.walk(d)
+                 for f in fs if f.endswith(".parquet")]
+        return pd.concat([pd.read_parquet(f) for f in files],
+                         ignore_index=True)
+
+    got = _read(os.path.join(out, "dedup")).sort_values(
+        "doc_id", ignore_index=True)
+    want = (entry.queries()["dedup_substring_apply"](sf).to_pandas()
+            .sort_values("doc_id", ignore_index=True))
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
