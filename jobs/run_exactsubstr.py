@@ -77,37 +77,73 @@ def main() -> int:
 
     DataContext.get_current().enable_progress_bars = False
 
-    from spider_ray.pipelines.webtext import (dedup_substring_apply,
-                                              dedup_substring_spans)
+    from spider_ray.pipelines import read_table
+    from spider_ray.pipelines.webtext import (dedup_substring_spans,
+                                              substring_apply_ds)
+
+    docs_abs = os.path.abspath(args.docs)
+
+    def _resume(stage_dir: str) -> dict | None:
+        """Stage marker, validated against THIS run's parameters — a
+        marker written with a different k or corpus must fail loudly,
+        never silently mix stages computed under different settings."""
+        p = os.path.join(stage_dir, "_SUCCESS")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            s = json.loads(f.read())
+        if s.get("k") != args.k or s.get("docs") != docs_abs:
+            raise SystemExit(
+                f"{stage_dir}: _SUCCESS was written with k={s.get('k')} "
+                f"docs={s.get('docs')}, but this run asked for "
+                f"k={args.k} docs={docs_abs} — use a fresh --out")
+        return s
 
     summaries = []
 
     spans_dir = os.path.join(args.out, "spans")
-    if os.path.exists(os.path.join(spans_dir, "_SUCCESS")):
-        with open(os.path.join(spans_dir, "_SUCCESS")) as f:
-            summaries.append(json.loads(f.read()))
-    else:
+    s = _resume(spans_dir)
+    if s is None:
         spans = dedup_substring_spans(
             args.docs, k=args.k, force_distributed=args.force_distributed)
         spans.write_parquet(spans_dir, mode="overwrite")
-        s = {"stage": "spans", "rows": _rows_under(spans_dir), "k": args.k}
+        s = {"stage": "spans", "rows": _rows_under(spans_dir),
+             "k": args.k, "docs": docs_abs}
         _finish(spans_dir, s)
-        summaries.append(s)
+    summaries.append(s)
 
     if not args.spans_only:
         dedup_dir = os.path.join(args.out, "dedup")
-        if os.path.exists(os.path.join(dedup_dir, "_SUCCESS")):
-            with open(os.path.join(dedup_dir, "_SUCCESS")) as f:
-                summaries.append(json.loads(f.read()))
-        else:
-            deduped = dedup_substring_apply(
-                args.docs, k=args.k,
-                force_distributed=args.force_distributed)
+        s = _resume(dedup_dir)
+        if s is None:
+            import ray.data as rd
+
+            # reuse the spans stage's parquet — the corpus-wide window
+            # aggregate (the job's dominant cost) is paid ONCE per run,
+            # and a dedup-only resume reads the report instead of
+            # recomputing it
+            span_files = [os.path.join(root, f)
+                          for root, _, fs in os.walk(spans_dir)
+                          for f in fs if f.endswith(".parquet")]
+            if span_files:
+                spans_in = rd.read_parquet(span_files)
+            else:  # a dup-free corpus writes no span parts
+                import pyarrow as pa
+
+                spans_in = rd.from_arrow(pa.schema(
+                    [("doc_id", pa.int64()), ("span_start", pa.int64()),
+                     ("span_end", pa.int64()), ("n_tokens", pa.int64())]
+                ).empty_table())
+            deduped = substring_apply_ds(
+                lambda: read_table(args.docs, "documents",
+                                   ["doc_id", "text"]),
+                k=args.k, force_distributed=args.force_distributed,
+                spans=spans_in)
             deduped.write_parquet(dedup_dir, mode="overwrite")
             s = {"stage": "dedup", "rows": _rows_under(dedup_dir),
-                 "k": args.k}
+                 "k": args.k, "docs": docs_abs}
             _finish(dedup_dir, s)
-            summaries.append(s)
+        summaries.append(s)
 
     print(json.dumps({"done": True, "stages": summaries, "out": args.out}))
     ray.shutdown()

@@ -142,6 +142,26 @@ def _unique_per_doc(h: np.ndarray, parent: np.ndarray,
     return hs[keep].astype(np.int64), ps[keep]
 
 
+def window_hash_chain(th: np.ndarray, parent: np.ndarray,
+                      k: int) -> tuple[np.ndarray, np.ndarray]:
+    """splitmix64 chain over every k-window of a flat token-hash array:
+    (uint64 window hashes, in-doc validity mask), both of length
+    n-k+1 (window start index) — a window is valid iff all k tokens
+    share the window start's parent doc.  THE single definition of the
+    word-window hash: word_shingle_hashes (MinHash/Jaccard dedup) and
+    the ExactSubstr span machinery both chain through here, so their
+    window identities cannot diverge."""
+    n = len(th)
+    m = n - k + 1
+    if m <= 0:
+        return np.zeros(0, np.uint64), np.zeros(0, dtype=bool)
+    acc = _splitmix64(th[:m])
+    for j in range(1, k):
+        acc = _splitmix64(acc ^ th[j:m + j])
+    valid = parent[:m] == parent[k - 1:]
+    return acc, valid
+
+
 def word_shingle_hashes(col, k: int = 3,
                         lower: bool = True) -> tuple[np.ndarray, np.ndarray]:
     """Distinct word-k-gram hashes per doc over a whole column:
@@ -155,14 +175,10 @@ def word_shingle_hashes(col, k: int = 3,
     Returns (int64 shingle hashes, parent doc index), sorted per doc."""
     col = _as_array(col)
     th, parent = token_hashes(col, lower=lower)
-    n = len(th)
-    if n < k:
+    acc, valid = window_hash_chain(th, parent, k)
+    if len(acc) == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
-    m = n - k + 1
-    acc = _splitmix64(th[:m])
-    valid = parent[:m] == parent[k - 1:]
-    for j in range(1, k):
-        acc = _splitmix64(acc ^ th[j:m + j])
+    m = len(acc)
     sh, sp = acc[valid], parent[:m][valid]
     return _unique_per_doc(sh & _MASK63, sp, len(col))
 

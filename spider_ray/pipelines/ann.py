@@ -125,7 +125,8 @@ def _quantize_i8(mat: np.ndarray) -> np.ndarray:
     EXACT IEEE ops — the SQL oracle (floor(CAST(x AS DOUBLE) * 128))
     reproduces every quantized value bit-for-bit, which is what makes a
     hash-matched oracle possible for an ANN variant.  Requires
-    x >= -1.0078125 (unit-norm embeddings qualify); checked loudly."""
+    x >= -1.0 (floor(128x) >= -128 iff 128x >= -128; unit-norm
+    embeddings qualify); checked loudly."""
     q = np.minimum(np.floor(mat.astype(np.float64) * 128.0), 127.0)
     if len(q) and q.min() < -128.0:
         raise ValueError(

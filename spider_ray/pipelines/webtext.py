@@ -1038,8 +1038,8 @@ def substring_spans_ds(docs, k: int = _SPAN_K,
 
     from ray.data.aggregate import Count, Min
 
-    from spider_ray.common.tokens import _MASK63, token_hashes
-    from spider_ray.state.bloom import _splitmix64
+    from spider_ray.common.tokens import (_MASK63, token_hashes,
+                                          window_hash_chain)
 
     _OUT_SCHEMA = pa.schema([
         ("doc_id", pa.int64()), ("span_start", pa.int64()),
@@ -1050,14 +1050,11 @@ def substring_spans_ds(docs, k: int = _SPAN_K,
         every occurrence of every k-window, doc-major / pos-ascending."""
         th, parent = token_hashes(t["text"])
         n = len(th)
-        m = n - k + 1
-        if m <= 0:
+        acc, valid = window_hash_chain(th, parent, k)  # shared kernel
+        m = len(acc)
+        if m == 0:
             z = np.zeros(0, np.int64)
             return z, z, z, z
-        acc = _splitmix64(th[:m])
-        for j in range(1, k):
-            acc = _splitmix64(acc ^ th[j:m + j])
-        valid = parent[:m] == parent[k - 1:]
         # 1-based position within the doc: parent is ascending, so the
         # first flat index of each doc is a searchsorted over itself
         first = np.searchsorted(parent, parent)
@@ -1065,15 +1062,18 @@ def substring_spans_ds(docs, k: int = _SPAN_K,
         par = parent[:m][valid]
         doc = np.asarray(t["doc_id"], dtype=np.int64)[par]
         h = (acc[valid] & _MASK63).view(np.int64)
-        # 21-bit position slot: doc_id < 2^42 and < 2^21 (~2M) tokens per
-        # doc — checked loudly; a silent overflow would corrupt the
-        # first-wins keeper ordering
+        # 21-bit position slot: every packed quantity downstream —
+        # keeper keys here, span_end (= start+k-1) in the apply join,
+        # full TOKEN positions in _reconstruct — must fit, so the bound
+        # is on the doc's token count, not just window starts: doc_id
+        # < 2^42 and < 2^21 - k (~2M) tokens per doc, checked loudly (a
+        # silent overflow would corrupt keeper ordering / span removal)
         if len(doc) and (int(doc.max()) >= 1 << 42
-                         or int(pos.max()) >= 1 << 21):
+                         or int(pos.max()) + k - 1 >= 1 << 21):
             raise ValueError(
                 "substring_spans packing overflow: need doc_id < 2^42 "
-                f"and token pos < 2^21 (got max doc_id={doc.max()}, "
-                f"max pos={pos.max()})")
+                f"and token count < 2^21 - {k} (got max doc_id="
+                f"{doc.max()}, max window pos={pos.max()})")
         packed = (doc << np.int64(21)) | pos
         return h, doc, pos, packed
 
@@ -1195,7 +1195,7 @@ def dedup_substring_apply(sf_dir: str, k: int = _SPAN_K,
 
 
 def substring_apply_ds(docs_factory, k: int = _SPAN_K,
-                       force_distributed: bool = False):
+                       force_distributed: bool = False, spans=None):
     """Lee et al. 2021 ExactSubstr REMOVAL: drop every duplicated token
     (positions covered by the spans substring_spans_ds reports) and
     reconstruct each document as its kept normalized token sequence —
@@ -1225,9 +1225,12 @@ def substring_apply_ds(docs_factory, k: int = _SPAN_K,
         ("doc_id", pa.int64()), ("n_tokens_kept", pa.int64()),
         ("text_dedup", pa.string())])
 
-    spans = substring_spans_ds(docs_factory(), k=k,
-                               force_distributed=force_distributed
-                               ).materialize()
+    if spans is None:
+        spans = substring_spans_ds(docs_factory(), k=k,
+                                   force_distributed=force_distributed)
+    # else: a precomputed span report (e.g. the spans stage's parquet in
+    # jobs/run_exactsubstr.py) — MUST be the same corpus and k
+    spans = spans.materialize()
     n_span = spans.count()
 
     def _reconstruct(t: pa.Table, sp_doc: np.ndarray,

@@ -149,6 +149,14 @@ def test_run_exactsubstr_cli_stages_and_resume(tmp_path):
     assert json.loads(r2.stdout.strip().splitlines()[-1])["stages"] \
         == summary["stages"]
 
+    # rerun with a DIFFERENT k against the same --out must refuse, not
+    # silently mix stages computed under different settings
+    args_k4 = [a if a != "8" else "4" for a in args]
+    r3 = subprocess.run(args_k4, capture_output=True, text=True, env=env,
+                        cwd=REPO, timeout=420)
+    assert r3.returncode != 0
+    assert "use a fresh --out" in (r3.stderr + r3.stdout)
+
     # parquet output equals the driver-facing queries
     import __ray_entry__ as entry
 
