@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonicalize": ur.url_canonicalize,
         # -- link-graph analytics (fixed-point PageRank, components) -------
         "pagerank_user_item": gph.pagerank_user_item,
+        "hits_user_item": gph.hits_user_item,
         "graph_components": gph.graph_components,
         # -- deduplication -------------------------------------------------
         "dedup_exact": dedup.dedup_exact,
@@ -187,13 +188,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from spider_ray.pipelines.graph import pagerank_oracle_sql
+    from spider_ray.pipelines.graph import (hits_oracle_sql,
+                                            pagerank_oracle_sql)
 
     return {
         # Fixed-point PageRank: the SQL is the 5-iteration unroll with the
         # IDENTICAL int64 arithmetic (generated next to the engine code so
         # SCALE / damping / iteration count can never diverge).
         "pagerank_user_item": pagerank_oracle_sql(),
+        # HITS hubs/authorities, normalization-free integer variant: the
+        # SQL is the generated 2-iteration unroll (pure integer sums —
+        # exact at any accumulation order; overflow loudly checked in
+        # the engine, HUGEINT-widened + cast in the SQL).
+        "hits_user_item": hits_oracle_sql(),
         # C4-style rule battery: first failing rule (fixed precedence)
         # is the reason; all compares are integer cross-products.
         "c4_style_filter": """

@@ -98,9 +98,11 @@ def _int_index_edges(edges, nodes_arr: np.ndarray):
 
 
 def _pair_batches(t: pa.Table, event_type: str | None,
-                  min_value: float | None) -> pa.Table:
-    """events batch -> symmetric (src, dst) edge rows (with in-batch
-    duplicates; global DISTINCT happens in the groupby that follows)."""
+                  min_value: float | None,
+                  directed: bool = False) -> pa.Table:
+    """events batch -> (src, dst) edge rows, symmetric by default or
+    directed user->item (with in-batch duplicates; global DISTINCT
+    happens in the groupby that follows)."""
     if event_type is not None:
         t = t.filter(pc.equal(t["event_type"], event_type))
     if min_value is not None:
@@ -113,8 +115,11 @@ def _pair_batches(t: pa.Table, event_type: str | None,
     a = _flat(pc.binary_join_element_wise(
         "u", pc.cast(t["user_id"], pa.string()), ""))
     b = _flat(pc.binary_join_element_wise("k", pc.struct_field(m, "k"), ""))
-    out = pa.table({"src": pa.chunked_array([a, b]),
-                    "dst": pa.chunked_array([b, a])})
+    if directed:
+        out = pa.table({"src": a, "dst": b})
+    else:
+        out = pa.table({"src": pa.chunked_array([a, b]),
+                        "dst": pa.chunked_array([b, a])})
     # in-batch pre-distinct: the grouped count that makes edges globally
     # DISTINCT then shuffles one row per (block, edge), not per event
     return pa.TableGroupBy(out, ["src", "dst"]).aggregate([]) \
@@ -122,11 +127,13 @@ def _pair_batches(t: pa.Table, event_type: str | None,
 
 
 def _distinct_edges(sf_dir: str, event_type: str | None = None,
-                    min_value: float | None = None):
-    """DISTINCT symmetric edge Dataset derived from events."""
+                    min_value: float | None = None,
+                    directed: bool = False):
+    """DISTINCT edge Dataset derived from events (symmetric by default,
+    or directed user->item)."""
     ds = _rp(sf_dir, "events", ["user_id", "event_type", "value", "props"])
     per_block = ds.map_batches(
-        lambda t: _pair_batches(t, event_type, min_value),
+        lambda t: _pair_batches(t, event_type, min_value, directed),
         batch_format="pyarrow")
     out = per_block.groupby(["src", "dst"]).count()
     return out.drop_columns(["count()"])
@@ -602,3 +609,202 @@ def components_of_edges(edges, force_distributed: bool = False,
     return (labels.map_batches(
         lambda t: pa.table({"cluster_id": t["lbl"], "node": t["node"]}),
         batch_format="pyarrow").sort(["cluster_id", "node"]))
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg 1999), normalization-free integer
+# variant — pure int64 sums, exact at any accumulation order, so the
+# distributed result hash-matches the unrolled SQL verbatim
+# ---------------------------------------------------------------------------
+
+
+def hits_edges(edges, iters: int = 2, force_distributed: bool = False,
+               tier: str | None = None):
+    """HITS over an arbitrary DIRECTED distinct-edge Dataset[(src,dst)]:
+
+        hub_0(n)    = 1
+        auth_t(n)   = Σ_{(m,n)∈E} hub_{t-1}(m)
+        hub_t(n)    = Σ_{(n,m)∈E} auth_t(m)
+
+    The classic algorithm L2-normalizes each step — an irrational op no
+    integer SQL replica can reproduce — so this variant runs a FIXED
+    small number of un-normalized rounds: the resulting integer scores
+    induce the same ranking as one normalized power-iteration step
+    sequence (normalization rescales, never reorders), values stay
+    exact, and overflow is checked LOUDLY per half-step against the
+    max-degree bound instead of wrapping (raise = lower `iters` or
+    rescale; at iters=2 scores are <= D^4 for max degree D).  Returns
+    (node, auth_score, hub_score) sorted by (auth desc, node).
+
+    Two execution tiers (auto by size; `tier` forces one in tests),
+    mirroring pagerank_edges: `driver` (numpy scatter-adds) and
+    `broadcast` (edges unbounded, nodes fit a worker — the score
+    vectors ray.put per half-step, per-edge-block searchsorted gather +
+    in-batch pre-aggregation, per-block partials merged on the driver —
+    edges never leave their blocks, no shuffle after the one distinct
+    pass).  The unbounded-node msgpass tier would follow
+    pagerank_edges' message rounds (two per iteration); the broadcast
+    tier already covers the 10^8-host web regime this suite targets."""
+    import ray
+    import ray.data as rd
+
+    assert tier in (None, "driver", "broadcast")
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "auth_score": pa.array([], pa.int64()),
+            "hub_score": pa.array([], pa.int64())}))
+
+    def _check_bound(vec_max: int, deg_max: int, what: str) -> None:
+        if vec_max and deg_max and vec_max * deg_max >= 1 << 62:
+            raise ValueError(
+                f"hits_edges: {what} sum could exceed int64 "
+                f"(max value {vec_max} x max degree {deg_max}); "
+                "lower iters")
+
+    use_driver = (tier == "driver" or
+                  (tier is None and n_edges <= _DRIVER_MAX_EDGES
+                   and not force_distributed))
+    if use_driver:
+        df = edges.to_pandas()
+        src, dst = df["src"].to_numpy(), df["dst"].to_numpy()
+        nodes = np.unique(np.concatenate([src, dst]))
+        si = np.searchsorted(nodes, src)
+        di = np.searchsorted(nodes, dst)
+        out_deg = int(np.bincount(si, minlength=len(nodes)).max())
+        in_deg = int(np.bincount(di, minlength=len(nodes)).max())
+        hub = np.ones(len(nodes), np.int64)
+        auth = np.zeros(len(nodes), np.int64)
+        for _ in range(iters):
+            _check_bound(int(hub.max()), in_deg, "authority")
+            auth = np.zeros(len(nodes), np.int64)
+            np.add.at(auth, di, hub[si])
+            _check_bound(int(auth.max()), out_deg, "hub")
+            hub = np.zeros(len(nodes), np.int64)
+            np.add.at(hub, si, auth[di])
+        order = np.lexsort((nodes, -auth))
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes[order]),
+            "auth_score": pa.array(auth[order], pa.int64()),
+            "hub_score": pa.array(hub[order], pa.int64())}))
+
+    # broadcast tier: node universe + max degrees in ONE aggregate pass
+    from ray.data.aggregate import Max, Sum
+
+    def node_deg_partials(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        us, cs = np.unique(src, return_counts=True)
+        ud, cd = np.unique(dst, return_counts=True)
+        return pa.table({
+            "node": pa.array(np.concatenate([us, ud])),
+            "od": pa.array(np.concatenate(
+                [cs, np.zeros(len(ud))]).astype(np.int64), pa.int64()),
+            "id_": pa.array(np.concatenate(
+                [np.zeros(len(us)), cd]).astype(np.int64), pa.int64()),
+        })
+
+    nd = (edges.map_batches(node_deg_partials, batch_format="pyarrow")
+          .groupby("node").aggregate(Sum("od", alias_name="od"),
+                                     Sum("id_", alias_name="id_"))
+          .to_pandas().sort_values("node", ignore_index=True))
+    nodes_arr = nd["node"].to_numpy()
+    out_deg = int(nd["od"].max())
+    in_deg = int(nd["id_"].max())
+    n_nodes = len(nodes_arr)
+    int_edges = _int_index_edges(edges, nodes_arr)
+
+    def _half_step(vec: np.ndarray, gather_col: str,
+                   scatter_col: str) -> np.ndarray:
+        """new[scatter] += vec[gather] over every edge — per-block
+        in-batch pre-aggregation, partials merged on the driver (the
+        node vector fits the driver by this tier's premise; see the
+        pagerank broadcast tier for the measured shuffle-vs-pull cost)."""
+        vec_ref = ray.put(vec)
+
+        def partials(t: pa.Table, _ref=vec_ref) -> pa.Table:
+            v = ray.get(_ref)  # zero-copy shm view
+            g = t[gather_col].to_numpy(zero_copy_only=False)
+            s = t[scatter_col].to_numpy(zero_copy_only=False)
+            uo, inv = np.unique(s, return_inverse=True)
+            acc = np.zeros(len(uo), np.int64)
+            np.add.at(acc, inv, v[g])
+            return pa.table({"idx": pa.array(uo, pa.int64()),
+                             "s": pa.array(acc, pa.int64())})
+
+        part = (int_edges.map_batches(partials, batch_format="pyarrow")
+                .to_pandas())
+        out = np.zeros(n_nodes, np.int64)
+        np.add.at(out, part["idx"].to_numpy(), part["s"].to_numpy())
+        return out
+
+    hub = np.ones(n_nodes, np.int64)
+    auth = np.zeros(n_nodes, np.int64)
+    for _ in range(iters):
+        _check_bound(int(hub.max()), in_deg, "authority")
+        auth = _half_step(hub, "si", "di")
+        _check_bound(int(auth.max()), out_deg, "hub")
+        hub = _half_step(auth, "di", "si")
+    order = np.lexsort((nodes_arr, -auth))
+    return rd.from_arrow(pa.table({
+        "node": pa.array(nodes_arr[order]),
+        "auth_score": pa.array(auth[order], pa.int64()),
+        "hub_score": pa.array(hub[order], pa.int64())}))
+
+
+def hits_user_item(sf_dir: str, iters: int = 2,
+                   force_distributed: bool = False,
+                   tier: str | None = None):
+    """HITS over the DIRECTED user->item interaction graph (the classic
+    bipartite case: users are pure hubs, items pure authorities —
+    which the oracle equality then certifies end-to-end)."""
+    return hits_edges(_distinct_edges(sf_dir, directed=True), iters=iters,
+                      force_distributed=force_distributed, tier=tier)
+
+
+_USER_ITEM_DIRECTED_CTE = """edges AS (
+          SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS src,
+                 'k' || regexp_extract(props, '"k":\\s*(-?[0-9]+)', 1) AS dst
+          FROM events)"""
+
+
+def hits_sql_for_edges(edges_cte: str, iters: int = 2) -> str:
+    """Unrolled fixed-iteration SQL replica of hits_edges for any edge
+    derivation (`edges_cte` must define edges(src, dst), DISTINCT) —
+    identical integer sums (SUM widens to HUGEINT; each step casts back
+    to BIGINT, exact because the engine checks the same bound)."""
+    prev_hub = None  # None = hub_0 is the constant 1
+    body = []
+    for i in range(1, iters + 1):
+        hub_val = "1" if prev_hub is None else "h.v"
+        hub_join = "" if prev_hub is None else \
+            f" JOIN {prev_hub} h ON h.node = e.src"
+        body.append(
+            f"a{i} AS (SELECT e.dst AS node,"
+            f" CAST(SUM({hub_val}) AS BIGINT) AS v"
+            f" FROM edges e{hub_join} GROUP BY e.dst)")
+        body.append(
+            f"h{i} AS (SELECT e.src AS node,"
+            f" CAST(SUM(a.v) AS BIGINT) AS v"
+            f" FROM edges e JOIN a{i} a ON a.node = e.dst"
+            f" GROUP BY e.src)")
+        prev_hub = f"h{i}"
+    return f"""
+        WITH {edges_cte},
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst FROM edges),
+        {', '.join(body)}
+        SELECT n.node,
+               COALESCE(a{iters}.v, 0) AS auth_score,
+               COALESCE(h{iters}.v, 0) AS hub_score
+        FROM nodes n
+        LEFT JOIN a{iters} ON a{iters}.node = n.node
+        LEFT JOIN h{iters} ON h{iters}.node = n.node
+        ORDER BY auth_score DESC, n.node
+    """
+
+
+def hits_oracle_sql(iters: int = 2) -> str:
+    return hits_sql_for_edges(_USER_ITEM_DIRECTED_CTE, iters=iters)

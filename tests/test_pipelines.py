@@ -2132,3 +2132,81 @@ class TestSubstringSpanProperty:
             return
         r = r.sort_values(["doc_id", "span_start"], ignore_index=True)
         pd.testing.assert_frame_equal(r, o, check_dtype=False)
+
+
+class TestHits:
+    """HITS hubs/authorities: integer-exact engine vs the generated SQL
+    unroll, both tiers, bipartite sanity, loud overflow."""
+
+    @pytest.mark.parametrize("tier", ["driver", "broadcast"])
+    def test_tiers_match_generated_sql(self, tier):
+        import duckdb
+
+        from spider_ray.pipelines.graph import (hits_oracle_sql,
+                                                hits_user_item)
+
+        r = (hits_user_item(SF, tier=tier).to_pandas()
+             .sort_values(["node"], ignore_index=True))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{SF}/events.parquet')")
+        o = (con.execute(hits_oracle_sql()).fetchdf()
+             .sort_values(["node"], ignore_index=True))
+        pd.testing.assert_frame_equal(r, o, check_dtype=False)
+        # bipartite user->item: users are pure hubs, items pure
+        # authorities
+        users = r[r["node"].str.startswith("u")]
+        items = r[r["node"].str.startswith("k")]
+        assert (users["auth_score"] == 0).all()
+        assert (items["hub_score"] == 0).all()
+        assert (users["hub_score"] > 0).all()
+        assert (items["auth_score"] > 0).all()
+
+    def test_overflow_raises_loudly(self):
+        import ray.data as rd
+
+        from spider_ray.pipelines.graph import hits_edges
+
+        # complete bipartite 60x60: scores grow ~60^(2*iters); at
+        # iters=16 the bound check must trip BEFORE int64 wraps
+        n = 60
+        df = pd.DataFrame({
+            "src": [f"u{i}" for i in range(n) for _ in range(n)],
+            "dst": [f"k{j}" for _ in range(n) for j in range(n)],
+        })
+        with pytest.raises(ValueError, match="lower iters"):
+            hits_edges(rd.from_pandas(df), iters=16).to_pandas()
+
+    def test_property_vs_bruteforce(self):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        @given(st.lists(st.tuples(st.integers(0, 8), st.integers(0, 8)),
+                        min_size=1, max_size=25))
+        @settings(max_examples=8, deadline=None,
+                  suppress_health_check=[HealthCheck.too_slow])
+        def check(raw):
+            import ray.data as rd
+
+            from spider_ray.pipelines.graph import hits_edges
+
+            df = pd.DataFrame({
+                "src": [f"n{a}" for a, _ in raw],
+                "dst": [f"m{b}" for _, b in raw],
+            }).drop_duplicates(ignore_index=True)
+            r = hits_edges(rd.from_pandas(df), iters=2).to_pandas()
+            # brute force
+            nodes = sorted(set(df["src"]) | set(df["dst"]))
+            hub = {x: 1 for x in nodes}
+            for _ in range(2):
+                auth = {x: 0 for x in nodes}
+                for s, d in df.itertuples(index=False):
+                    auth[d] += hub[s]
+                hub = {x: 0 for x in nodes}
+                for s, d in df.itertuples(index=False):
+                    hub[s] += auth[d]
+            got = {row.node: (row.auth_score, row.hub_score)
+                   for row in r.itertuples(index=False)}
+            assert got == {x: (auth[x], hub[x]) for x in nodes}
+
+        check()
