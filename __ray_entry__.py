@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_documents": wt.pack_documents,
         "domain_mix_sample": wt.domain_mix_sample,
         "dedup_incremental": wt.dedup_incremental,
+        "dedup_incremental_indexed": wt.dedup_incremental_indexed,
         "train_val_test_split": wt.train_val_test_split,
         "paragraph_dedup": wt.paragraph_dedup,
         "dedup_substring_spans": wt.dedup_substring_spans,
@@ -1070,6 +1071,37 @@ def oracle_sql() -> dict[str, str]:
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
               FROM grams a JOIN grams b ON a.g = b.g
               WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+            FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                       JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+            ORDER BY doc_a, doc_b
+        """,
+        # Persisted-index incremental dedup: NEW batch (doc_id % 8 == 1)
+        # probes the on-disk LSH signature index of the rest — the
+        # result must equal the exact cross-side all-pairs Jaccard,
+        # certifying both the index roundtrip and the partition-pruned
+        # probe.
+        "dedup_incremental_indexed": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+              FROM toks,
+                   UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM grams a JOIN grams b ON a.g = b.g
+              WHERE a.doc_id % 8 <> 1 AND b.doc_id % 8 = 1
               GROUP BY 1, 2
             )
             SELECT doc_a, doc_b,

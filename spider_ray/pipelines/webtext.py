@@ -532,53 +532,212 @@ def dedup_incremental(sf_dir: str, threshold: float = 0.8,
             "bucket", pc.cast(pc.bit_wise_and(t["band_hash"],
                                               coarse_buckets - 1), pa.int32()))
 
-    def cross_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        """Within each (band_id, band_hash) bucket emit ONLY pairs with
-        one existing-side and one new-side doc, oriented (existing,
-        new).  Size-2 groups (the common case) are fully vectorized;
-        larger groups loop over a bounded bucket size."""
-        empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                              "doc_b": pd.Series([], dtype=np.int64)})
-        df = df.sort_values(["band_id", "band_hash", "doc_id"],
-                            kind="mergesort")
-        bid = df["band_id"].to_numpy()
-        bh = df["band_hash"].to_numpy()
-        ids = df["doc_id"].to_numpy()
-        side = df["side"].to_numpy()
-        n = len(ids)
-        if n < 2:
-            return empty
-        new = np.ones(n, dtype=bool)
-        new[1:] = (bh[1:] != bh[:-1]) | (bid[1:] != bid[:-1])
-        gidx = np.cumsum(new) - 1
-        sizes = np.bincount(gidx)
-        size_per_row = sizes[gidx]
-        # size-2 fast path: keep only mixed-side groups
-        s2 = np.nonzero(new & (size_per_row == 2))[0]
-        mixed = side[s2] != side[s2 + 1]
-        s2 = s2[mixed]
-        first_is_new = (side[s2] == 1)
-        out_a = [np.where(first_is_new, ids[s2 + 1], ids[s2])]
-        out_b = [np.where(first_is_new, ids[s2], ids[s2 + 1])]
-        big = np.nonzero(new & (size_per_row >= 3)
-                         & (size_per_row <= 2000))[0]
-        for st in big:
-            sz = sizes[gidx[st]]
-            g_ids, g_side = ids[st:st + sz], side[st:st + sz]
-            ex, nw = g_ids[g_side == 0], g_ids[g_side == 1]
-            if len(ex) and len(nw):
-                a, b = np.meshgrid(ex, nw, indexing="ij")
-                out_a.append(a.ravel())
-                out_b.append(b.ravel())
-        if not out_a:
-            return empty
-        return pd.DataFrame({"doc_a": np.concatenate(out_a).astype(np.int64),
-                             "doc_b": np.concatenate(out_b).astype(np.int64)})
-
     cand = _dedup_pairs_ds(
         band_ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(cross_pairs, batch_format="pandas"))
+        .map_groups(_cross_side_pairs, batch_format="pandas"))
+    return _verify_dispatch(sf_dir, ds, cand, word_shingle_hashes,
+                            "jaccard", threshold,
+                            verify_distributed, driver_pair_threshold)
+
+
+def _cross_side_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    """Within each (band_id, band_hash) bucket emit ONLY pairs with
+    one existing-side (side=0) and one new-side (side=1) doc, oriented
+    (existing, new).  Size-2 groups (the common case) are fully
+    vectorized; larger groups loop over a bounded bucket size.  Shared
+    by the one-pass incremental dedup and the persisted-index probe."""
+    empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                          "doc_b": pd.Series([], dtype=np.int64)})
+    df = df.sort_values(["band_id", "band_hash", "doc_id"],
+                        kind="mergesort")
+    bid = df["band_id"].to_numpy()
+    bh = df["band_hash"].to_numpy()
+    ids = df["doc_id"].to_numpy()
+    side = df["side"].to_numpy()
+    n = len(ids)
+    if n < 2:
+        return empty
+    new = np.ones(n, dtype=bool)
+    new[1:] = (bh[1:] != bh[:-1]) | (bid[1:] != bid[:-1])
+    gidx = np.cumsum(new) - 1
+    sizes = np.bincount(gidx)
+    size_per_row = sizes[gidx]
+    # size-2 fast path: keep only mixed-side groups
+    s2 = np.nonzero(new & (size_per_row == 2))[0]
+    mixed = side[s2] != side[s2 + 1]
+    s2 = s2[mixed]
+    first_is_new = (side[s2] == 1)
+    out_a = [np.where(first_is_new, ids[s2 + 1], ids[s2])]
+    out_b = [np.where(first_is_new, ids[s2], ids[s2 + 1])]
+    big = np.nonzero(new & (size_per_row >= 3)
+                     & (size_per_row <= 2000))[0]
+    for st in big:
+        sz = sizes[gidx[st]]
+        g_ids, g_side = ids[st:st + sz], side[st:st + sz]
+        ex, nw = g_ids[g_side == 0], g_ids[g_side == 1]
+        if len(ex) and len(nw):
+            a, b = np.meshgrid(ex, nw, indexing="ij")
+            out_a.append(a.ravel())
+            out_b.append(b.ravel())
+    if not out_a:
+        return empty
+    return pd.DataFrame({"doc_a": np.concatenate(out_a).astype(np.int64),
+                         "doc_b": np.concatenate(out_b).astype(np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# Persisted MinHash signature index + partition-pruned incremental probe —
+# the production daily-ingest shape: the 100 TB corpus is sketched ONCE
+# and its band rows live on disk; each day's batch probes the index
+# without re-reading (or re-sketching) the corpus
+# ---------------------------------------------------------------------------
+
+_MINHASH_INDEX_ROOT = "/tmp/spider_ray_minhash_idx"
+_IDX_PARTS = 128  # hive partitions; probes read only their hashes' parts
+
+
+def build_minhash_index(sf_dir: str, num_perms: int = 64, bands: int = 16,
+                        index_root: str = _MINHASH_INDEX_ROOT) -> str:
+    """One-time LSH signature-index build over the EXISTING corpus
+    (doc_id % 8 != 1 here, standing in for everything ingested before
+    today): ONE streaming sketch pass writes the band rows
+    (doc_id, band_id, band_hash) hive-partitioned by
+    pidx = band_hash & (_IDX_PARTS-1) — a materialized, resumable
+    inverted file, the same shape as the IVF cell index.  Probes read
+    only the partitions their own band hashes land in.  Idempotent via
+    a marker keyed on source identity (mtime+size+rows) and params."""
+    import hashlib
+    import json as _json
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from ..common.tokens import word_shingle_hashes
+    from .dedup import MinHasher, _sketch_bands
+
+    path = f"{sf_dir}/documents.parquet"
+    _st = _os.stat(path)
+    key = _json.dumps({"src": _os.path.abspath(path),
+                       "mtime": _st.st_mtime, "size": _st.st_size,
+                       "rows": _pq.ParquetFile(path).metadata.num_rows,
+                       "perms": num_perms, "bands": bands,
+                       "parts": _IDX_PARTS, "v": 1}, sort_keys=True)
+    idx_dir = _os.path.join(index_root, hashlib.blake2s(
+        key.encode(), digest_size=10).hexdigest())
+    marker = _os.path.join(idx_dir, "_SUCCESS")
+    if _os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() == key:
+                return idx_dir
+
+    hasher = MinHasher(num_perms=num_perms)
+
+    def sketch_existing(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(
+            pc.bit_wise_and(t["doc_id"], 7), 1))
+        ids = np.asarray(t["doc_id"])
+        sh, par = word_shingle_hashes(t["text"])
+        rows = _sketch_bands(ids, sh, par, t.num_rows, hasher, bands)
+        return rows.append_column("pidx", pc.cast(
+            pc.bit_wise_and(rows["band_hash"], _IDX_PARTS - 1),
+            pa.int32()))
+
+    (_rp(sf_dir, "documents", ["doc_id", "text"])
+     .map_batches(sketch_existing, batch_format="pyarrow",
+                  batch_size=4096)
+     .write_parquet(idx_dir, partition_cols=["pidx"], mode="overwrite"))
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(key + "\n")
+    _os.replace(tmp, marker)
+    return idx_dir
+
+
+def dedup_incremental_indexed(sf_dir: str, threshold: float = 0.8,
+                              num_perms: int = 64, bands: int = 16,
+                              verify_distributed: bool | None = None,
+                              driver_pair_threshold: int = 200_000):
+    """Incremental near-dup detection against the PERSISTED signature
+    index: today's batch (doc_id % 8 == 1) sketches itself, reads ONLY
+    the index partitions its band hashes hit (measured read fraction
+    printed — the pruning an in-one-pass run can't have), and emits
+    cross-side (existing, new) pairs through the same bucket machinery
+    and adaptive exact-Jaccard verify as dedup_incremental.  The corpus
+    text is touched only to verify surviving candidate pairs."""
+    import os as _os
+
+    import ray.data as rd
+
+    from ..common.tokens import word_shingle_hashes
+    from .dedup import MinHasher, _dedup_pairs_ds, _sketch_bands, \
+        _verify_dispatch
+
+    idx_dir = build_minhash_index(sf_dir, num_perms=num_perms, bands=bands)
+    hasher = MinHasher(num_perms=num_perms)
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    _ROWS_SCHEMA = pa.schema([
+        ("doc_id", pa.int64()), ("band_id", pa.int32()),
+        ("band_hash", pa.int64()), ("side", pa.int8())])
+
+    def sketch_new(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 7), 1))
+        ids = np.asarray(t["doc_id"])
+        sh, par = word_shingle_hashes(t["text"])
+        rows = _sketch_bands(ids, sh, par, t.num_rows, hasher, bands)
+        return pa.table({
+            "doc_id": pc.cast(rows["doc_id"], pa.int64()),
+            "band_id": rows["band_id"],
+            "band_hash": rows["band_hash"],
+            "side": pa.array(np.ones(rows.num_rows, np.int8), pa.int8()),
+        }, schema=_ROWS_SCHEMA)
+
+    new_rows = (ds.map_batches(sketch_new, batch_format="pyarrow",
+                               batch_size=4096).materialize())
+    # the new batch's hit partitions (<= _IDX_PARTS values, driver-tiny)
+    hit = sorted(int(h) & (_IDX_PARTS - 1)
+                 for h in new_rows.unique("band_hash"))
+    hit = sorted(set(hit))
+    all_parts = sorted(d for d in _os.listdir(idx_dir)
+                       if d.startswith("pidx="))
+    hit_dirs = [d for d in all_parts
+                if int(d.split("=", 1)[1]) in set(hit)]
+    files = [_os.path.join(idx_dir, d, f)
+             for d in hit_dirs
+             for f in sorted(_os.listdir(_os.path.join(idx_dir, d)))
+             if f.endswith(".parquet")]
+    print(f"[dedup_incremental_indexed] probing {len(hit_dirs)}/"
+          f"{len(all_parts)} index partitions "
+          f"(read fraction {len(hit_dirs) / max(len(all_parts), 1):.3f})")
+
+    def tag_existing(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "band_id": pc.cast(t["band_id"], pa.int32()),
+            "band_hash": pc.cast(t["band_hash"], pa.int64()),
+            "side": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
+        }, schema=_ROWS_SCHEMA)
+
+    if files:
+        existing_rows = rd.read_parquet(files).map_batches(
+            tag_existing, batch_format="pyarrow")
+    else:  # a shingle-less new batch probes nothing
+        existing_rows = rd.from_arrow(_ROWS_SCHEMA.empty_table())
+
+    coarse_buckets = 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(t["band_hash"],
+                                              coarse_buckets - 1),
+                              pa.int32()))
+
+    cand = _dedup_pairs_ds(
+        existing_rows.union(new_rows)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_cross_side_pairs, batch_format="pandas"))
     return _verify_dispatch(sf_dir, ds, cand, word_shingle_hashes,
                             "jaccard", threshold,
                             verify_distributed, driver_pair_threshold)

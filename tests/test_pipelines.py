@@ -2210,3 +2210,56 @@ class TestHits:
             assert got == {x: (auth[x], hub[x]) for x in nodes}
 
         check()
+
+
+class TestIncrementalIndexed:
+    """Persisted LSH signature index + partition-pruned probe."""
+
+    def test_matches_exact_sql(self):
+        import duckdb
+
+        import __ray_entry__ as entry
+
+        r = (entry.queries()["dedup_incremental_indexed"](SF).to_pandas()
+             .sort_values(["doc_a", "doc_b"], ignore_index=True))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{SF}/documents.parquet')")
+        o = con.execute(
+            entry.oracle_sql()["dedup_incremental_indexed"]).fetchdf()
+        if len(r) == 0:
+            assert len(o) == 0
+            return
+        pd.testing.assert_frame_equal(r, o.reset_index(drop=True),
+                                      check_dtype=False)
+
+    def test_small_batch_prunes_partitions(self, tmp_path, capfd):
+        """A tiny new batch must read only ITS band hashes' partitions —
+        the pruning that makes probing a 100 TB index affordable."""
+        from spider_ray.pipelines.webtext import dedup_incremental_indexed
+
+        base = pq.read_table(f"{SF}/documents.parquet")
+        texts = [t for t in base["text"].to_pylist()[:64]
+                 if len(t.split()) > 20][:40]
+        # ids: existing = 8k (k=0..); ONE new doc id 8j+1 duplicating
+        # existing doc 0 (so the probe must find exactly that pair)
+        ids = [8 * i for i in range(len(texts))] + [1]
+        txts = texts + [texts[0]]
+        d = str(tmp_path)
+        pq.write_table(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(txts, pa.string()),
+        }), f"{d}/documents.parquet")
+        r = (dedup_incremental_indexed(d).to_pandas()
+             .sort_values(["doc_a", "doc_b"], ignore_index=True))
+        outp = capfd.readouterr().out
+        import re
+
+        m = re.search(r"probing (\d+)/(\d+) index partitions", outp)
+        assert m, outp
+        hit, total = int(m.group(1)), int(m.group(2))
+        # one new doc -> at most 16 band hashes -> at most 16 of the
+        # index's partitions (only OCCUPIED pidx values get a dir)
+        assert hit <= 16 < total <= 128, (hit, total)
+        assert r["doc_a"].tolist() == [0] and r["doc_b"].tolist() == [1]
+        assert (r["jaccard"] == 1.0).all()
