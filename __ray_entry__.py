@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_status_by_priority": rel.pivot_status_by_priority,
         "lag_event_gap": rel.lag_event_gap,
         "window_lead_first_dense": rel.window_lead_first_dense,
+        "window_pct_rank_cume": rel.window_pct_rank_cume,
         "mode_event_type_per_user": rel.mode_event_type_per_user,
         "funnel_view_click_purchase": rel.funnel_view_click_purchase,
         "rolling_median_user_value": rel.rolling_median_user_value,
@@ -424,6 +425,18 @@ def oracle_sql() -> dict[str, str]:
                    FIRST_VALUE(event_id) OVER w AS first_event_id
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY event_id
+        """,
+        # PERCENT_RANK / CUME_DIST over integer cents (heavy ties by
+        # design; single final division + round on identical integers).
+        "window_pct_rank_cume": """
+            SELECT event_id, user_id,
+                   round(percent_rank() OVER w, 4) AS pct_rank,
+                   round(cume_dist() OVER w, 4) AS cume_dist
+            FROM (SELECT event_id, user_id,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY cents)
             ORDER BY event_id
         """,
         # Ordered-sequence funnel: first view -> first click strictly

@@ -1427,3 +1427,35 @@ def trending_event_types_hourly(sf_dir: str, k: int = 2):
 
     return counts.groupby("hour").map_groups(
         per_hour, batch_format="pandas").sort(["hour", "rank"])
+
+
+def window_pct_rank_cume(sf_dir: str):
+    """Window-function coverage: PERCENT_RANK and CUME_DIST per user
+    over integer-cent value order — ties are the point (cents collide
+    often): RANK-style shared rank for percent_rank, rows-<=-peer
+    counting for cume_dist, exactly the SQL definitions.  All counting
+    is integer (searchsorted over the sorted cents); the single final
+    division + round(4) matches DuckDB's double division on the same
+    integers.  Group-parallel like the other window ops."""
+    ds = _rp(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(np.abs(g["value"].to_numpy()) * 100 + 0.5
+                         ).astype(np.int64) * np.sign(
+            g["value"].to_numpy()).astype(np.int64)
+        order = np.argsort(cents, kind="mergesort")
+        sc = cents[order]
+        n = len(sc)
+        rank = np.searchsorted(sc, cents, side="left") + 1   # RANK w/ ties
+        le = np.searchsorted(sc, cents, side="right")        # rows <= peer
+        pct = (rank - 1) / max(n - 1, 1)                     # n=1 -> 0.0
+        cume = le / n
+        out = pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            "pct_rank": np.floor(pct * 1e4 + 0.5) / 1e4,
+            "cume_dist": np.floor(cume * 1e4 + 0.5) / 1e4,
+        })
+        return out
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")

@@ -2263,3 +2263,22 @@ class TestIncrementalIndexed:
         assert hit <= 16 < total <= 128, (hit, total)
         assert r["doc_a"].tolist() == [0] and r["doc_b"].tolist() == [1]
         assert (r["jaccard"] == 1.0).all()
+
+
+class TestPctRankCume:
+    def test_matches_duckdb(self):
+        import duckdb
+
+        import __ray_entry__ as entry
+
+        r = (entry.queries()["window_pct_rank_cume"](SF).to_pandas()
+             .sort_values("event_id", ignore_index=True))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{SF}/events.parquet')")
+        o = con.execute(
+            entry.oracle_sql()["window_pct_rank_cume"]).fetchdf()
+        pd.testing.assert_frame_equal(r, o.reset_index(drop=True),
+                                      check_dtype=False)
+        assert ((r["pct_rank"] >= 0) & (r["pct_rank"] <= 1)).all()
+        assert (r["cume_dist"] > 0).all() and (r["cume_dist"] <= 1).all()
