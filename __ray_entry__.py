@@ -61,6 +61,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only here — pytest gates the kernel vs an independent
         # python-re reference and the aggregate vs pandas
         "crawl_anchor_stats": cq.crawl_anchor_stats,
+        # per-host crawl accounting from the checkpoint order shards;
+        # rows-only — pytest checks vs pandas over the oracle-gated
+        # order table
+        "crawl_host_stats": cq.crawl_host_stats,
         # -- engine-conformance layer (flow DAG + expression mappers) ------
         "flow_basic_leaves": fq.flow_basic_leaves,
         # -- relational coverage (DuckDB-checked) -------------------------
@@ -132,6 +136,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": ts.chunk_documents,
         "decontaminate_docs": ts.decontaminate_docs,
         "unigram_logprob_score": ts.unigram_logprob_score,
+        # rows-only: zlib compressibility (SQL has no zlib); pytest
+        # pins determinism + repetitive-vs-organic ordering
+        "compression_ratio": ts.compression_ratio,
         # -- webtext corpus prep (repetition filters, clustering, search,
         #    bigram LM, packing, domain mixing) -----------------------------
         "repetition_stats": wt.repetition_stats,

@@ -197,3 +197,58 @@ def crawl_anchor_stats(sf_dir: str):
         })
 
     return counts.groupby("url").map_groups(per_url, batch_format="pandas")
+
+
+def crawl_host_stats(sf_dir: str):
+    """Per-host crawl accounting over the checkpoint ORDER shards — the
+    operational view a crawl operator reads (which hosts dominate, how
+    long each stayed scheduled): pages fetched, first/last epoch, and
+    epochs_active (distinct epochs the host appeared in).  Streams the
+    checkpoint parquet as a Dataset — per-block (host, epoch) distinct
+    partials, ONE grouped aggregate at (host, epoch), then the tiny
+    host-level reduce; the order record itself never materializes on
+    the driver.  Rows-only for the driver (self-generated corpus);
+    pytest checks it against pandas over the byte-exact oracle-gated
+    order table."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    eng = run_crawl_cached(sf_dir)
+    files = []
+    for name in sorted(os.listdir(eng.ckpt_dir)):
+        if not name.startswith("epoch_"):
+            continue
+        p = os.path.join(eng.ckpt_dir, name, "order.parquet")
+        if os.path.exists(p):
+            files.append(p)
+        files.extend(eng._parquet_files(
+            os.path.join(eng.ckpt_dir, name, "order")))
+
+    def partials(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["host", "epoch"]),
+                            ["host", "epoch"]).aggregate([([], "count_all")])
+        return g.rename_columns(["host", "epoch", "n"])
+
+    per_epoch = (rd.read_parquet(files, columns=["host", "epoch"])
+                 .map_batches(partials, batch_format="pyarrow")
+                 .groupby(["host", "epoch"])
+                 .aggregate(Sum("n", alias_name="n")))
+    out = (per_epoch.groupby("host")
+           .aggregate(Sum("n", alias_name="pages"),
+                      Min("epoch", alias_name="first_epoch"),
+                      Max("epoch", alias_name="last_epoch"),
+                      Count(alias_name="epochs_active")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "host": t["host"],
+            "pages": pc.cast(t["pages"], pa.int64()),
+            "first_epoch": pc.cast(t["first_epoch"], pa.int64()),
+            "last_epoch": pc.cast(t["last_epoch"], pa.int64()),
+            "epochs_active": pc.cast(t["epochs_active"], pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("host")

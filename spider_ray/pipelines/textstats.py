@@ -603,3 +603,32 @@ def unigram_logprob_score(sf_dir: str):
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def compression_ratio(sf_dir: str):
+    """Gopher/CCNet-family quality signal: zlib compressibility per
+    document (highly repetitive machine-generated text compresses far
+    below organic prose — Rae et al. 2021 use exactly this family of
+    repetition signals).  Deterministic: zlib level pinned, byte counts
+    integer, ratio rounded half-away at the end.  Per-batch C-speed
+    zlib over utf-8 bytes; zero shuffle.  Rows-only for the driver (SQL
+    has no zlib); pytest pins determinism and the repetitive-vs-organic
+    ordering on constructed docs."""
+    import zlib
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        raw = [s.encode("utf-8") for s in texts]
+        comp = np.array([len(zlib.compress(b, 6)) for b in raw], np.int64)
+        orig = np.array([len(b) for b in raw], np.int64)
+        ratio = np.floor(comp * 1e4 / np.maximum(orig, 1) + 0.5) / 1e4
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "orig_bytes": pa.array(orig, pa.int64()),
+            "compressed_bytes": pa.array(comp, pa.int64()),
+            "compression_ratio": pa.array(ratio, pa.float64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

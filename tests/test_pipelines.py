@@ -2282,3 +2282,56 @@ class TestPctRankCume:
                                       check_dtype=False)
         assert ((r["pct_rank"] >= 0) & (r["pct_rank"] <= 1)).all()
         assert (r["cume_dist"] > 0).all() and (r["cume_dist"] <= 1).all()
+
+
+class TestCrawlHostStats:
+    def test_matches_oracle_order_table(self):
+        from spider_ray.pipelines.crawl_queries import (crawl_host_stats,
+                                                        run_crawl_cached)
+
+        r = (crawl_host_stats(SF).to_pandas()
+             .sort_values("host", ignore_index=True))
+        o = run_crawl_cached(SF).order_table().to_pandas()
+        want = (o.groupby("host")
+                .agg(pages=("seq", "size"),
+                     first_epoch=("epoch", "min"),
+                     last_epoch=("epoch", "max"),
+                     epochs_active=("epoch", "nunique"))
+                .reset_index().sort_values("host", ignore_index=True))
+        pd.testing.assert_frame_equal(r, want, check_dtype=False)
+        assert (r["epochs_active"]
+                <= r["last_epoch"] - r["first_epoch"] + 1).all()
+
+
+class TestCompressionRatio:
+    def test_deterministic_and_ordering(self, tmp_path):
+        from spider_ray.pipelines.textstats import compression_ratio
+
+        d = str(tmp_path)
+        pq.write_table(pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["spam " * 400,
+                              " ".join(f"w{i}x{i * 7 % 13}"
+                                       for i in range(400))]),
+        }), f"{d}/documents.parquet")
+        r1 = (compression_ratio(d).to_pandas()
+              .sort_values("doc_id", ignore_index=True))
+        r2 = (compression_ratio(d).to_pandas()
+              .sort_values("doc_id", ignore_index=True))
+        pd.testing.assert_frame_equal(r1, r2)  # deterministic
+        # repetitive text compresses far below organic-ish text
+        assert r1.loc[0, "compression_ratio"] \
+            < r1.loc[1, "compression_ratio"] * 0.2
+        import zlib
+
+        b = ("spam " * 400).encode()
+        assert int(r1.loc[0, "compressed_bytes"]) == len(zlib.compress(b, 6))
+
+    def test_real_corpus_rows(self):
+        from spider_ray.pipelines.textstats import compression_ratio
+
+        r = compression_ratio(SF).to_pandas()
+        docs = pq.read_table(f"{SF}/documents.parquet").num_rows
+        assert len(r) == docs
+        assert ((r["compression_ratio"] > 0)
+                & (r["compression_ratio"] <= 1.5)).all()
