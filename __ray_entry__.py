@@ -186,6 +186,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- multimodal plumbing (deterministic fake codec) ----------------
         "multimodal_features": mm.multimodal_features,
         "multimodal_feature_stats": mm.multimodal_feature_stats,
+        # video-style frame sampling (actor-pool flat-map) + per-video
+        # reduce; rows-only — integer features recomputed bit-for-bit
+        # in pytest
+        "multimodal_frame_stats": mm.multimodal_frame_stats,
         # -- composed end-to-end training-data prep ------------------------
         "training_data_prep": prep.training_data_prep,
         "training_data_prep_fuzzy": prep.training_data_prep_fuzzy,

@@ -147,3 +147,132 @@ def multimodal_feature_stats(sf_dir: str):
         i = t.schema.get_field_index("avg_feature")
         return t.set_column(i, "avg_feature", pc.round(t["avg_feature"], ndigits=3))
     return out.map_batches(rnd, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Video-style payloads: fixed-rate frame sampling (the standard first
+# stage of any video training pipeline) as an actor-pool flat-map
+# ---------------------------------------------------------------------------
+
+VMAGIC = b"VID1"
+
+
+def synth_video_payload(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic fake video: frame count / dimensions from the doc
+    stats, per-frame pixels from one splitmix64 stream."""
+    nf = 4 + (doc_id % 13)
+    h = 4 + (doc_id % 4)
+    w = 4 + (n_chars % 8)
+    n = nf * h * w
+    words = _splitmix64(np.arange((n + 7) // 8, dtype=np.uint64)
+                        + np.uint64(doc_id * 11_400_714_819 + 29))
+    pix = words.view(np.uint8)[:n]
+    return (VMAGIC + int(nf).to_bytes(2, "little")
+            + int(h).to_bytes(2, "little") + int(w).to_bytes(2, "little")
+            + pix.tobytes())
+
+
+def make_video_table(sf_dir: str):
+    """documents -> (doc_id, payload:binary, media_type): the synthetic
+    video input table (frame count rides inside the container, as in a
+    real mp4)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        ncs = np.asarray(t["n_chars"], dtype=np.int64)
+        payloads = [synth_video_payload(int(i), int(n))
+                    for i, n in zip(ids, ncs)]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "payload": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(["video/fake"] * len(ids), pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage: decode the container ONCE per
+    payload, keep every `stride`-th frame (fixed-rate sampling — the
+    ffmpeg `-vf fps=` analogue), emit one row per KEPT frame with
+    integer per-frame features (pixel sum + count: exact, so tests
+    recompute them bit-for-bit).  1 video -> ceil(n_frames/stride)
+    rows: a flat-map, which is why it returns a longer table than its
+    input.  __init__ is the once-per-actor codec slot; the real ffmpeg
+    decoder plugs into decode_video_real below."""
+
+    def __init__(self, stride: int = 3):
+        self.stride = stride
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        assert payload[:4] == VMAGIC, "not a VID1 payload"
+        nf = int.from_bytes(payload[4:6], "little")
+        h = int.from_bytes(payload[6:8], "little")
+        w = int.from_bytes(payload[8:10], "little")
+        pix = np.frombuffer(payload, np.uint8, count=nf * h * w, offset=10)
+        return pix.reshape(nf, h, w)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out_id, out_fi, out_sum, out_n = [], [], [], []
+        for doc_id, payload in zip(t["doc_id"].to_pylist(),
+                                   t["payload"].to_pylist()):
+            frames = self.decode(payload)
+            kept = frames[::self.stride]
+            idxs = np.arange(0, frames.shape[0], self.stride)
+            sums = kept.reshape(len(kept), -1).sum(axis=1, dtype=np.int64)
+            out_id += [doc_id] * len(kept)
+            out_fi += idxs.tolist()
+            out_sum += sums.tolist()
+            out_n += [frames.shape[1] * frames.shape[2]] * len(kept)
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "frame_idx": pa.array(out_fi, pa.int64()),
+            "pix_sum": pa.array(out_sum, pa.int64()),
+            "n_pix": pa.array(out_n, pa.int64()),
+        })
+
+
+def decode_video_real(payload: bytes):
+    """The real-codec seam.  Plug ffmpeg/pyav here when available."""
+    raise NotImplementedError(
+        "video codecs are not available in this environment; "
+        "FrameSampler.decode parses the synthetic container instead")
+
+
+def multimodal_frame_features(sf_dir: str, stride: int = 3):
+    """Video payloads -> actor-pool frame sampling.  batch_size stays
+    small (payloads are the widest rows in the suite: up to ~1.3 KB
+    each here, MBs in production — bytes x batch x concurrency is the
+    worker heap envelope)."""
+    return make_video_table(sf_dir).map_batches(
+        FrameSampler, fn_constructor_args=(stride,),
+        batch_format="pyarrow", batch_size=256, concurrency=2, num_cpus=1)
+
+
+def multimodal_frame_stats(sf_dir: str, stride: int = 3):
+    """Per-video reduce over the sampled frames: frames kept + mean
+    pixel value (integer sums, one final rounded division)."""
+    from ray.data.aggregate import Count, Sum
+
+    frames = multimodal_frame_features(sf_dir, stride=stride)
+    out = (frames.groupby("doc_id")
+           .aggregate(Count(alias_name="frames_sampled"),
+                      Sum("pix_sum", alias_name="pix_sum"),
+                      Sum("n_pix", alias_name="n_pix")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        ps = np.asarray(t["pix_sum"], dtype=np.int64)
+        npx = np.asarray(t["n_pix"], dtype=np.int64)
+        mean = np.floor(ps * 1e4 / np.maximum(npx, 1) + 0.5) / 1e4
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "frames_sampled": pa.array(
+                np.asarray(t["frames_sampled"], dtype=np.int64), pa.int64()),
+            "mean_pixel": pa.array(mean, pa.float64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("doc_id")

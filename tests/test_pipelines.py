@@ -2335,3 +2335,57 @@ class TestCompressionRatio:
         assert len(r) == docs
         assert ((r["compression_ratio"] > 0)
                 & (r["compression_ratio"] <= 1.5)).all()
+
+
+class TestFrameSampling:
+    """Video-payload plumbing: container roundtrip, stride semantics,
+    integer features recomputed bit-for-bit, per-video reduce."""
+
+    def test_sampler_exact_vs_recompute(self):
+        from spider_ray.pipelines.multimodal import (FrameSampler,
+                                                     decode_video_real,
+                                                     multimodal_frame_features,
+                                                     synth_video_payload)
+
+        with pytest.raises(NotImplementedError):
+            decode_video_real(b"VID1whatever")
+        r = (multimodal_frame_features(SF, stride=3).to_pandas()
+             .sort_values(["doc_id", "frame_idx"], ignore_index=True))
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "n_chars"]).to_pandas()
+        s = FrameSampler(stride=3)
+        rows = []
+        for doc_id, n_chars in docs.itertuples(index=False):
+            frames = s.decode(synth_video_payload(int(doc_id),
+                                                  int(n_chars)))
+            for fi in range(0, frames.shape[0], 3):
+                rows.append((doc_id, fi,
+                             int(frames[fi].sum(dtype=np.int64)),
+                             frames.shape[1] * frames.shape[2]))
+        want = (pd.DataFrame(rows, columns=["doc_id", "frame_idx",
+                                            "pix_sum", "n_pix"])
+                .sort_values(["doc_id", "frame_idx"], ignore_index=True))
+        pd.testing.assert_frame_equal(r, want, check_dtype=False)
+        # flat-map shape: ceil(n_frames/stride) rows per video
+        per_video = r.groupby("doc_id").size()
+        nf = 4 + (docs.set_index("doc_id").index % 13)
+        assert (per_video.to_numpy()
+                == -(-(4 + (per_video.index.to_numpy() % 13)) // 3)).all()
+
+    def test_frame_stats_reduce(self):
+        from spider_ray.pipelines.multimodal import (
+            multimodal_frame_features, multimodal_frame_stats)
+
+        stats = (multimodal_frame_stats(SF).to_pandas()
+                 .sort_values("doc_id", ignore_index=True))
+        feats = multimodal_frame_features(SF).to_pandas()
+        want = (feats.groupby("doc_id")
+                .agg(frames_sampled=("frame_idx", "size"),
+                     pix_sum=("pix_sum", "sum"), n_pix=("n_pix", "sum"))
+                .reset_index())
+        want["mean_pixel"] = np.floor(
+            want["pix_sum"] * 1e4 / want["n_pix"] + 0.5) / 1e4
+        want = want.drop(columns=["pix_sum", "n_pix"])
+        pd.testing.assert_frame_equal(stats, want, check_dtype=False)
+        assert ((stats["mean_pixel"] > 100)
+                & (stats["mean_pixel"] < 155)).all()  # uniform bytes
