@@ -636,19 +636,21 @@ def hits_edges(edges, iters: int = 2, force_distributed: bool = False,
     rescale; at iters=2 scores are <= D^4 for max degree D).  Returns
     (node, auth_score, hub_score) sorted by (auth desc, node).
 
-    Two execution tiers (auto by size; `tier` forces one in tests),
-    mirroring pagerank_edges: `driver` (numpy scatter-adds) and
+    Three execution tiers (auto by size; `tier` forces one in tests),
+    mirroring pagerank_edges: `driver` (numpy scatter-adds);
     `broadcast` (edges unbounded, nodes fit a worker — the score
     vectors ray.put per half-step, per-edge-block searchsorted gather +
     in-batch pre-aggregation, per-block partials merged on the driver —
     edges never leave their blocks, no shuffle after the one distinct
-    pass).  The unbounded-node msgpass tier would follow
-    pagerank_edges' message rounds (two per iteration); the broadcast
-    tier already covers the 10^8-host web regime this suite targets."""
+    pass); `msgpass` (nodes unbounded too — pagerank's message rounds,
+    two per iteration: one groupby over (score rows ∪ edge rows) keyed
+    on the sending side emits contributions along edges, one grouped
+    sum + universe zero rows reduces; nothing node-sized ever touches
+    the driver, the overflow bound checked from tiny Max aggregates)."""
     import ray
     import ray.data as rd
 
-    assert tier in (None, "driver", "broadcast")
+    assert tier in (None, "driver", "broadcast", "msgpass")
     edges = edges.materialize()
     n_edges = edges.count()
     if n_edges == 0:
@@ -690,7 +692,9 @@ def hits_edges(edges, iters: int = 2, force_distributed: bool = False,
             "auth_score": pa.array(auth[order], pa.int64()),
             "hub_score": pa.array(hub[order], pa.int64())}))
 
-    # broadcast tier: node universe + max degrees in ONE aggregate pass
+    # node universe + degrees in ONE aggregate pass (shared by the
+    # broadcast and msgpass tiers; only tiny reductions of it ever
+    # reach the driver on the msgpass path)
     from ray.data.aggregate import Max, Sum
 
     def node_deg_partials(t: pa.Table) -> pa.Table:
@@ -706,14 +710,21 @@ def hits_edges(edges, iters: int = 2, force_distributed: bool = False,
                 [np.zeros(len(us)), cd]).astype(np.int64), pa.int64()),
         })
 
-    nd = (edges.map_batches(node_deg_partials, batch_format="pyarrow")
-          .groupby("node").aggregate(Sum("od", alias_name="od"),
-                                     Sum("id_", alias_name="id_"))
-          .to_pandas().sort_values("node", ignore_index=True))
+    node_deg = (edges.map_batches(node_deg_partials, batch_format="pyarrow")
+                .groupby("node").aggregate(Sum("od", alias_name="od"),
+                                           Sum("id_", alias_name="id_"))
+                .materialize())
+    n_nodes = node_deg.count()
+    degs = node_deg.aggregate(Max("od", alias_name="od"),
+                              Max("id_", alias_name="id_"))
+    out_deg, in_deg = int(degs["od"]), int(degs["id_"])
+
+    if tier == "msgpass" or (tier is None and n_nodes > _BCAST_MAX_NODES):
+        return _hits_msgpass(edges, node_deg, iters, out_deg, in_deg,
+                             _check_bound)
+
+    nd = node_deg.to_pandas().sort_values("node", ignore_index=True)
     nodes_arr = nd["node"].to_numpy()
-    out_deg = int(nd["od"].max())
-    in_deg = int(nd["id_"].max())
-    n_nodes = len(nodes_arr)
     int_edges = _int_index_edges(edges, nodes_arr)
 
     def _half_step(vec: np.ndarray, gather_col: str,
@@ -808,3 +819,104 @@ def hits_sql_for_edges(edges_cte: str, iters: int = 2) -> str:
 
 def hits_oracle_sql(iters: int = 2) -> str:
     return hits_sql_for_edges(_USER_ITEM_DIRECTED_CTE, iters=iters)
+
+
+def _hits_msgpass(edges, node_deg, iters: int, out_deg: int, in_deg: int,
+                  check_bound) -> "object":
+    """HITS message-passing tier (nodes unbounded): each half-step is
+    ONE groupby over (score rows ∪ edge rows) keyed on the SENDING side
+    that emits the sender's score along each of its edges, then ONE
+    grouped sum over (messages ∪ universe zero rows) — the zero rows
+    keep score-less nodes in the vector, the same aliveness rule as
+    pagerank's zero self-contribution.  Two key-partitioned shuffles
+    per half-step, nothing node-sized on the driver; the overflow
+    bound uses the tiny degree/Max aggregates."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Max, Sum
+
+    def fwd(t: pa.Table) -> pa.Table:  # keyed on src, sends to dst
+        return pa.table({"node": t["src"],
+                         "val": pa.nulls(t.num_rows, pa.int64()),
+                         "other": t["dst"]})
+
+    def rev(t: pa.Table) -> pa.Table:  # keyed on dst, sends to src
+        return pa.table({"node": t["dst"],
+                         "val": pa.nulls(t.num_rows, pa.int64()),
+                         "other": t["src"]})
+
+    edge_fwd = edges.map_batches(fwd, batch_format="pyarrow").materialize()
+    edge_rev = edges.map_batches(rev, batch_format="pyarrow").materialize()
+
+    def universe_rows(v: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": t["node"],
+                "val": pa.array([v] * t.num_rows, pa.int64()),
+                "other": pa.nulls(t.num_rows, pa.string())})
+        return node_deg.map_batches(fn, batch_format="pyarrow")
+
+    zeros = universe_rows(0).materialize()
+
+    def send(g: pa.Table) -> pa.Table:
+        val = g["val"].drop_null()
+        v = val[0].as_py() if len(val) else 0
+        others = g["other"].drop_null()
+        if isinstance(others, pa.ChunkedArray):
+            others = others.combine_chunks()
+        return pa.table({
+            "node": others,
+            "val": pa.array([v] * len(others), pa.int64())})
+
+    def vec_max(ds) -> int:
+        m = ds.aggregate(Max("val", alias_name="m"))["m"]
+        return int(m) if m is not None else 0
+
+    hub = universe_rows(1).materialize()
+    auth = None
+    for _ in range(iters):
+        check_bound(vec_max(hub), in_deg, "authority")
+        msgs = (hub.union(edge_fwd).groupby("node")
+                .map_groups(send, batch_format="pyarrow"))
+        auth = (msgs.union(zeros).groupby("node")
+                .aggregate(Sum("val", alias_name="val"))
+                .map_batches(lambda t: pa.table({
+                    "node": t["node"],
+                    "val": pc.cast(t["val"], pa.int64()),
+                    "other": pa.nulls(t.num_rows, pa.string())}),
+                    batch_format="pyarrow").materialize())
+        check_bound(vec_max(auth), out_deg, "hub")
+        msgs = (auth.union(edge_rev).groupby("node")
+                .map_groups(send, batch_format="pyarrow"))
+        hub = (msgs.union(zeros).groupby("node")
+               .aggregate(Sum("val", alias_name="val"))
+               .map_batches(lambda t: pa.table({
+                   "node": t["node"],
+                   "val": pc.cast(t["val"], pa.int64()),
+                   "other": pa.nulls(t.num_rows, pa.string())}),
+                   batch_format="pyarrow").materialize())
+
+    a_rows = auth.map_batches(
+        lambda t: pa.table({"node": t["node"],
+                            "a": pc.cast(t["val"], pa.int64()),
+                            "h": pa.array(np.zeros(t.num_rows, np.int64),
+                                          pa.int64())}),
+        batch_format="pyarrow")
+    h_rows = hub.map_batches(
+        lambda t: pa.table({"node": t["node"],
+                            "a": pa.array(np.zeros(t.num_rows, np.int64),
+                                          pa.int64()),
+                            "h": pc.cast(t["val"], pa.int64())}),
+        batch_format="pyarrow")
+    out = (a_rows.union(h_rows).groupby("node")
+           .aggregate(Sum("a", alias_name="auth_score"),
+                      Sum("h", alias_name="hub_score")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["node"],
+            "auth_score": pc.cast(t["auth_score"], pa.int64()),
+            "hub_score": pc.cast(t["hub_score"], pa.int64())})
+
+    return (out.map_batches(finish, batch_format="pyarrow")
+            .sort(["auth_score", "node"], descending=[True, False]))

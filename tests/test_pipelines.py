@@ -2138,7 +2138,7 @@ class TestHits:
     """HITS hubs/authorities: integer-exact engine vs the generated SQL
     unroll, both tiers, bipartite sanity, loud overflow."""
 
-    @pytest.mark.parametrize("tier", ["driver", "broadcast"])
+    @pytest.mark.parametrize("tier", ["driver", "broadcast", "msgpass"])
     def test_tiers_match_generated_sql(self, tier):
         import duckdb
 
