@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_substring_apply": wt.dedup_substring_apply,
         "c4_style_filter": wt.c4_style_filter,
         "webtext_prep_v2": wt.webtext_prep_v2,
+        "webtext_prep_v3": wt.webtext_prep_v3,
         "global_shuffle_rank": wt.global_shuffle_rank,
         # URL-identity kernel conformance: the engine's canonicalizer
         # (the seen set's key function) vs an independent SQL replica
@@ -391,6 +392,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, min(tp) AS span_start, max(tp) AS span_end,
                    count(*) AS n_tokens
             FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start
+        """,
+        # Composed prep v3: C4 filter -> ExactSubstr removal over the
+        # SURVIVORS -> split -> integer stats, certified by ONE SQL
+        # statement (the strongest claim about the composed path: the
+        # span machinery runs on the filtered stream, and any
+        # divergence anywhere breaks the hash).
+        "webtext_prep_v3": """
+            WITH tokc AS (SELECT doc_id,
+                                 regexp_extract_all(lower(text),
+                                                    '[a-z0-9_]+') AS t
+                          FROM documents),
+            m AS (SELECT doc_id, t, len(t) AS n,
+                         list_sum(list_transform(t, x -> length(x)))
+                             AS sumlen,
+                         len(list_filter(t, x -> x IN
+                             ('the','a','of','to','and','in','is','it')))
+                             AS stopn,
+                         list_contains(t, 'dup') AS blocked
+                  FROM tokc),
+            kept AS (SELECT doc_id, t, n FROM m
+                     WHERE n >= 20 AND n <= 5000
+                       AND sumlen >= 3 * n AND sumlen <= 10 * n
+                       AND stopn * 100 >= 3 * n AND NOT blocked),
+            toks AS (SELECT doc_id, n, unnest(t) AS w,
+                            unnest(generate_series(1, len(t))) AS i
+                     FROM kept),
+            sh AS (SELECT doc_id, i AS pos, n,
+                          string_agg(w, ' ') OVER (
+                              PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN CURRENT ROW
+                              AND 7 FOLLOWING) AS s
+                   FROM toks),
+            occ AS (SELECT doc_id, pos, s FROM sh WHERE pos <= n - 7),
+            dup AS (SELECT doc_id, pos FROM (
+                      SELECT doc_id, pos,
+                             row_number() OVER (PARTITION BY s
+                                 ORDER BY doc_id, pos) AS rn
+                      FROM occ) WHERE rn > 1),
+            cov AS (SELECT DISTINCT doc_id, pos + d AS tp
+                    FROM dup,
+                         (SELECT unnest(generate_series(0, 7)) AS d) g),
+            survivors AS (
+                SELECT t.doc_id, count(*) AS kept_tokens,
+                       string_agg(t.w, ' ' ORDER BY t.i) AS text_dedup
+                FROM toks t LEFT JOIN cov c
+                    ON c.doc_id = t.doc_id AND c.tp = t.i
+                WHERE c.tp IS NULL
+                GROUP BY t.doc_id)
+            SELECT CASE WHEN (doc_id * 25781) % 100 < 80 THEN 'train'
+                        WHEN (doc_id * 25781) % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS docs,
+                   CAST(sum(kept_tokens) AS BIGINT) AS tokens,
+                   CAST(sum(length(text_dedup)) AS BIGINT) AS chars
+            FROM survivors GROUP BY 1 ORDER BY split
         """,
         # ExactSubstr REMOVAL applied: kept (uncovered) tokens rejoined
         # per doc; same dup/cov machinery as the span report, then an

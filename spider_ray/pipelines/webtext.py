@@ -1502,3 +1502,54 @@ def substring_apply_ds(docs_factory, k: int = _SPAN_K,
                             sp_doc, sp_start, sp_end)
 
     return joined.map_batches(apply_joined, batch_format="pyarrow")
+
+
+def webtext_prep_v3(sf_dir: str, force_distributed: bool = False):
+    """Composed modern-webtext prep v3, hash-checked END TO END against
+    ONE SQL statement: C4 rule filter → ExactSubstr duplicate-span
+    REMOVAL over the SURVIVING documents (Lee et al. 2021 applied
+    corpus-wide) → deterministic train/val/test split → per-split
+    integer stats (docs, kept tokens, reconstructed chars).
+
+    Scale shape: the filter finalizes in-batch (rejected docs never
+    leave their read batch); the span machinery sees only the filtered
+    stream (its aggregate shuffles int64 pairs only); removal applies
+    in-batch on the broadcast path; the split/stats tail is a pure map
+    + per-block count partials + one grouped sum over ≤3 rows per
+    block.  All outputs are integers, so the composition hash-matches
+    the oracle at any parallelism."""
+    from ray.data.aggregate import Sum
+
+    def kept_factory():
+        docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+        def keep(t: pa.Table) -> pa.Table:
+            _, reason = _c4_reasons(t["text"], t.num_rows)
+            return t.filter(pa.array(reason == "ok"))
+
+        return docs.map_batches(keep, batch_format="pyarrow")
+
+    deduped = substring_apply_ds(kept_factory,
+                                 force_distributed=force_distributed)
+
+    def split_partials(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        b = (ids * 25781) % 100
+        split = np.where(b < 80, "train",
+                         np.where(b < 90, "val", "test"))
+        out = pa.table({
+            "split": pa.array(split, pa.string()),
+            "kept_tokens": t["n_tokens_kept"],
+            "chars": pc.utf8_length(t["text_dedup"]),
+        })
+        g = pa.TableGroupBy(out, ["split"]).aggregate(
+            [("kept_tokens", "sum"), ("chars", "sum"),
+             ([], "count_all")])
+        return g.rename_columns(["split", "tokens", "chars", "docs"])
+
+    return (deduped.map_batches(split_partials, batch_format="pyarrow")
+            .groupby("split")
+            .aggregate(Sum("docs", alias_name="docs"),
+                       Sum("tokens", alias_name="tokens"),
+                       Sum("chars", alias_name="chars"))
+            .sort("split"))

@@ -2389,3 +2389,26 @@ class TestFrameSampling:
         pd.testing.assert_frame_equal(stats, want, check_dtype=False)
         assert ((stats["mean_pixel"] > 100)
                 & (stats["mean_pixel"] < 155)).all()  # uniform bytes
+
+
+class TestWebtextPrepV3:
+    @pytest.mark.parametrize("distributed", [False, True])
+    def test_composition_matches_sql(self, distributed):
+        import duckdb
+
+        import __ray_entry__ as entry
+        from spider_ray.pipelines.webtext import webtext_prep_v3
+
+        r = (webtext_prep_v3(SF, force_distributed=distributed)
+             .to_pandas().sort_values("split", ignore_index=True))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{SF}/documents.parquet')")
+        o = con.execute(entry.oracle_sql()["webtext_prep_v3"]).fetchdf()
+        pd.testing.assert_frame_equal(r, o.reset_index(drop=True),
+                                      check_dtype=False)
+        assert set(r["split"]) == {"train", "val", "test"}
+        # the composition must actually filter AND dedup: fewer docs
+        # than the corpus, fewer tokens than the unfiltered total
+        assert r["docs"].sum() < pq.read_table(
+            f"{SF}/documents.parquet").num_rows
