@@ -65,6 +65,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only — pytest checks vs pandas over the oracle-gated
         # order table
         "crawl_host_stats": cq.crawl_host_stats,
+        # crawl depth (BFS hops from the engine's own seed list along
+        # the href graph); rows-only — pytest hash-matches the full
+        # depth vector vs the unrolled SQL on every tier
+        "crawl_bfs_depth": cq.crawl_bfs_depth,
         # -- engine-conformance layer (flow DAG + expression mappers) ------
         "flow_basic_leaves": fq.flow_basic_leaves,
         # -- relational coverage (DuckDB-checked) -------------------------
@@ -165,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_user_item": gph.pagerank_user_item,
         "hits_user_item": gph.hits_user_item,
         "graph_components": gph.graph_components,
+        "graph_bfs_depth": gph.graph_bfs_depth,
         # -- deduplication -------------------------------------------------
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
@@ -202,7 +207,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from spider_ray.pipelines.graph import (hits_oracle_sql,
+    from spider_ray.pipelines.graph import (bfs_oracle_sql,
+                                            hits_oracle_sql,
                                             pagerank_oracle_sql)
 
     return {
@@ -215,6 +221,10 @@ def oracle_sql() -> dict[str, str]:
         # exact at any accumulation order; overflow loudly checked in
         # the engine, HUGEINT-widened + cast in the SQL).
         "hits_user_item": hits_oracle_sql(),
+        # Multi-source BFS depth: the SQL is the level-by-level unroll
+        # (each level CTE distinct-node-sized, MIN over levels = hop
+        # distance), seeds = 3 smallest node ids in both engines.
+        "graph_bfs_depth": bfs_oracle_sql(),
         # C4-style rule battery: first failing rule (fixed precedence)
         # is the reason; all compares are integer cross-products.
         "c4_style_filter": """

@@ -139,6 +139,41 @@ def crawl_pagerank(sf_dir: str, iters: int = 4, topn: int = 100,
                           tier=tier).limit(topn)
 
 
+def crawl_seed_urls(eng) -> list[str]:
+    """The engine's seed list in canonical form (the identity the
+    frontier dedups on) — non-crawlable schemes drop, duplicates
+    collapse.  Reads the fixture's seeds.parquet next to pages."""
+    from ..common.urlnorm import canonicalize
+
+    seeds_path = os.path.join(os.path.dirname(eng.pages_path),
+                              "seeds.parquet")
+    urls = pq.read_table(seeds_path, columns=["url"])["url"].to_pylist()
+    out = {c for c in (canonicalize(u) for u in urls) if c is not None}
+    return sorted(out)
+
+
+def crawl_bfs_depth(sf_dir: str, max_depth: int = 6,
+                    force_distributed: bool = False,
+                    tier: str | None = None):
+    """Crawl depth of every url in the corpus's href graph: minimum hop
+    distance from the engine's OWN seed list (canonicalized — the same
+    identity the frontier dedups on), capped at max_depth — the classic
+    frontier-scheduling signal (depth-bounded crawls, politeness
+    budgeting by depth).  graph.bfs_depth_edges over the same edge
+    table crawl_pagerank ranks.  Driver check is rows-only (the corpus
+    is self-generated); pytest hash-matches the FULL depth vector
+    against the unrolled level-by-level SQL oracle over the identical
+    edge table + seed list on every tier
+    (tests/test_pipelines.py::TestCrawlBfsDepth)."""
+    from .graph import bfs_depth_edges
+
+    eng = run_crawl_cached(sf_dir)  # shares the cached fixture
+    edges = crawl_link_edges(eng.pages_path)
+    return bfs_depth_edges(edges, seeds=crawl_seed_urls(eng),
+                           max_depth=max_depth,
+                           force_distributed=force_distributed, tier=tier)
+
+
 def crawl_anchor_stats(sf_dir: str):
     """Anchor-text aggregation per link TARGET — the web-index signal
     (the text other pages use to link to a url is a classic relevance

@@ -920,3 +920,247 @@ def _hits_msgpass(edges, node_deg, iters: int, out_deg: int, in_deg: int,
 
     return (out.map_batches(finish, batch_format="pyarrow")
             .sort(["auth_score", "node"], descending=[True, False]))
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS hop distance (crawl depth from the seed list)
+# ---------------------------------------------------------------------------
+
+_UNREACHED = np.iinfo(np.int64).max  # iteration-internal sentinel only
+
+
+def bfs_depth_edges(edges, seeds: list[str] | None = None,
+                    n_seeds: int = 3, max_depth: int = 6,
+                    force_distributed: bool = False,
+                    tier: str | None = None):
+    """Multi-source BFS hop distance along a DIRECTED distinct-edge
+    Dataset[(src, dst)] — the "crawl depth" of every node: the minimum
+    number of hops from any seed, capped at `max_depth`.  Returns
+    (node, depth) for every REACHED node, sorted by node; unreached
+    nodes are absent (the SQL replica has the same contract).
+
+    Seeds: an explicit url/node list, or (seeds=None) the `n_seeds`
+    lexicographically smallest node ids — a rule the SQL oracle can
+    replicate exactly.  Explicit seeds appear in the output at depth 0
+    even when no edge touches them (a seed page with no links is still
+    crawled); depths are pure int64 so every tier hash-matches the
+    unrolled SQL at any parallelism.
+
+    The reference engine walks its graph one dispatched message at a
+    time (reference pkg/spider/workflow.go:129 dependency dispatch);
+    this is the bulk, level-synchronous equivalent over the crawl's
+    href graph.  THREE tiers like pagerank_edges (auto by size; `tier`
+    forces one in tests):
+      driver     edges fit the driver: per-level masked scatter-min
+                 over int-indexed edge arrays (O(E) per level).
+      broadcast  edges unbounded, NODES fit a worker (the 10^10-edge /
+                 10^8-host web regime): the int64 distance vector is
+                 ray.put once per level; each edge block relaxes ONLY
+                 edges whose src sits on the current frontier
+                 (dist[si] == level) and returns its block-distinct
+                 newly-reached targets; the driver merges — frontier-
+                 sized traffic, no shuffle, early-exit when a level
+                 discovers nothing.
+      msgpass    nodes unbounded: min-label propagation (the
+                 components_of_edges shape) carrying depth+1 along
+                 out-edges, exactly max_depth rounds (level k settles
+                 every node at distance k — no convergence probe
+                 needed), messages stop expanding past max_depth."""
+    import ray.data as rd
+
+    assert tier in (None, "driver", "broadcast", "msgpass")
+    assert max_depth >= 0
+    edges = edges.materialize()
+    n_edges = edges.count()
+    empty = pa.table({"node": pa.array([], pa.string()),
+                      "depth": pa.array([], pa.int64())})
+
+    def _seed_arr() -> np.ndarray:
+        if seeds is not None:
+            return np.unique(np.asarray(list(seeds), dtype=object))
+        # default rule (shared with the SQL): n smallest node ids —
+        # a node-sized distinct + tiny head, never edge-sized driver pull
+        def node_partials(t: pa.Table) -> pa.Table:
+            s = t["src"].to_numpy(zero_copy_only=False)
+            d = t["dst"].to_numpy(zero_copy_only=False)
+            u = np.unique(np.concatenate([s, d]))[:n_seeds]  # block top-n
+            return pa.table({"node": pa.array(u)})
+
+        small = (edges.map_batches(node_partials, batch_format="pyarrow")
+                 .groupby("node").count().sort("node").limit(n_seeds)
+                 .to_pandas())
+        return small["node"].to_numpy()
+
+    if n_edges == 0:
+        if seeds is None:
+            return rd.from_arrow(empty)
+        sa = _seed_arr()
+        return rd.from_arrow(pa.table({
+            "node": pa.array(sa.tolist(), pa.string()),
+            "depth": pa.array(np.zeros(len(sa), np.int64), pa.int64())}))
+
+    seed_arr = _seed_arr()
+    use_driver = (tier == "driver" or
+                  (tier is None and n_edges <= _DRIVER_MAX_EDGES
+                   and not force_distributed))
+    if use_driver:
+        df = edges.to_pandas()
+        src = df["src"].to_numpy()
+        dst = df["dst"].to_numpy()
+        nodes = np.unique(np.concatenate([src, dst, seed_arr]))
+        si = np.searchsorted(nodes, src)
+        di = np.searchsorted(nodes, dst)
+        dist = np.full(len(nodes), _UNREACHED, np.int64)
+        dist[np.searchsorted(nodes, seed_arr)] = 0
+        for level in range(max_depth):
+            m = dist[si] == level  # level-synchronous frontier
+            if not m.any():
+                break
+            np.minimum.at(dist, di[m], level + 1)
+        keep = dist != _UNREACHED
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes[keep]),
+            "depth": pa.array(dist[keep], pa.int64())}))
+
+    # node universe (node-sized; also sizes the tier choice)
+    def node_partials(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(
+            np.unique(np.concatenate([s, d])))})
+
+    node_ds = (edges.map_batches(node_partials, batch_format="pyarrow")
+               .groupby("node").count().drop_columns(["count()"])
+               .materialize())
+    n_nodes = node_ds.count()
+
+    if tier == "broadcast" or (tier is None and n_nodes <= _BCAST_MAX_NODES):
+        import ray
+
+        nodes_arr = np.unique(np.concatenate(
+            [np.sort(node_ds.to_pandas()["node"].to_numpy()), seed_arr]))
+        int_edges = _int_index_edges(edges, nodes_arr)
+        dist = np.full(len(nodes_arr), _UNREACHED, np.int64)
+        dist[np.searchsorted(nodes_arr, seed_arr)] = 0
+        for level in range(max_depth):
+            state_ref = ray.put(dist)
+
+            def frontier_partials(t: pa.Table, _ref=state_ref,
+                                  _lv=level) -> pa.Table:
+                dist_b = ray.get(_ref)  # zero-copy shm view
+                si = t["si"].to_numpy(zero_copy_only=False)
+                di = t["di"].to_numpy(zero_copy_only=False)
+                tgt = di[dist_b[si] == _lv]
+                # block-distinct, only targets this level IMPROVES —
+                # the pull is newly-reached-frontier-sized, not edge-sized
+                tgt = np.unique(tgt)
+                tgt = tgt[dist_b[tgt] > _lv + 1]
+                return pa.table({"idx": pa.array(tgt, pa.int64())})
+
+            part = (int_edges.map_batches(frontier_partials,
+                                          batch_format="pyarrow")
+                    .to_pandas())
+            # a zero-row Dataset loses its columns at to_pandas()
+            idx = (part["idx"].to_numpy() if "idx" in part.columns
+                   else np.array([], np.int64))
+            if len(idx) == 0:
+                break
+            np.minimum.at(dist, idx, level + 1)
+        keep = dist != _UNREACHED
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes_arr[keep]),
+            "depth": pa.array(dist[keep], pa.int64())}))
+
+    # msgpass tier: min-depth propagation, exactly max_depth rounds
+    def to_edge_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["src"],
+            "d": pa.nulls(t.num_rows, pa.int64()),
+            "dst": t["dst"],
+        })
+
+    edge_rows = edges.map_batches(
+        to_edge_rows, batch_format="pyarrow").materialize()
+    labels = rd.from_arrow(pa.table({
+        "node": pa.array(seed_arr.tolist(), pa.string()),
+        "d": pa.array(np.zeros(len(seed_arr), np.int64), pa.int64()),
+        "dst": pa.nulls(len(seed_arr), pa.string()),
+    }))
+
+    def propagate(g: pa.Table, _cap=max_depth) -> pa.Table:
+        node = g["node"][0].as_py()
+        ds_ = g["d"].drop_null()
+        if len(ds_) == 0:
+            return pa.table({"node": pa.array([], pa.string()),
+                             "d": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.string())})
+        m = pc.min(ds_).as_py()
+        dsts = g["dst"].drop_null()
+        if isinstance(dsts, pa.ChunkedArray):
+            dsts = dsts.combine_chunks()
+        if m + 1 > _cap:
+            dsts = dsts.slice(0, 0)  # depth budget exhausted: keep, no send
+        out_nodes = pa.concat_arrays([pa.array([node], pa.string()), dsts])
+        k = len(dsts)
+        return pa.table({
+            "node": out_nodes,
+            "d": pa.array([m] + [m + 1] * k, pa.int64()),
+            "dst": pa.nulls(k + 1, pa.string()),
+        })
+
+    from ray.data.aggregate import Min
+
+    for _ in range(max_depth):
+        labels = (labels.union(edge_rows).groupby("node")
+                  .map_groups(propagate, batch_format="pyarrow")
+                  ).materialize()
+    out = labels.groupby("node").aggregate(Min("d", alias_name="depth"))
+    return (out.map_batches(
+        lambda t: pa.table({"node": t["node"],
+                            "depth": pc.cast(t["depth"], pa.int64())}),
+        batch_format="pyarrow").sort("node"))
+
+
+def graph_bfs_depth(sf_dir: str, max_depth: int = 6,
+                    force_distributed: bool = False,
+                    tier: str | None = None):
+    """BFS depth over the symmetric user-item interaction graph, seeds
+    = the 3 lexicographically smallest node ids (rule shared verbatim
+    with the SQL oracle)."""
+    return bfs_depth_edges(_distinct_edges(sf_dir), n_seeds=3,
+                           max_depth=max_depth,
+                           force_distributed=force_distributed, tier=tier)
+
+
+def bfs_sql_for_edges(edges_cte: str, seeds_sql: str | None = None,
+                      n_seeds: int = 3, max_depth: int = 6) -> str:
+    """Unrolled level-by-level SQL replica of bfs_depth_edges for any
+    edge derivation (`edges_cte` defines edges(src, dst), DISTINCT).
+    `seeds_sql` is a SELECT yielding seeds(node); default = the
+    n_seeds smallest node ids.  Each level CTE is distinct-node-sized
+    (no path explosion); depth = MIN over levels, the BFS identity."""
+    seeds_sql = seeds_sql or (
+        f"SELECT node FROM nodes ORDER BY node LIMIT {n_seeds}")
+    head = f"""
+        WITH {edges_cte},
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst FROM edges),
+        seeds AS ({seeds_sql}),
+        l0 AS (SELECT node, 0 AS depth FROM seeds)"""
+    steps, unions = [], ["SELECT * FROM l0"]
+    for i in range(1, max_depth + 1):
+        steps.append(f"""
+        l{i} AS (SELECT DISTINCT e.dst AS node, {i} AS depth
+                FROM l{i-1} p JOIN edges e ON e.src = p.node)""")
+        unions.append(f"SELECT * FROM l{i}")
+    body = ",".join(steps + [
+        "\n        lall AS (" + " UNION ALL ".join(unions) + ")"])
+    return (head + "," + body
+            + "\n        SELECT node, CAST(MIN(depth) AS BIGINT) AS depth"
+              " FROM lall GROUP BY node ORDER BY node")
+
+
+def bfs_oracle_sql(max_depth: int = 6) -> str:
+    """The driver oracle for graph_bfs_depth."""
+    return bfs_sql_for_edges(_USER_ITEM_EDGES_CTE, n_seeds=3,
+                             max_depth=max_depth)

@@ -2412,3 +2412,149 @@ class TestWebtextPrepV3:
         # than the corpus, fewer tokens than the unfiltered total
         assert r["docs"].sum() < pq.read_table(
             f"{SF}/documents.parquet").num_rows
+
+
+class TestBfsDepth:
+    """Multi-source BFS hop distance: all three tiers vs the unrolled
+    level-by-level SQL oracle, plus a brute-force property gate and the
+    explicit-seed edge cases."""
+
+    @pytest.mark.parametrize("tier", ["driver", "broadcast", "msgpass"])
+    def test_paths_match_duckdb(self, tier):
+        import duckdb
+
+        from spider_ray.pipelines.graph import (bfs_oracle_sql,
+                                                graph_bfs_depth)
+
+        r = (graph_bfs_depth(SF, tier=tier).to_pandas()
+             .sort_values("node", ignore_index=True))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS "
+                    f"SELECT * FROM read_parquet('{SF}/events.parquet')")
+        o = con.execute(bfs_oracle_sql()).fetchdf()
+        pd.testing.assert_frame_equal(r, o, check_dtype=False)
+        # the interaction graph must exercise >1 BFS level
+        assert r["depth"].max() >= 2
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @given(st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1, max_size=40),
+        st.integers(0, 4))
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def test_driver_matches_generated_sql_and_bruteforce(self, raw_edges,
+                                                         max_depth):
+        import duckdb
+        import ray.data as rd
+
+        from spider_ray.pipelines.graph import (bfs_depth_edges,
+                                                bfs_sql_for_edges)
+
+        df = pd.DataFrame({
+            "src": [f"n{a:02d}" for a, _ in raw_edges],
+            "dst": [f"n{b:02d}" for _, b in raw_edges],
+        }).drop_duplicates(ignore_index=True)
+        r = (bfs_depth_edges(rd.from_pandas(df), n_seeds=2,
+                             max_depth=max_depth)
+             .to_pandas().sort_values("node", ignore_index=True))
+        con = duckdb.connect()
+        con.register("edges_tbl", df)
+        o = con.execute(bfs_sql_for_edges(
+            "edges AS (SELECT src, dst FROM edges_tbl)",
+            n_seeds=2, max_depth=max_depth)).fetchdf()
+        pd.testing.assert_frame_equal(r, o, check_dtype=False)
+        # independent brute force: dict BFS over the adjacency list
+        nodes = sorted(set(df["src"]) | set(df["dst"]))
+        adj: dict[str, list[str]] = {}
+        for a, b in zip(df["src"], df["dst"]):
+            adj.setdefault(a, []).append(b)
+        dist = {s: 0 for s in nodes[:2]}
+        frontier = list(dist)
+        for lvl in range(max_depth):
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, []):
+                    if v not in dist:
+                        dist[v] = lvl + 1
+                        nxt.append(v)
+            frontier = nxt
+        expect = pd.DataFrame(sorted(dist.items()),
+                              columns=["node", "depth"])
+        pd.testing.assert_frame_equal(r, expect, check_dtype=False)
+
+    def test_explicit_isolated_seed_and_empty_edges(self):
+        import ray.data as rd
+
+        from spider_ray.pipelines.graph import bfs_depth_edges
+
+        df = pd.DataFrame({"src": ["a", "b"], "dst": ["b", "c"]})
+        # a seed no edge touches still appears at depth 0
+        r = (bfs_depth_edges(rd.from_pandas(df), seeds=["zzz", "a"],
+                             max_depth=8)
+             .to_pandas().sort_values("node", ignore_index=True))
+        assert r.set_index("node")["depth"].to_dict() == {
+            "a": 0, "b": 1, "c": 2, "zzz": 0}
+        # depth cap: max_depth=1 stops the wave at b
+        r1 = (bfs_depth_edges(rd.from_pandas(df), seeds=["a"], max_depth=1)
+              .to_pandas().sort_values("node", ignore_index=True))
+        assert r1.set_index("node")["depth"].to_dict() == {"a": 0, "b": 1}
+        # zero-edge dataset with explicit seeds: seeds at depth 0
+        empty = rd.from_pandas(df.head(0))
+        r2 = bfs_depth_edges(empty, seeds=["s2", "s1"]).to_pandas()
+        assert r2.set_index("node")["depth"].to_dict() == {"s1": 0, "s2": 0}
+
+
+class TestCrawlBfsDepth:
+    """Crawl depth over the crawl fixture's REAL href graph from the
+    engine's own canonicalized seed list — full depth vector vs the
+    unrolled SQL oracle over the identical edge table + seeds, on every
+    tier."""
+
+    @pytest.fixture(scope="class")
+    def graph_inputs(self):
+        from spider_ray.pipelines.crawl_queries import (
+            crawl_link_edges, crawl_seed_urls, run_crawl_cached)
+
+        eng = run_crawl_cached(SF)
+        return (crawl_link_edges(eng.pages_path).to_pandas(),
+                crawl_seed_urls(eng))
+
+    def _oracle(self, edge_df, seed_urls, max_depth):
+        import duckdb
+
+        from spider_ray.pipelines.graph import bfs_sql_for_edges
+
+        con = duckdb.connect()
+        con.register("edges_tbl", edge_df)
+        con.register("seeds_tbl", pd.DataFrame({"node": seed_urls}))
+        return con.execute(bfs_sql_for_edges(
+            "edges AS (SELECT src, dst FROM edges_tbl)",
+            seeds_sql="SELECT node FROM seeds_tbl",
+            max_depth=max_depth)).fetchdf()
+
+    @pytest.mark.parametrize("tier", ["driver", "broadcast", "msgpass"])
+    def test_full_depth_vector_matches_oracle(self, graph_inputs, tier):
+        import ray.data as rd
+
+        from spider_ray.pipelines.graph import bfs_depth_edges
+
+        edge_df, seed_urls = graph_inputs
+        r = (bfs_depth_edges(rd.from_pandas(edge_df), seeds=seed_urls,
+                             max_depth=4, tier=tier)
+             .to_pandas().sort_values("node", ignore_index=True))
+        o = self._oracle(edge_df, seed_urls, max_depth=4)
+        pd.testing.assert_frame_equal(r, o, check_dtype=False)
+        # the crawl graph must actually fan out past the seed level
+        assert r["depth"].max() >= 2
+
+    def test_crawl_bfs_depth_query_matches_oracle(self, graph_inputs):
+        from spider_ray.pipelines.crawl_queries import crawl_bfs_depth
+
+        edge_df, seed_urls = graph_inputs
+        r = (crawl_bfs_depth(SF, max_depth=4).to_pandas()
+             .sort_values("node", ignore_index=True))
+        o = self._oracle(edge_df, seed_urls, max_depth=4)
+        pd.testing.assert_frame_equal(r, o, check_dtype=False)
