@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_mix_sample": wt.domain_mix_sample,
         "dedup_incremental": wt.dedup_incremental,
         "dedup_incremental_indexed": wt.dedup_incremental_indexed,
+        "index_boolean_search": wt.index_boolean_search,
         "train_val_test_split": wt.train_val_test_split,
         "paragraph_dedup": wt.paragraph_dedup,
         "dedup_substring_spans": wt.dedup_substring_spans,
@@ -1202,6 +1203,22 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_a, doc_b
         """,
         # ordering on the ROUNDED score in both engines (tfidf rule)
+        # Boolean AND retrieval: equality vs a direct scan certifies
+        # the persisted inverted file's build AND its partition-pruned
+        # probe (the engine reads only the query terms' hash buckets).
+        "index_boolean_search": """
+            WITH tok AS (SELECT doc_id,
+                                unnest(regexp_extract_all(lower(text),
+                                       '[a-z0-9_]+')) AS token
+                         FROM documents),
+            q(term) AS (VALUES ('spark'), ('window'), ('hash')),
+            tf AS (SELECT doc_id, token, count(*) AS tf
+                   FROM tok JOIN q ON token = term GROUP BY 1, 2)
+            SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_tf
+            FROM tf GROUP BY doc_id
+            HAVING count(*) = (SELECT count(*) FROM q)
+            ORDER BY doc_id
+        """,
         "keyword_search_topk": """
             WITH tok AS (SELECT doc_id,
                                 unnest(regexp_extract_all(lower(text),

@@ -1553,3 +1553,134 @@ def webtext_prep_v3(sf_dir: str, force_distributed: bool = False):
                        Sum("tokens", alias_name="tokens"),
                        Sum("chars", alias_name="chars"))
             .sort("split"))
+
+
+# ---------------------------------------------------------------------------
+# Persisted inverted index (postings file) + partition-pruned boolean search
+# ---------------------------------------------------------------------------
+
+_TEXT_INDEX_ROOT = "/tmp/spider_ray_text_idx"
+_TIDX_PARTS = 64  # hive partitions; a k-term query reads <= k of them
+
+
+def build_text_index(sf_dir: str, index_root: str = _TEXT_INDEX_ROOT) -> str:
+    """One-time inverted-file build over the corpus: (doc_id, token, tf)
+    postings rows hive-partitioned by pidx = token_hash & (_TIDX_PARTS-1)
+    — the materialized search index every retrieval stack keeps beside a
+    web corpus (the same resumable index shape as build_minhash_index /
+    the IVF cell files).  One streaming tokenize pass; per-batch
+    (doc, token) groupby pre-aggregates tf IN-BATCH (a document never
+    splits across batches, so per-batch rows are globally final — the
+    write shuffles nothing).  Idempotent via a marker keyed on source
+    identity (mtime+size+rows) and params."""
+    import hashlib
+    import json as _json
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from ..common.tokens import hash_string_array, split_tokens
+
+    path = f"{sf_dir}/documents.parquet"
+    _st = _os.stat(path)
+    key = _json.dumps({"src": _os.path.abspath(path),
+                       "mtime": _st.st_mtime, "size": _st.st_size,
+                       "rows": _pq.ParquetFile(path).metadata.num_rows,
+                       "parts": _TIDX_PARTS, "v": 1}, sort_keys=True)
+    idx_dir = _os.path.join(index_root, hashlib.blake2s(
+        key.encode(), digest_size=10).hexdigest())
+    marker = _os.path.join(idx_dir, "_SUCCESS")
+    if _os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() == key:
+                return idx_dir
+
+    def postings(t: pa.Table) -> pa.Table:
+        flat, parent = split_tokens(t["text"])
+        ids = np.asarray(t["doc_id"], dtype=np.int64)[parent]
+        pairs = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                          "token": flat})
+        g = pa.TableGroupBy(pairs, ["doc_id", "token"]).aggregate(
+            [("token", "count")])
+        h = hash_string_array(g["token"].combine_chunks()
+                              if isinstance(g["token"], pa.ChunkedArray)
+                              else g["token"])
+        return pa.table({
+            "doc_id": pc.cast(g["doc_id"], pa.int64()),
+            "token": g["token"],
+            "tf": pc.cast(g["token_count"], pa.int64()),
+            "pidx": pa.array((h & np.uint64(_TIDX_PARTS - 1))
+                             .astype(np.int32), pa.int32()),
+        })
+
+    (_rp(sf_dir, "documents", ["doc_id", "text"])
+     .map_batches(postings, batch_format="pyarrow", batch_size=4096)
+     .write_parquet(idx_dir, partition_cols=["pidx"], mode="overwrite"))
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(key + "\n")
+    _os.replace(tmp, marker)
+    return idx_dir
+
+
+def index_boolean_search(sf_dir: str,
+                         terms: tuple[str, ...] = SEARCH_TERMS):
+    """AND-semantics boolean retrieval against the PERSISTED inverted
+    file: documents containing EVERY query term, with total_tf = Σ tf
+    over the terms.  Reads ONLY the partitions the query terms' hashes
+    land in (measured read fraction printed) — a k-term query touches
+    ≤ k/_TIDX_PARTS of the index however large the corpus, the pruning
+    a scan-the-text search can't have.  Per-posting work is one is_in
+    mask; the only shuffle is the doc-keyed aggregate over
+    matched-postings-sized rows."""
+    import os as _os
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..common.tokens import hash_string_array
+
+    terms = tuple(dict.fromkeys(terms))  # distinct, order-stable
+    idx_dir = build_text_index(sf_dir)
+    term_arr = pa.array(list(terms), pa.string())
+    th = hash_string_array(term_arr)
+    hit = {int(h) & (_TIDX_PARTS - 1) for h in th}
+    all_parts = sorted(d for d in _os.listdir(idx_dir)
+                       if d.startswith("pidx="))
+    hit_dirs = [d for d in all_parts
+                if int(d.split("=", 1)[1]) in hit]
+    files = [_os.path.join(idx_dir, d, f)
+             for d in hit_dirs
+             for f in sorted(_os.listdir(_os.path.join(idx_dir, d)))
+             if f.endswith(".parquet")]
+    print(f"[index_boolean_search] probing {len(hit_dirs)}/"
+          f"{len(all_parts)} index partitions "
+          f"(read fraction {len(hit_dirs) / max(len(all_parts), 1):.3f})")
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "total_tf": pa.array([], pa.int64())})
+    if not files:
+        return rd.from_arrow(empty)
+
+    def probe(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["token"], value_set=term_arr))
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "tf": pc.cast(t["tf"], pa.int64()),
+            # postings are unique per (doc, token), so summing 1s counts
+            # DISTINCT matched terms — the AND predicate's left side
+            "one": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+        })
+
+    agg = (rd.read_parquet(files)
+           .map_batches(probe, batch_format="pyarrow")
+           .groupby("doc_id")
+           .aggregate(Sum("tf", alias_name="total_tf"),
+                      Sum("one", alias_name="n_terms")))
+    k = len(terms)
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["n_terms"], k))
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "total_tf": pc.cast(t["total_tf"], pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("doc_id")

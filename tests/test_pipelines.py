@@ -2558,3 +2558,52 @@ class TestCrawlBfsDepth:
              .sort_values("node", ignore_index=True))
         o = self._oracle(edge_df, seed_urls, max_depth=4)
         pd.testing.assert_frame_equal(r, o, check_dtype=False)
+
+
+class TestInvertedIndex:
+    """Persisted inverted file + partition-pruned boolean AND search."""
+
+    def test_search_matches_duckdb_and_prunes(self, capsys):
+        import duckdb
+
+        from spider_ray.pipelines.webtext import (_TIDX_PARTS,
+                                                  index_boolean_search)
+
+        terms = ("spark", "window", "hash")
+        r = (index_boolean_search(SF, terms).to_pandas()
+             .sort_values("doc_id", ignore_index=True))
+        printed = capsys.readouterr().out
+        con = duckdb.connect()
+        o = con.execute(f"""
+            WITH tok AS (SELECT doc_id,
+                                unnest(regexp_extract_all(lower(text),
+                                       '[a-z0-9_]+')) AS token
+                         FROM read_parquet('{SF}/documents.parquet')),
+            q(term) AS (VALUES ('spark'), ('window'), ('hash')),
+            tf AS (SELECT doc_id, token, count(*) AS tf
+                   FROM tok JOIN q ON token = term GROUP BY 1, 2)
+            SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_tf
+            FROM tf GROUP BY doc_id HAVING count(*) = 3
+            ORDER BY doc_id""").fetchdf()
+        pd.testing.assert_frame_equal(r, o, check_dtype=False)
+        assert len(r) > 0
+        # the probe must read at most |terms| of the hive partitions
+        import re as _re
+
+        m = _re.search(r"probing (\d+)/(\d+) index partitions", printed)
+        assert m, printed
+        assert int(m.group(1)) <= len(terms)
+        # denominator = partitions present on disk (≤ _TIDX_PARTS; the
+        # tiny SF corpus doesn't populate every hash bucket)
+        assert int(m.group(1)) < int(m.group(2)) <= _TIDX_PARTS
+
+    def test_build_idempotent_and_nonsense_term_empty(self):
+        from spider_ray.pipelines.webtext import (build_text_index,
+                                                  index_boolean_search)
+
+        d1 = build_text_index(SF)
+        d2 = build_text_index(SF)  # marker hit: no rebuild, same dir
+        assert d1 == d2
+        # a term that appears nowhere makes the AND empty
+        r = index_boolean_search(SF, ("spark", "zzzqqqxyzzy")).to_pandas()
+        assert len(r) == 0
