@@ -177,6 +177,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_embedding": dedup.dedup_embedding,
+        # dirty-key similarity join (SymSpell deletion blocking +
+        # exact vectorized distance-1 verify)
+        "fuzzy_match_customer_names": dedup.fuzzy_match_customer_names,
         # -- similarity search ---------------------------------------------
         "ann_topk_bruteforce": ann.ann_topk_bruteforce,
         "ann_topk_quantized": ann.ann_topk_quantized,
@@ -1369,6 +1372,19 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'und'
                    END AS lang_pred
             FROM hits
+        """,
+        # Edit-distance-1 similarity join: the oracle is the direct
+        # O(n²) levenshtein cross product (the |len diff|<=1 prefilter
+        # is implied by distance 1); equality certifies the deletion
+        # blocking loses no pair AND the vectorized verify is exact.
+        "fuzzy_match_customer_names": """
+            WITH c AS (SELECT c_custkey, c_name FROM customer)
+            SELECT a.c_custkey AS a_key, b.c_custkey AS b_key
+            FROM c a JOIN c b
+              ON a.c_custkey < b.c_custkey
+             AND abs(length(a.c_name) - length(b.c_name)) <= 1
+            WHERE levenshtein(a.c_name, b.c_name) = 1
+            ORDER BY a_key, b_key
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count

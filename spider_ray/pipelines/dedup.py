@@ -34,6 +34,7 @@ import pyarrow.parquet as pq
 
 from ..common.hashing import hash64
 from ..common.tokens import (
+    _string_offsets,
     char_ngram_hashes,
     simhash_batch,
     split_by_doc,
@@ -520,3 +521,211 @@ def dedup_embedding(sf_dir: str, threshold: float = 0.40):
                          "cosine": pa.array(out_c, pa.float64())})
 
     return ds.map_batches(block, batch_format="pyarrow", batch_size=512)
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance-1 similarity join (SymSpell deletion blocking)
+# ---------------------------------------------------------------------------
+
+_E1_OFFSET = np.uint64(14695981039346656037)  # FNV-1a basis
+_E1_PRIME = np.uint64(1099511628211)
+_E1_MAX_LEN = 128  # loud bound: L+1 deletion variants per key
+
+
+def _e1_row_hash(M: np.ndarray) -> np.ndarray:
+    """FNV-1a over each row of a (n, L) uint8 matrix, length mixed in —
+    equal strings hash equal (the blocking invariant); collisions only
+    add candidates (exact verification removes them).  The column loop
+    is bounded by _E1_MAX_LEN; every step is vectorized over rows."""
+    h = np.full(M.shape[0], _E1_OFFSET, np.uint64)
+    for j in range(M.shape[1]):
+        h = (h ^ M[:, j].astype(np.uint64)) * _E1_PRIME
+    return ((h ^ np.uint64(M.shape[1])) * _E1_PRIME).view(np.int64)
+
+
+def _ascii_matrix(rows: np.ndarray, off: np.ndarray,
+                  data: np.ndarray, length: int) -> np.ndarray:
+    """Gather equal-length string rows into an (n, length) uint8 matrix
+    — one fancy-indexed read of the Arrow data buffer, no Python rows."""
+    if length == 0:
+        return np.empty((len(rows), 0), np.uint8)
+    return data[off[rows][:, None]
+                + np.arange(length, dtype=np.int64)[None, :]]
+
+
+def _str_buf(col) -> tuple[pa.Array, np.ndarray, np.ndarray, np.ndarray]:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    off = _string_offsets(arr)
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    lens = np.diff(off)
+    if len(lens) and lens.max() > _E1_MAX_LEN:
+        raise ValueError(
+            f"edit1 join key longer than {_E1_MAX_LEN} bytes — "
+            "not an entity key; block on a hash of it instead")
+    return arr, off[:-1], data, lens
+
+
+def _deletion_key_rows(t: pa.Table, id_col: str, name_col: str) -> pa.Table:
+    """(id, name) batch -> (doc_id, band_id=0, band_hash) rows: one key
+    for the name itself plus one per single-character deletion — two
+    ASCII keys at Levenshtein distance <= 1 always share a key
+    (substitution: same-position deletions agree; indel: the shorter IS
+    a deletion of the longer), so blocking loses nothing."""
+    ids = np.asarray(t[id_col], dtype=np.int64)
+    _, off, data, lens = _str_buf(t[name_col])
+    out_ids, out_hash = [], []
+    for L in np.unique(lens):
+        rows = np.flatnonzero(lens == L)
+        M = _ascii_matrix(rows, off, data, int(L))
+        out_ids.append(ids[rows])
+        out_hash.append(_e1_row_hash(M))
+        for i in range(int(L)):
+            V = np.concatenate([M[:, :i], M[:, i + 1:]], axis=1)
+            out_ids.append(ids[rows])
+            out_hash.append(_e1_row_hash(V))
+    if not out_ids:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "band_id": pa.array([], pa.int32()),
+                         "band_hash": pa.array([], pa.int64())})
+    all_ids = np.concatenate(out_ids)
+    return pa.table({
+        "doc_id": pa.array(all_ids, pa.int64()),
+        "band_id": pa.array(np.zeros(len(all_ids), np.int32), pa.int32()),
+        "band_hash": pa.array(np.concatenate(out_hash), pa.int64()),
+    })
+
+
+def _edit1_mask(col_a, col_b) -> np.ndarray:
+    """Row-aligned exact check: Levenshtein(a, b) == 1 for ASCII keys,
+    fully vectorized per (len_a, len_b) combination — equal lengths are
+    a Hamming==1 test; off-by-one lengths test 'shorter equals longer
+    with position p removed' where p = first mismatch."""
+    _, off_a, data_a, la = _str_buf(col_a)
+    _, off_b, data_b, lb = _str_buf(col_b)
+    n = len(la)
+    mask = np.zeros(n, bool)
+    combos = np.unique(np.stack([la, lb], axis=1), axis=0)
+    for LA, LB in combos:
+        if abs(int(LA) - int(LB)) > 1:
+            continue
+        rows = np.flatnonzero((la == LA) & (lb == LB))
+        A = _ascii_matrix(rows, off_a, data_a, int(LA))
+        B = _ascii_matrix(rows, off_b, data_b, int(LB))
+        if LA == LB:
+            mask[rows] = (A != B).sum(axis=1) == 1
+            continue
+        if LA < LB:  # make A the longer side
+            A, B, LA, LB = B, A, LB, LA
+        if LB == 0:
+            mask[rows] = True  # one char vs empty
+            continue
+        neq = A[:, :int(LB)] != B
+        p = np.where(neq.any(axis=1), neq.argmax(axis=1), int(LB))
+        cols = np.arange(int(LB), dtype=np.int64)[None, :]
+        idx = cols + (cols >= p[:, None])
+        mask[rows] = (np.take_along_axis(A, idx, axis=1) == B).all(axis=1)
+    return mask
+
+
+def edit1_pairs(ds, id_col: str = "doc_id", name_col: str = "name",
+                force_distributed: bool = False,
+                driver_broadcast_max: int = 5_000_000):
+    """Similarity join on dirty string keys: all pairs of rows whose
+    `name_col` values are at Levenshtein distance EXACTLY 1 (ASCII
+    byte-level) — the entity-resolution primitive (misspelled hosts,
+    off-by-one ids, OCR'd names).  Returns (a_key, b_key), a < b by id,
+    sorted.
+
+    Scale shape = the repo's LSH recipe with SymSpell deletion blocking
+    (Garbe's symmetric-delete idea: distance-<=1 strings always share a
+    deletion variant): one map pass emits L+1 variant-hash keys per row,
+    the shared coarse-bucket machinery (_candidate_pairs_ds) turns
+    shared keys into distinct candidate id pairs, and verification is
+    the vectorized exact distance-1 test.  Never an all-pairs product —
+    candidates are bounded by real key collisions.
+
+    Verification paths (both forced in tests):
+      broadcast  (default while the (id, name) table fits a worker,
+                 like the graph broadcast tiers): names ray.put once,
+                 candidate batches gather by searchsorted.
+      join       force_distributed=True or a table above
+                 driver_broadcast_max rows: pairs⋈names⋈names via
+                 hash-partitioned Dataset.join — names travel only
+                 through the shuffle."""
+    import ray
+    import ray.data as rd
+
+    ds = ds.materialize()
+    keys = ds.map_batches(
+        lambda t: _deletion_key_rows(t, id_col, name_col),
+        batch_format="pyarrow", batch_size=4096)
+    cand = _candidate_pairs_ds(keys).materialize()
+    empty = pa.table({"a_key": pa.array([], pa.int64()),
+                      "b_key": pa.array([], pa.int64())})
+    if cand.count() == 0:
+        return rd.from_arrow(empty)
+
+    n_rows = ds.count()
+    if not force_distributed and n_rows <= driver_broadcast_max:
+        tbl = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+        order = pc.sort_indices(tbl[id_col])
+        tbl = tbl.take(order).combine_chunks()
+        ref = ray.put((np.asarray(tbl[id_col], dtype=np.int64),
+                       tbl[name_col]))
+
+        def verify_b(t: pa.Table, _ref=ref) -> pa.Table:
+            ids_sorted, names = ray.get(_ref)
+            ia = np.searchsorted(ids_sorted,
+                                 np.asarray(t["doc_a"], dtype=np.int64))
+            ib = np.searchsorted(ids_sorted,
+                                 np.asarray(t["doc_b"], dtype=np.int64))
+            na = names.take(pa.array(ia, pa.int64()))
+            nb = names.take(pa.array(ib, pa.int64()))
+            keep = _edit1_mask(na, nb)
+            sub = t.filter(pa.array(keep))
+            return pa.table({"a_key": pc.cast(sub["doc_a"], pa.int64()),
+                             "b_key": pc.cast(sub["doc_b"], pa.int64())})
+
+        return (cand.map_batches(verify_b, batch_format="pyarrow")
+                .sort(["a_key", "b_key"]))
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    num_partitions = max(2, cpus // 2)
+    names_ds = ds.map_batches(
+        lambda t: pa.table({"nid": pc.cast(t[id_col], pa.int64()),
+                            "nm": t[name_col]}),
+        batch_format="pyarrow")
+
+    def _rename(col_from: str, col_to: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns(
+                [col_to if n == col_from else n for n in t.column_names])
+        return fn
+
+    j1 = (cand.join(names_ds, join_type="inner",
+                    num_partitions=num_partitions,
+                    on=("doc_a",), right_on=("nid",))
+          .map_batches(_rename("nm", "nm_a"), batch_format="pyarrow"))
+    j2 = (j1.join(names_ds, join_type="inner",
+                  num_partitions=num_partitions,
+                  on=("doc_b",), right_on=("nid",))
+          .map_batches(_rename("nm", "nm_b"), batch_format="pyarrow"))
+
+    def verify_j(t: pa.Table) -> pa.Table:
+        keep = _edit1_mask(t["nm_a"], t["nm_b"])
+        sub = t.filter(pa.array(keep))
+        return pa.table({"a_key": pc.cast(sub["doc_a"], pa.int64()),
+                         "b_key": pc.cast(sub["doc_b"], pa.int64())})
+
+    return (j2.map_batches(verify_j, batch_format="pyarrow")
+            .sort(["a_key", "b_key"]))
+
+
+def fuzzy_match_customer_names(sf_dir: str,
+                               force_distributed: bool = False):
+    """Driver query: customer-name pairs at edit distance exactly 1 —
+    zero-padded ids make single-digit substitutions abundant, the dirty
+    -key join every entity-resolution pipeline runs before a merge."""
+    ds = _rp(sf_dir, "customer", ["c_custkey", "c_name"])
+    return edit1_pairs(ds, id_col="c_custkey", name_col="c_name",
+                       force_distributed=force_distributed)

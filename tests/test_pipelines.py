@@ -2607,3 +2607,80 @@ class TestInvertedIndex:
         # a term that appears nowhere makes the AND empty
         r = index_boolean_search(SF, ("spark", "zzzqqqxyzzy")).to_pandas()
         assert len(r) == 0
+
+
+class TestEdit1Join:
+    """SymSpell-blocked edit-distance-1 similarity join: both verify
+    paths vs the DuckDB levenshtein cross product, plus a brute-force
+    property gate on random short strings."""
+
+    @pytest.mark.parametrize("force", [False, True])
+    def test_customer_names_match_duckdb(self, force):
+        import duckdb
+
+        from spider_ray.pipelines.dedup import fuzzy_match_customer_names
+
+        r = (fuzzy_match_customer_names(SF, force_distributed=force)
+             .to_pandas().sort_values(["a_key", "b_key"],
+                                      ignore_index=True))
+        con = duckdb.connect()
+        o = con.execute(f"""
+            WITH c AS (SELECT c_custkey, c_name
+                       FROM read_parquet('{SF}/customer.parquet'))
+            SELECT a.c_custkey AS a_key, b.c_custkey AS b_key
+            FROM c a JOIN c b
+              ON a.c_custkey < b.c_custkey
+             AND abs(length(a.c_name) - length(b.c_name)) <= 1
+            WHERE levenshtein(a.c_name, b.c_name) = 1
+            ORDER BY a_key, b_key""").fetchdf()
+        pd.testing.assert_frame_equal(r, o, check_dtype=False)
+        assert len(r) > 0  # zero-padded ids guarantee digit neighbours
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @given(st.lists(st.text(alphabet="abc", min_size=0, max_size=5),
+                    min_size=2, max_size=24, unique=True))
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def test_matches_bruteforce_levenshtein(self, names):
+        import ray.data as rd
+
+        from spider_ray.pipelines.dedup import edit1_pairs
+
+        df = pd.DataFrame({"doc_id": range(len(names)), "name": names})
+        r = (edit1_pairs(rd.from_pandas(df), id_col="doc_id",
+                         name_col="name")
+             .to_pandas())
+        got = (set(zip(r["a_key"], r["b_key"]))
+               if len(r) else set())
+
+        def lev(a: str, b: str) -> int:
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                                   prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        expect = {(i, j)
+                  for i in range(len(names)) for j in range(i + 1, len(names))
+                  if lev(names[i], names[j]) == 1}
+        assert got == expect
+
+    def test_indel_and_empty_edges(self):
+        import ray.data as rd
+
+        from spider_ray.pipelines.dedup import edit1_pairs
+
+        df = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "name": ["", "x", "xy", "axy", "zz", "xy"],
+        })
+        r = edit1_pairs(rd.from_pandas(df)).to_pandas()
+        got = set(zip(r["a_key"], r["b_key"]))
+        # ""~"x", "x"~"xy", "xy"~"axy", "x"~"" etc.; 6 == dup name of 3
+        # at distance 0 -> excluded; "xy"~"zz" distance 2 -> excluded
+        assert got == {(1, 2), (2, 3), (3, 4), (2, 6), (4, 6)}
