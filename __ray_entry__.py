@@ -121,6 +121,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only: grouped HLL; per-group error bound asserted in tests
         "approx_distinct_tokens_by_lang": sk.approx_distinct_tokens_by_lang,
         "heavy_hitter_tokens": sk.heavy_hitter_tokens,
+        # rows-only: Count-Min frequency sketch; one-sided guarantee
+        # (est >= exact, est <= exact + eN/width) asserted in tests
+        "cms_token_counts": sk.cms_token_counts,
         # rows-only: mergeable epsilon-summary; rank-error bound is the
         # contract (asserted in tests), not value equality with SQL
         "approx_quantile_event_value": sk.approx_quantile_event_value,

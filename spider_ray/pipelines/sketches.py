@@ -293,3 +293,97 @@ def approx_distinct_tokens_by_lang(sf_dir: str, p: int = 12):
             .groupby("lang").map_groups(merge_group,
                                         batch_format="pyarrow")
             .sort("lang"))
+
+
+class CountMinSketch:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005, public
+    algorithm): depth × width int64 counters, row hashes from the
+    multiply-add family (splitmix-derived, deterministic).  One-sided
+    guarantee: estimate ≥ true count always; estimate ≤ true +
+    (e/width)·N with probability 1 − e^(−depth).  Mergeable by
+    elementwise sum — the per-block sketch is depth·width·8 bytes
+    however many tokens the block holds."""
+
+    def __init__(self, width: int = 4096, depth: int = 4, seed: int = 99):
+        mixed = _splitmix64(np.arange(2 * depth, dtype=np.uint64)
+                            + np.uint64(seed))
+        self.a = mixed[:depth] | np.uint64(1)
+        self.b = mixed[depth:]
+        self.width, self.depth = width, depth
+        self.table = np.zeros((depth, width), np.int64)
+
+    def _idx(self, hashes: np.ndarray) -> np.ndarray:
+        h = hashes.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            v = h[None, :] * self.a[:, None] + self.b[:, None]
+        # top bits are the well-mixed ones in multiply-add families
+        return ((v >> np.uint64(32)) % np.uint64(self.width)).astype(np.int64)
+
+    def add(self, hashes: np.ndarray, counts: np.ndarray) -> None:
+        if len(hashes) == 0:
+            return
+        idx = self._idx(hashes)
+        for d in range(self.depth):  # depth is 4-8; rows are vectorized
+            np.add.at(self.table[d], idx[d], counts)
+
+    def estimate(self, hashes: np.ndarray) -> np.ndarray:
+        if len(hashes) == 0:
+            return np.zeros(0, np.int64)
+        idx = self._idx(hashes)
+        return np.min(np.stack([self.table[d][idx[d]]
+                                for d in range(self.depth)]), axis=0)
+
+    def merge(self, other: "CountMinSketch") -> None:
+        self.table += other.table
+
+
+def cms_token_counts(sf_dir: str, width: int = 4096, depth: int = 4):
+    """Approximate per-token frequencies from ONE mergeable Count-Min
+    pass: each block pre-aggregates its token counts in-batch and emits
+    a 128 KB sketch row; the driver sums the tables (kilobytes per
+    block — the raw token stream never shuffles) and probes the corpus
+    vocabulary.  rows-only for the driver (a sketch's estimates aren't
+    SQL-expressible); pytest asserts the one-sided guarantee
+    (estimate ≥ exact everywhere, and ≤ exact + (e/width)·N) plus a
+    forced-collision regime at tiny width."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..common.tokens import hash_string_array, split_tokens
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        cms = CountMinSketch(width, depth)
+        flat, _ = split_tokens(t["text"])
+        if len(flat):
+            h = hash_string_array(flat)
+            uh, counts = np.unique(h, return_counts=True)
+            cms.add(uh, counts.astype(np.int64))
+        return pa.table({"table": pa.array([cms.table.ravel().tolist()],
+                                           pa.list_(pa.int64()))})
+
+    merged = CountMinSketch(width, depth)
+    for batch in ds.map_batches(sketch_batch, batch_format="pyarrow") \
+                   .iter_batches(batch_size=64, batch_format="pyarrow"):
+        for tbl in batch["table"].to_pylist():
+            other = CountMinSketch(width, depth)
+            other.table = np.asarray(tbl, np.int64).reshape(depth, width)
+            merged.merge(other)
+
+    # probe set: the corpus vocabulary (vocab-sized distinct aggregate —
+    # per-batch distinct tokens are re-deduped by one grouped count)
+    def vocab_partials(t: pa.Table) -> pa.Table:
+        flat, _ = split_tokens(t["text"])
+        u = np.unique(np.asarray(flat, dtype=object)) if len(flat) else \
+            np.array([], dtype=object)
+        return pa.table({"token": pa.array(u, pa.string())})
+
+    vocab = (ds.map_batches(vocab_partials, batch_format="pyarrow")
+             .groupby("token").count().drop_columns(["count()"])
+             .sort("token").to_pandas())
+    toks = pa.array(vocab["token"].to_numpy(), pa.string())
+    est = merged.estimate(hash_string_array(toks)) if len(toks) else \
+        np.zeros(0, np.int64)
+    return pa.table({"token": toks,
+                     "approx_count": pa.array(est, pa.int64())})

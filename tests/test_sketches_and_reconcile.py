@@ -131,3 +131,41 @@ class TestQuantileSummary:
         got = float(out["p50"].iloc[0])
         true_rank = int(np.searchsorted(exact, got, side="left"))
         assert abs(true_rank - int(np.floor(0.5 * (n - 1)))) <= 2
+
+
+class TestCountMin:
+    """Count-Min frequency sketch: one-sided guarantee vs exact counts,
+    in the roomy regime (estimates exact) and a forced-collision regime
+    (tiny width: overestimates occur, bound still holds)."""
+
+    def _exact(self):
+        import duckdb
+
+        con = duckdb.connect()
+        return con.execute(f"""
+            SELECT t AS token, count(*) AS n FROM (
+              SELECT unnest(regexp_extract_all(lower(text),
+                                               '[a-z0-9_]+')) AS t
+              FROM read_parquet('{SF}/documents.parquet'))
+            GROUP BY t ORDER BY t""").fetchdf().set_index("token")["n"]
+
+    @pytest.mark.parametrize("width", [4096, 8])
+    def test_one_sided_bound(self, width):
+        import math
+
+        from spider_ray.pipelines.sketches import cms_token_counts
+
+        r = cms_token_counts(SF, width=width).to_pandas() \
+            .set_index("token")["approx_count"]
+        exact = self._exact()
+        assert sorted(r.index) == sorted(exact.index)
+        n_total = int(exact.sum())
+        eps_n = math.e / width * n_total
+        assert (r >= exact).all()          # CMS never undercounts
+        assert (r <= exact + eps_n).all()  # and overcounts within eps*N
+        if width == 4096:
+            # roomy sketch on a 31-word vocab: collisions can't occur
+            assert (r == exact).all()
+        else:
+            # 31 tokens into 8 columns MUST collide somewhere
+            assert (r > exact).any()
