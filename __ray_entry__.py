@@ -157,6 +157,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": wt.dedup_incremental,
         "dedup_incremental_indexed": wt.dedup_incremental_indexed,
         "index_boolean_search": wt.index_boolean_search,
+        # rows-only: round k's argmax feeds round k+1 (not one SQL
+        # statement); pytest pins BOTH tiers to an independent
+        # dict-based reference BPE trainer + hypothesis property gate
+        "bpe_train_merges": wt.bpe_train_merges,
         "train_val_test_split": wt.train_val_test_split,
         "paragraph_dedup": wt.paragraph_dedup,
         "dedup_substring_spans": wt.dedup_substring_spans,

@@ -1684,3 +1684,183 @@ def index_boolean_search(sf_dir: str,
                          "total_tf": pc.cast(t["total_tf"], pa.int64())})
 
     return agg.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (Sennrich et al. 2016, public algorithm)
+# ---------------------------------------------------------------------------
+
+def _bpe_apply_merges(sym: np.ndarray, parent: np.ndarray,
+                      merges: list) -> tuple[np.ndarray, np.ndarray]:
+    """Apply learned merges IN ORDER to a flat (symbol, word-index)
+    stream — vectorized per merge: match adjacent (L, R) within a word,
+    resolve overlapping matches (runs of identical symbols) by keeping
+    even offsets within each run (greedy leftmost-first, the standard
+    rule), rewrite in one masked copy."""
+    for left, right in merges:
+        if len(sym) < 2:
+            break
+        m = ((sym[:-1] == left) & (sym[1:] == right)
+             & (parent[:-1] == parent[1:]))
+        pos = np.flatnonzero(m)
+        if len(pos) == 0:
+            continue
+        # overlaps only arise in runs of consecutive matches (requires
+        # L == R): keep even offsets within each run
+        new_run = np.ones(len(pos), bool)
+        new_run[1:] = np.diff(pos) != 1
+        run_id = np.cumsum(new_run) - 1
+        run_start = pos[new_run][run_id]
+        take = pos[((pos - run_start) & 1) == 0]
+        keep = np.ones(len(sym), bool)
+        keep[take + 1] = False
+        sym = sym.copy()
+        sym[take] = left + right
+        sym, parent = sym[keep], parent[keep]
+    return sym, parent
+
+
+def _bpe_chars(words: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Word-type column -> flat (char-symbol, word-index) stream, from
+    the Arrow buffers (no per-word Python)."""
+    from ..common.tokens import _as_array, _string_offsets
+
+    arr = _as_array(words)
+    off = _string_offsets(arr)
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    lens = np.diff(off)
+    total = int(lens.sum())
+    if total == 0:
+        return (np.array([], dtype=object), np.array([], np.int64))
+    starts = np.repeat(off[:-1], lens)
+    idx = starts + (np.arange(total) -
+                    np.repeat(np.cumsum(lens) - lens, lens))
+    chars = data[idx]
+    # single-char symbol strings without a per-char Python loop:
+    # bytes -> S1 -> U1 -> object, all vectorized casts
+    sym = np.frombuffer(chars.tobytes(), dtype="S1") \
+        .astype("U1").astype(object)
+    parent = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    return sym, parent
+
+
+def _bpe_pair_partials(t: pa.Table, merges: list) -> pa.Table:
+    """One block of the word-frequency table -> in-batch pre-aggregated
+    adjacent-pair counts under the merges learned so far."""
+    freq = np.asarray(t["freq"], dtype=np.int64)
+    sym, parent = _bpe_chars(t["word"])
+    sym, parent = _bpe_apply_merges(sym, parent, merges)
+    if len(sym) < 2:
+        return pa.table({"left": pa.array([], pa.string()),
+                         "right": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    m = parent[:-1] == parent[1:]
+    tbl = pa.table({
+        "left": pa.array(sym[:-1][m], pa.string()),
+        "right": pa.array(sym[1:][m], pa.string()),
+        "cnt": pa.array(freq[parent[:-1][m]], pa.int64()),
+    })
+    g = pa.TableGroupBy(tbl, ["left", "right"]).aggregate([("cnt", "sum")])
+    return pa.table({"left": g["left"], "right": g["right"],
+                     "cnt": g["cnt_sum"]})
+
+
+def _bpe_top1(t: pa.Table) -> pa.Table:
+    """Per-block argmax by (cnt desc, left asc, right asc)."""
+    if t.num_rows == 0:
+        return t
+    order = pc.sort_indices(t, sort_keys=[("cnt", "descending"),
+                                          ("left", "ascending"),
+                                          ("right", "ascending")])
+    return t.take(order[:1])
+
+
+def bpe_train_merges(sf_dir: str, n_merges: int = 12,
+                     force_distributed: bool = False,
+                     driver_vocab_max: int = 2_000_000):
+    """Learn the first n_merges byte-pair-encoding merges from the
+    corpus (Sennrich et al. 2016 §3.2): word-frequency model, then
+    iteratively merge the most frequent adjacent symbol pair (ties →
+    lexicographically smallest (left, right) — a fixed rule both tiers
+    share).  Returns (merge_rank, left, right, pair_count), one row per
+    learned merge (fewer if the pair stream dries up).
+
+    Scale shape: BPE trains on the word-TYPE table, never the token
+    stream — one grouped count makes (word, freq) [vocab-sized], and
+    each round is map_batches pair-counting (merges-so-far broadcast,
+    in-batch pre-aggregation) + one grouped sum + per-block argmax
+    partials reduced on the driver (model-sized rows, like the idf /
+    centroid broadcasts).  Driver tier below driver_vocab_max word
+    types runs the identical kernels locally; both tiers forced in
+    tests and equal.  rows-only for the driver gate: the argmax of
+    round k feeds round k+1 — not expressible as one SQL statement;
+    pytest pins both tiers to an independent dict-based reference."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..common.tokens import split_tokens
+
+    ds = _rp(sf_dir, "documents", ["text"])
+
+    def word_partials(t: pa.Table) -> pa.Table:
+        flat, _ = split_tokens(t["text"])
+        if len(flat) == 0:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "freq": pa.array([], pa.int64())})
+        g = pa.TableGroupBy(pa.table({"word": flat}), ["word"]) \
+            .aggregate([("word", "count")])
+        return pa.table({"word": g["word"],
+                         "freq": pc.cast(g["word_count"], pa.int64())})
+
+    words = (ds.map_batches(word_partials, batch_format="pyarrow")
+             .groupby("word").aggregate(Sum("freq", alias_name="freq"))
+             .materialize())
+    n_types = words.count()
+    merges: list[tuple[str, str]] = []
+    out_cnt: list[int] = []
+
+    use_driver = (not force_distributed) and n_types <= driver_vocab_max
+    if use_driver:
+        # empty aggregate blocks arrive schema-less — drop before concat
+        tabs = [t for t in ray.get(words.to_arrow_refs())
+                if t.num_rows > 0]
+        local = (pa.concat_tables(tabs).combine_chunks() if tabs else
+                 pa.table({"word": pa.array([], pa.string()),
+                           "freq": pa.array([], pa.int64())}))
+        for _ in range(n_merges):
+            part = _bpe_pair_partials(local, merges)
+            top = _bpe_top1(part)
+            if top.num_rows == 0:
+                break
+            merges.append((top["left"][0].as_py(),
+                           top["right"][0].as_py()))
+            out_cnt.append(top["cnt"][0].as_py())
+    else:
+        for _ in range(n_merges):
+            mref = ray.put(list(merges))
+
+            def partials(t: pa.Table, _m=mref) -> pa.Table:
+                return _bpe_pair_partials(t, ray.get(_m))
+
+            summed = (words.map_batches(partials, batch_format="pyarrow")
+                      .groupby(["left", "right"])
+                      .aggregate(Sum("cnt", alias_name="cnt")))
+            # per-block argmax partials; the driver reduces ≤ blocks rows
+            tops = (summed.map_batches(_bpe_top1, batch_format="pyarrow")
+                    .to_pandas())
+            if len(tops) == 0 or "cnt" not in tops.columns:
+                break
+            tops = tops.sort_values(
+                ["cnt", "left", "right"],
+                ascending=[False, True, True], ignore_index=True)
+            merges.append((tops["left"][0], tops["right"][0]))
+            out_cnt.append(int(tops["cnt"][0]))
+
+    return rd.from_arrow(pa.table({
+        "merge_rank": pa.array(np.arange(len(merges), dtype=np.int64),
+                               pa.int64()),
+        "left": pa.array([m[0] for m in merges], pa.string()),
+        "right": pa.array([m[1] for m in merges], pa.string()),
+        "pair_count": pa.array(out_cnt, pa.int64()),
+    }))

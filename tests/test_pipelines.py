@@ -2684,3 +2684,96 @@ class TestEdit1Join:
         # ""~"x", "x"~"xy", "xy"~"axy", "x"~"" etc.; 6 == dup name of 3
         # at distance 0 -> excluded; "xy"~"zz" distance 2 -> excluded
         assert got == {(1, 2), (2, 3), (3, 4), (2, 6), (4, 6)}
+
+
+def _ref_bpe(word_freq: dict, n_merges: int):
+    """Independent dict-based BPE trainer (Sennrich 2016): count every
+    adjacent pair (overlaps included), merge the max-count pair (ties →
+    lexicographically smallest), apply greedily leftmost-first."""
+    seqs = {w: list(w) for w in word_freq}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict = {}
+        for w, f in word_freq.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get(
+                    (s[i], s[i + 1]), 0) + f
+        if not counts:
+            break
+        (left, right), cnt = sorted(
+            counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((left, right, cnt))
+        for w in seqs:
+            s, out, i = seqs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def _kernel_bpe(word_freq: dict, n_merges: int):
+    """Drive the engine's vectorized kernels locally (the driver tier's
+    exact loop) over a crafted word-frequency table."""
+    from spider_ray.pipelines.webtext import (_bpe_pair_partials,
+                                              _bpe_top1)
+
+    local = pa.table({"word": pa.array(list(word_freq), pa.string()),
+                      "freq": pa.array(list(word_freq.values()),
+                                       pa.int64())})
+    merges, out = [], []
+    for _ in range(n_merges):
+        top = _bpe_top1(_bpe_pair_partials(local, merges))
+        if top.num_rows == 0:
+            break
+        merges.append((top["left"][0].as_py(), top["right"][0].as_py()))
+        out.append((*merges[-1], top["cnt"][0].as_py()))
+    return out
+
+
+class TestBpeTrain:
+    """BPE merge learning: vectorized kernels vs an independent
+    dict-based reference, overlap runs included; both Ray tiers equal
+    on the corpus."""
+
+    def test_overlap_runs_and_ties(self):
+        wf = {"aaaa": 3, "abab": 2, "ba": 5, "b": 7}
+        assert _kernel_bpe(wf, 6) == _ref_bpe(wf, 6)
+        # "aaaa"x3: (a,a) counted 9 (overlaps), merged greedily -> aa aa
+        first = _ref_bpe(wf, 1)[0]
+        assert first == ("a", "a", 9)
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @given(st.dictionaries(st.text(alphabet="ab_", min_size=1, max_size=6),
+                           st.integers(1, 9), min_size=1, max_size=12))
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def test_kernels_match_reference(self, wf):
+        assert _kernel_bpe(wf, 5) == _ref_bpe(wf, 5)
+
+    @pytest.mark.parametrize("force", [False, True])
+    def test_corpus_tiers_match_reference(self, force):
+        import duckdb
+
+        from spider_ray.pipelines.webtext import bpe_train_merges
+
+        r = bpe_train_merges(SF, n_merges=8,
+                             force_distributed=force).to_pandas()
+        con = duckdb.connect()
+        wf_df = con.execute(f"""
+            SELECT t AS word, count(*) AS f FROM (
+              SELECT unnest(regexp_extract_all(lower(text),
+                                               '[a-z0-9_]+')) AS t
+              FROM read_parquet('{SF}/documents.parquet'))
+            GROUP BY t""").fetchdf()
+        ref = _ref_bpe(dict(zip(wf_df["word"], wf_df["f"])), 8)
+        got = list(zip(r["left"], r["right"], r["pair_count"]))
+        assert got == ref
+        assert list(r["merge_rank"]) == list(range(len(ref)))
