@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_join_region_nation": rel.cross_join_region_nation,
         "flat_map_top_tokens": rel.flat_map_top_tokens,
         "window_hourly_user_value": rel.window_hourly_user_value,
+        "resample_hourly_gapfill": rel.resample_hourly_gapfill,
         "sessionize_users": rel.sessionize_users,
         "asof_join_purchase_click": rel.asof_join_purchase_click,
         "sliding_avg_user_value": rel.sliding_avg_user_value,
@@ -715,6 +716,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, date_trunc('hour', ts) AS hour,
                    round(sum(value), 2) AS sum_value, count(*) AS n_events
             FROM events GROUP BY user_id, date_trunc('hour', ts)
+        """,
+        # Gap-filled hourly resample: integer cents, per-user dense grid
+        # via generate_series; engine fills gaps join-free (zero-grid
+        # union + one grouped sum).
+        "resample_hourly_gapfill": """
+            WITH b AS (SELECT user_id, date_trunc('hour', ts) AS h,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events),
+            agg AS (SELECT user_id, h, sum(cents) AS cents
+                    FROM b GROUP BY 1, 2),
+            span AS (SELECT user_id, min(h) AS h0, max(h) AS h1
+                     FROM b GROUP BY 1),
+            grid AS (SELECT user_id,
+                            unnest(generate_series(h0, h1,
+                                                   INTERVAL 1 HOUR)) AS h
+                     FROM span)
+            SELECT g.user_id, g.h AS bucket_ts,
+                   CAST(COALESCE(a.cents, 0) AS BIGINT) AS value_cents
+            FROM grid g LEFT JOIN agg a
+              ON a.user_id = g.user_id AND a.h = g.h
+            ORDER BY g.user_id, g.h
         """,
         "sessionize_users": """
             SELECT user_id,

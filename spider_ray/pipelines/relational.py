@@ -1459,3 +1459,77 @@ def window_pct_rank_cume(sf_dir: str):
         return out
 
     return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def resample_hourly_gapfill(sf_dir: str):
+    """Time-series densify (gap fill): per user, EVERY hour bucket from
+    the user's first to last event, with value_cents = integer-cent sum
+    for hours that have events and 0 for the gaps — the resample step
+    every monitoring/feature pipeline runs before rolling windows.
+
+    Join-free shape: (user, hour) integer-cent partials pre-aggregate
+    in-batch -> ONE grouped sum [distinct-(user,hour)-sized shuffle];
+    per-user spans come from a user-sized Min/Max aggregate; the grid
+    EXPANDS from the span table inside map_batches (vectorized
+    repeat + cumsum arithmetic, 1 row -> n_hours rows) as zero-cent
+    rows that UNION with the real partials into one final grouped sum —
+    gap filling without a left join (Ray's join floor and its sparse-
+    side block gotcha both avoided).  Integer cents make the distributed
+    sums hash-exact vs the SQL at any parallelism."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    HOUR_US = 3_600_000_000
+    ds = _rp(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        hour_us = pc.cast(pc.floor_temporal(t["ts"], unit="hour"),
+                          pa.int64())
+        cents = _cents(np.asarray(t["value"], dtype=np.float64))
+        part = pa.table({"user_id": t["user_id"], "hour_us": hour_us,
+                         "cents": pa.array(cents, pa.int64())})
+        g = pa.TableGroupBy(part, ["user_id", "hour_us"]).aggregate(
+            [("cents", "sum")])
+        return pa.table({"user_id": g["user_id"],
+                         "hour_us": g["hour_us"],
+                         "value_cents": pc.cast(g["cents_sum"],
+                                                pa.int64())})
+
+    agg = (ds.map_batches(bucket, batch_format="pyarrow")
+           .groupby(["user_id", "hour_us"])
+           .aggregate(Sum("value_cents", alias_name="value_cents"))
+           .materialize())  # consumed twice: span + final union
+
+    span = (agg.groupby("user_id")
+            .aggregate(Min("hour_us", alias_name="h0"),
+                       Max("hour_us", alias_name="h1")))
+
+    def expand(t: pa.Table) -> pa.Table:
+        h0 = np.asarray(t["h0"], dtype=np.int64)
+        h1 = np.asarray(t["h1"], dtype=np.int64)
+        n = (h1 - h0) // HOUR_US + 1
+        users = np.repeat(np.asarray(t["user_id"]), n)
+        total = int(n.sum())
+        # per-row arange: global arange minus each row's start offset
+        starts = np.cumsum(n) - n
+        offs = np.arange(total, dtype=np.int64) - np.repeat(starts, n)
+        hours = np.repeat(h0, n) + offs * HOUR_US
+        return pa.table({
+            "user_id": pa.array(users),
+            "hour_us": pa.array(hours, pa.int64()),
+            "value_cents": pa.array(np.zeros(total, np.int64), pa.int64()),
+        })
+
+    grid = span.map_batches(expand, batch_format="pyarrow")
+    out = (agg.union(grid)
+           .groupby(["user_id", "hour_us"])
+           .aggregate(Sum("value_cents", alias_name="value_cents")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "bucket_ts": pc.cast(t["hour_us"], pa.timestamp("us")),
+            "value_cents": pc.cast(t["value_cents"], pa.int64()),
+        })
+
+    return (out.map_batches(finish, batch_format="pyarrow")
+            .sort(["user_id", "bucket_ts"]))

@@ -2777,3 +2777,38 @@ class TestBpeTrain:
         got = list(zip(r["left"], r["right"], r["pair_count"]))
         assert got == ref
         assert list(r["merge_rank"]) == list(range(len(ref)))
+
+
+class TestResampleGapfill:
+    def test_matches_duckdb_and_fills_gaps(self):
+        import duckdb
+
+        from spider_ray.pipelines.relational import resample_hourly_gapfill
+
+        r = (resample_hourly_gapfill(SF).to_pandas()
+             .sort_values(["user_id", "bucket_ts"], ignore_index=True))
+        con = duckdb.connect()
+        o = con.execute(f"""
+            WITH b AS (SELECT user_id, date_trunc('hour', ts) AS h,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM read_parquet('{SF}/events.parquet')),
+            agg AS (SELECT user_id, h, sum(cents) AS cents
+                    FROM b GROUP BY 1, 2),
+            span AS (SELECT user_id, min(h) AS h0, max(h) AS h1
+                     FROM b GROUP BY 1),
+            grid AS (SELECT user_id,
+                            unnest(generate_series(h0, h1,
+                                                   INTERVAL 1 HOUR)) AS h
+                     FROM span)
+            SELECT g.user_id, g.h AS bucket_ts,
+                   CAST(COALESCE(a.cents, 0) AS BIGINT) AS value_cents
+            FROM grid g LEFT JOIN agg a
+              ON a.user_id = g.user_id AND a.h = g.h
+            ORDER BY g.user_id, g.h""").fetchdf()
+        pd.testing.assert_frame_equal(r, o, check_dtype=False)
+        # the fixture must actually contain gaps (zero-filled rows) or
+        # the operator degenerates into window_hourly_user_value
+        assert (r["value_cents"] == 0).any()
+        # dense grid: per user, consecutive buckets are exactly 1h apart
+        gaps = r.groupby("user_id")["bucket_ts"].diff().dropna()
+        assert (gaps == pd.Timedelta(hours=1)).all()
