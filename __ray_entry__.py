@@ -162,6 +162,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # statement); pytest pins BOTH tiers to an independent
         # dict-based reference BPE trainer + hypothesis property gate
         "bpe_train_merges": wt.bpe_train_merges,
+        # rows-only: piece counts depend on the trained merges; pytest
+        # recomputes them from the independent reference trainer
+        "bpe_tokenize_stats": wt.bpe_tokenize_stats,
         "train_val_test_split": wt.train_val_test_split,
         "paragraph_dedup": wt.paragraph_dedup,
         "dedup_substring_spans": wt.dedup_substring_spans,

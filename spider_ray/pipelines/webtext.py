@@ -1864,3 +1864,64 @@ def bpe_train_merges(sf_dir: str, n_merges: int = 12,
         "right": pa.array([m[1] for m in merges], pa.string()),
         "pair_count": pa.array(out_cnt, pa.int64()),
     }))
+
+
+def bpe_tokenize_stats(sf_dir: str, n_merges: int = 8):
+    """Apply the learned BPE merges back to the corpus: per document,
+    the whitespace-token count and the BPE-piece count under the first
+    n_merges merges — the token-budget accounting step of a tokenizer
+    rollout (how much does the learned vocab compress the corpus?).
+
+    Model-broadcast shape: merges come from bpe_train_merges (a
+    model-sized table); piece counts are computed ONCE PER WORD TYPE
+    with the same vectorized kernels (vocab-sized work) and broadcast
+    as (sorted words, n_pieces) int-indexed vectors; each corpus batch
+    then only does a searchsorted gather + per-doc bincount — the token
+    stream is never segmented row-by-row.  rows-only for the driver
+    (depends on the trained merges); pytest recomputes piece counts
+    from the independent reference trainer and matches exactly."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..common.tokens import split_tokens
+
+    merges_df = bpe_train_merges(sf_dir, n_merges=n_merges).to_pandas()
+    merges = list(zip(merges_df["left"], merges_df["right"]))
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def vocab_partials(t: pa.Table) -> pa.Table:
+        flat, _ = split_tokens(t["text"])
+        u = (np.unique(np.asarray(flat, dtype=object)) if len(flat)
+             else np.array([], dtype=object))
+        return pa.table({"word": pa.array(u, pa.string())})
+
+    vocab = (ds.map_batches(vocab_partials, batch_format="pyarrow")
+             .groupby("word").count().drop_columns(["count()"])
+             .sort("word").to_pandas())
+    words_arr = pa.array(vocab["word"].to_numpy(), pa.string())
+    sym, parent = _bpe_chars(words_arr)
+    sym, parent = _bpe_apply_merges(sym, parent, merges)
+    n_pieces = (np.bincount(parent, minlength=len(words_arr))
+                .astype(np.int64) if len(parent)
+                else np.zeros(len(words_arr), np.int64))
+    ref = ray.put((vocab["word"].to_numpy(), n_pieces))
+
+    def per_doc(t: pa.Table, _ref=ref) -> pa.Table:
+        words_sorted, pieces = ray.get(_ref)
+        flat, par = split_tokens(t["text"])
+        n_tok = (np.bincount(par, minlength=t.num_rows).astype(np.int64)
+                 if len(par) else np.zeros(t.num_rows, np.int64))
+        if len(flat):
+            wi = np.searchsorted(words_sorted,
+                                 np.asarray(flat, dtype=object))
+            per_tok = pieces[wi]
+            n_pc = np.zeros(t.num_rows, np.int64)
+            np.add.at(n_pc, par, per_tok)
+        else:
+            n_pc = np.zeros(t.num_rows, np.int64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_tokens": pa.array(n_tok, pa.int64()),
+                         "n_pieces": pa.array(n_pc, pa.int64())})
+
+    return ds.map_batches(per_doc, batch_format="pyarrow").sort("doc_id")

@@ -2812,3 +2812,50 @@ class TestResampleGapfill:
         # dense grid: per user, consecutive buckets are exactly 1h apart
         gaps = r.groupby("user_id")["bucket_ts"].diff().dropna()
         assert (gaps == pd.Timedelta(hours=1)).all()
+
+
+class TestBpeApply:
+    def test_piece_counts_match_reference(self):
+        import duckdb
+
+        from spider_ray.pipelines.webtext import bpe_tokenize_stats
+
+        r = (bpe_tokenize_stats(SF, n_merges=8).to_pandas()
+             .sort_values("doc_id", ignore_index=True))
+        con = duckdb.connect()
+        tok = con.execute(f"""
+            SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                                                     '[a-z0-9_]+')) AS w
+            FROM read_parquet('{SF}/documents.parquet')""").fetchdf()
+        docs = con.execute(f"""
+            SELECT doc_id FROM read_parquet('{SF}/documents.parquet')
+            ORDER BY doc_id""").fetchdf()
+        wf = tok["w"].value_counts().to_dict()
+        merges = [(left, right) for left, right, _ in _ref_bpe(wf, 8)]
+
+        def seg_len(word: str) -> int:
+            s = list(word)
+            for left, right in merges:
+                out, i = [], 0
+                while i < len(s):
+                    if (i + 1 < len(s) and s[i] == left
+                            and s[i + 1] == right):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                s = out
+            return len(s)
+
+        pieces = {w: seg_len(w) for w in wf}
+        tok["np"] = tok["w"].map(pieces)
+        agg = tok.groupby("doc_id").agg(n_tokens=("w", "size"),
+                                        n_pieces=("np", "sum"))
+        expect = (docs.set_index("doc_id")
+                  .join(agg).fillna(0).astype(np.int64)
+                  .reset_index())
+        pd.testing.assert_frame_equal(r, expect, check_dtype=False)
+        # the learned merges must actually compress (pieces < chars)
+        assert (r["n_pieces"] >= r["n_tokens"]).all()
+        assert r["n_pieces"].sum() < int(tok["w"].str.len().sum())
