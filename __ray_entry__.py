@@ -96,6 +96,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "left_outer_join_customer_spend": rel.left_outer_join_customer_spend,
         "full_outer_join_nation_actors": rel.full_outer_join_nation_actors,
         "quantile_chars_by_lang": rel.quantile_chars_by_lang,
+        "quantile_cont_chars_by_lang": rel.quantile_cont_chars_by_lang,
+        "regression_price_by_flag": rel.regression_price_by_flag,
         "quantile_event_value_global": rel.quantile_event_value_global,
         "rank_docs_by_length_in_lang": rel.rank_docs_by_length_in_lang,
         "pivot_status_by_priority": rel.pivot_status_by_priority,
@@ -855,6 +857,26 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY nationkey
         """,
         # value at rank floor(q*(n-1)) of each group's sorted values:
+        # PERCENTILE_CONT semantics at binary-exact quarters: the
+        # interpolation weights are exact doubles in both engines.
+        "quantile_cont_chars_by_lang": """
+            SELECT lang, count(*) AS n_docs,
+                   round(quantile_cont(n_chars, 0.25), 4) AS p25_cont,
+                   round(quantile_cont(n_chars, 0.5), 4) AS p50_cont,
+                   round(quantile_cont(n_chars, 0.75), 4) AS p75_cont
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        # Grouped least squares from moment partials; round(4) at the
+        # END in both engines.
+        "regression_price_by_flag": """
+            SELECT l_returnflag, count(*) AS n,
+                   round(regr_slope(l_extendedprice, l_quantity), 4)
+                       AS slope,
+                   round(regr_intercept(l_extendedprice, l_quantity), 4)
+                       AS intercept,
+                   round(regr_r2(l_extendedprice, l_quantity), 4) AS r2
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
         "quantile_chars_by_lang": """
             WITH ranked AS (
               SELECT lang, n_chars,

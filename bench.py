@@ -114,6 +114,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "repetition_stats", "dedup_minhash_clusters", "pack_documents",
         "paragraph_dedup", "pagerank_user_item", "c4_style_filter",
         "dedup_substring_apply", "ann_topk_quantized", "url_canonicalize",
+        "graph_bfs_depth", "index_boolean_search",
     ]
     qs = entry.queries()
     # untimed warmup: the first Dataset execution of a session pays

@@ -1533,3 +1533,102 @@ def resample_hourly_gapfill(sf_dir: str):
 
     return (out.map_batches(finish, batch_format="pyarrow")
             .sort(["user_id", "bucket_ts"]))
+
+
+def quantile_cont_chars_by_lang(sf_dir: str, qs=(0.25, 0.5, 0.75)):
+    """Interpolated (PERCENTILE_CONT) grouped quantiles of document
+    length per language — the SQL-standard linear-interpolation
+    semantics, complementing the exact order-statistic variant
+    (quantile_chars_by_lang).  The q values are binary-exact doubles
+    (quarters), so pos = q·(n−1) and the interpolation weights are
+    exact in BOTH engines over integer values — the round(4) result
+    hash-matches with no ulp risk; a q like 0.9 would reintroduce
+    float-representation drift.
+
+    Same partitioning contract as the exact variant: one group's
+    values fit a worker (sort per group); the distributed
+    histogram-rank-select swap applies unchanged."""
+
+    ds = _rp(sf_dir, "documents", ["lang", "n_chars"])
+
+    def group_q(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(df["n_chars"].to_numpy()).astype(np.float64)
+        n = len(v)
+        row = {"lang": df["lang"].iloc[0], "n_docs": n}
+        for q in qs:
+            pos = q * (n - 1)
+            lo = int(np.floor(pos))
+            hi = min(lo + 1, n - 1)
+            frac = pos - lo
+            val = v[lo] * (1.0 - frac) + v[hi] * frac
+            row[f"p{int(q * 100)}_cont"] = np.round(val, 4)
+        return pd.DataFrame([row])
+
+    return (ds.groupby("lang").map_groups(group_q, batch_format="pandas")
+            .sort("lang"))
+
+
+def regression_price_by_flag(sf_dir: str):
+    """Grouped simple linear regression (least squares of extendedprice
+    on quantity per returnflag): slope / intercept / r² from per-block
+    moment partials (n, Σx, Σy, Σxx, Σyy, Σxy) + one grouped sum +
+    closed-form finalize — the stats_quantity_price_by_flag machinery
+    extended to the regression family.  round(4) at the END in both
+    engines; the shuffle carries 6 doubles per (flag, block)."""
+    from ray.data.aggregate import Sum
+
+    ds = _rp(sf_dir, "lineitem",
+             ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_returnflag").aggregate([])
+        flags = g["l_returnflag"]
+        x = np.asarray(t["l_quantity"], dtype=np.float64)
+        y = np.asarray(t["l_extendedprice"], dtype=np.float64)
+        idx = pc.index_in(t["l_returnflag"], value_set=flags)
+        idx = np.asarray(idx, dtype=np.int64)
+        k = len(flags)
+
+        def acc(vals):
+            s = np.zeros(k, np.float64)
+            np.add.at(s, idx, vals)
+            return s
+
+        return pa.table({
+            "l_returnflag": flags,
+            "n": pa.array(np.bincount(idx, minlength=k).astype(np.int64)),
+            "sx": pa.array(acc(x)), "sy": pa.array(acc(y)),
+            "sxx": pa.array(acc(x * x)), "syy": pa.array(acc(y * y)),
+            "sxy": pa.array(acc(x * y)),
+        })
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("l_returnflag")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sx", alias_name="sx"),
+                      Sum("sy", alias_name="sy"),
+                      Sum("sxx", alias_name="sxx"),
+                      Sum("syy", alias_name="syy"),
+                      Sum("sxy", alias_name="sxy")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["n"], dtype=np.float64)
+        sx, sy = np.asarray(t["sx"]), np.asarray(t["sy"])
+        sxx, syy = np.asarray(t["sxx"]), np.asarray(t["syy"])
+        sxy = np.asarray(t["sxy"])
+        cov = sxy / n - (sx / n) * (sy / n)
+        varx = sxx / n - (sx / n) ** 2
+        vary = syy / n - (sy / n) ** 2
+        slope = cov / varx
+        intercept = sy / n - slope * (sx / n)
+        r2 = (cov * cov) / (varx * vary)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "n": pc.cast(t["n"], pa.int64()),
+            "slope": pa.array(np.round(slope, 4)),
+            "intercept": pa.array(np.round(intercept, 4)),
+            "r2": pa.array(np.round(r2, 4)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .sort("l_returnflag")

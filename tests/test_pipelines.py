@@ -2859,3 +2859,46 @@ class TestBpeApply:
         # the learned merges must actually compress (pieces < chars)
         assert (r["n_pieces"] >= r["n_tokens"]).all()
         assert r["n_pieces"].sum() < int(tok["w"].str.len().sum())
+
+
+class TestQuantileContAndRegression:
+    def test_quantile_cont_matches_duckdb(self):
+        import duckdb
+
+        from spider_ray.pipelines.relational import (
+            quantile_cont_chars_by_lang)
+
+        r = (quantile_cont_chars_by_lang(SF).to_pandas()
+             .sort_values("lang", ignore_index=True))
+        con = duckdb.connect()
+        o = con.execute(f"""
+            SELECT lang, count(*) AS n_docs,
+                   round(quantile_cont(n_chars, 0.25), 4) AS p25_cont,
+                   round(quantile_cont(n_chars, 0.5), 4) AS p50_cont,
+                   round(quantile_cont(n_chars, 0.75), 4) AS p75_cont
+            FROM read_parquet('{SF}/documents.parquet')
+            GROUP BY lang ORDER BY lang""").fetchdf()
+        pd.testing.assert_frame_equal(r, o, check_dtype=False)
+        # interpolation must actually occur (some fractional result)
+        vals = r[["p25_cont", "p50_cont", "p75_cont"]].to_numpy()
+        assert (vals != np.floor(vals)).any()
+
+    def test_regression_matches_duckdb(self):
+        import duckdb
+
+        from spider_ray.pipelines.relational import regression_price_by_flag
+
+        r = (regression_price_by_flag(SF).to_pandas()
+             .sort_values("l_returnflag", ignore_index=True))
+        con = duckdb.connect()
+        o = con.execute(f"""
+            SELECT l_returnflag, count(*) AS n,
+                   round(regr_slope(l_extendedprice, l_quantity), 4)
+                       AS slope,
+                   round(regr_intercept(l_extendedprice, l_quantity), 4)
+                       AS intercept,
+                   round(regr_r2(l_extendedprice, l_quantity), 4) AS r2
+            FROM read_parquet('{SF}/lineitem.parquet')
+            GROUP BY l_returnflag ORDER BY l_returnflag""").fetchdf()
+        pd.testing.assert_frame_equal(r, o, check_dtype=False)
+        assert (r["r2"].between(0, 1)).all()
