@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub_props": ts.pii_scrub_props,
         "json_extract_props_stats": ts.json_extract_props_stats,
         "tfidf_top_terms_per_lang": ts.tfidf_top_terms_per_lang,
+        "pmi_adjacent_tokens": ts.pmi_adjacent_tokens,
         "repeated_shingles_topk": ts.repeated_shingles_topk,
         "lexical_diversity": ts.lexical_diversity,
         "token_entropy_by_lang": ts.token_entropy_by_lang,
@@ -988,6 +989,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         # ordering by the ROUNDED score in both engines: a last-ulp ln()
         # difference can never flip the top-k cutoff
+        # Adjacent-token PMI collocations: all denominators re-aggregate
+        # the pair-TYPE table; round(4) at the end in both engines.
+        "pmi_adjacent_tokens": """
+            WITH tok AS (SELECT doc_id,
+                                regexp_extract_all(lower(text),
+                                                   '[a-z0-9_]+') AS t
+                         FROM documents),
+            ex AS (SELECT doc_id, unnest(t) AS w,
+                          generate_subscripts(t, 1) AS i FROM tok),
+            p AS (SELECT a.w AS w1, b.w AS w2
+                  FROM ex a JOIN ex b
+                    ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+            c12 AS (SELECT w1, w2, count(*) AS pair_count
+                    FROM p GROUP BY 1, 2),
+            n AS (SELECT sum(pair_count) AS n FROM c12),
+            l AS (SELECT w1, sum(pair_count) AS cl FROM c12 GROUP BY 1),
+            r AS (SELECT w2, sum(pair_count) AS cr FROM c12 GROUP BY 1)
+            SELECT w1, w2, CAST(pair_count AS BIGINT) AS pair_count,
+                   round(ln(CAST(pair_count AS DOUBLE) * n / (cl * cr)),
+                         4) AS pmi
+            FROM c12 JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
+            WHERE pair_count >= 30
+            ORDER BY pmi DESC, w1, w2 LIMIT 20
+        """,
         "tfidf_top_terms_per_lang": """
             WITH tok AS (SELECT doc_id, lang,
                                 unnest(regexp_extract_all(lower(text),

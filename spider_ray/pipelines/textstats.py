@@ -632,3 +632,92 @@ def compression_ratio(sf_dir: str):
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def pmi_adjacent_tokens(sf_dir: str, min_count: int = 30, k: int = 20):
+    """Pointwise mutual information of adjacent token pairs — the
+    collocation-mining statistic (Church & Hanks 1990) every phrase
+    extractor runs over a web corpus: PMI(w1,w2) = ln(c12·N / (cl·cr))
+    over the ADJACENT-pair distribution (marginals cl/cr re-aggregate
+    the pair-TYPE table, so every denominator comes from one pass).
+    Top-k by (rounded pmi desc, w1, w2) among pairs with
+    pair_count ≥ min_count.
+
+    Scale shape: shifted-slice pair extraction + in-batch (w1,w2)
+    pre-aggregation -> ONE grouped sum [pair-type-sized shuffle];
+    marginals and N are pair-type re-aggregates broadcast like model
+    parameters (the tfidf idf pattern); scoring is an index_in gather
+    per block with a per-block top-k combiner."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..common.tokens import split_tokens
+
+    ds = _rp(sf_dir, "documents", ["text"])
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        flat, parent = split_tokens(t["text"])
+        if len(flat) < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "pair_count": pa.array([], pa.int64())})
+        m = parent[:-1] == parent[1:]
+        sym = np.asarray(flat, dtype=object)
+        tbl = pa.table({"w1": pa.array(sym[:-1][m], pa.string()),
+                        "w2": pa.array(sym[1:][m], pa.string())})
+        g = pa.TableGroupBy(tbl, ["w1", "w2"]).aggregate([("w1", "count")])
+        return pa.table({"w1": g["w1"], "w2": g["w2"],
+                         "pair_count": pc.cast(g["w1_count"], pa.int64())})
+
+    pairs = (ds.map_batches(pair_partials, batch_format="pyarrow")
+             .groupby(["w1", "w2"])
+             .aggregate(Sum("pair_count", alias_name="pair_count"))
+             .materialize())
+
+    def left_part(t: pa.Table) -> pa.Table:
+        return pa.table({"w": t["w1"], "c": t["pair_count"]})
+
+    def right_part(t: pa.Table) -> pa.Table:
+        return pa.table({"w": t["w2"], "c": t["pair_count"]})
+
+    lt = (pairs.map_batches(left_part, batch_format="pyarrow")
+          .groupby("w").aggregate(Sum("c", alias_name="c")).to_pandas())
+    rt = (pairs.map_batches(right_part, batch_format="pyarrow")
+          .groupby("w").aggregate(Sum("c", alias_name="c")).to_pandas())
+    n_total = int(lt["c"].sum())
+    if n_total == 0:
+        return rd.from_arrow(pa.table({
+            "w1": pa.array([], pa.string()),
+            "w2": pa.array([], pa.string()),
+            "pair_count": pa.array([], pa.int64()),
+            "pmi": pa.array([], pa.float64())}))
+    ref = ray.put((pa.array(lt["w"].to_numpy(), pa.string()),
+                   lt["c"].to_numpy(np.int64),
+                   pa.array(rt["w"].to_numpy(), pa.string()),
+                   rt["c"].to_numpy(np.int64), n_total))
+
+    def score(t: pa.Table, _ref=ref, _k=k) -> pa.Table:
+        lw, lc, rw, rc, n = ray.get(_ref)
+        t = t.filter(pc.greater_equal(t["pair_count"], min_count))
+        if t.num_rows == 0:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "pair_count": pa.array([], pa.int64()),
+                             "pmi": pa.array([], pa.float64())})
+        li = np.asarray(pc.index_in(t["w1"], value_set=lw))
+        ri = np.asarray(pc.index_in(t["w2"], value_set=rw))
+        c12 = np.asarray(t["pair_count"], dtype=np.float64)
+        pmi = np.round(np.log(c12 * n / (lc[li] * rc[ri])), 4)
+        out = pa.table({"w1": t["w1"], "w2": t["w2"],
+                        "pair_count": t["pair_count"],
+                        "pmi": pa.array(pmi, pa.float64())})
+        # per-block top-k combiner (same ordering as the final sort)
+        order = pc.sort_indices(out, sort_keys=[("pmi", "descending"),
+                                                ("w1", "ascending"),
+                                                ("w2", "ascending")])
+        return out.take(order[:_k])
+
+    return (pairs.map_batches(score, batch_format="pyarrow")
+            .sort(["pmi", "w1", "w2"], descending=[True, False, False])
+            .limit(k))

@@ -2902,3 +2902,37 @@ class TestQuantileContAndRegression:
             GROUP BY l_returnflag ORDER BY l_returnflag""").fetchdf()
         pd.testing.assert_frame_equal(r, o, check_dtype=False)
         assert (r["r2"].between(0, 1)).all()
+
+
+class TestPmiCollocations:
+    def test_matches_duckdb(self):
+        import duckdb
+
+        from spider_ray.pipelines.textstats import pmi_adjacent_tokens
+
+        r = pmi_adjacent_tokens(SF, min_count=20, k=15).to_pandas()
+        con = duckdb.connect()
+        o = con.execute(f"""
+            WITH tok AS (SELECT doc_id,
+                                regexp_extract_all(lower(text),
+                                                   '[a-z0-9_]+') AS t
+                         FROM read_parquet('{SF}/documents.parquet')),
+            ex AS (SELECT doc_id, unnest(t) AS w,
+                          generate_subscripts(t, 1) AS i FROM tok),
+            p AS (SELECT a.w AS w1, b.w AS w2
+                  FROM ex a JOIN ex b
+                    ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+            c12 AS (SELECT w1, w2, count(*) AS pair_count
+                    FROM p GROUP BY 1, 2),
+            n AS (SELECT sum(pair_count) AS n FROM c12),
+            l AS (SELECT w1, sum(pair_count) AS cl FROM c12 GROUP BY 1),
+            r AS (SELECT w2, sum(pair_count) AS cr FROM c12 GROUP BY 1)
+            SELECT w1, w2, CAST(pair_count AS BIGINT) AS pair_count,
+                   round(ln(CAST(pair_count AS DOUBLE) * n / (cl * cr)),
+                         4) AS pmi
+            FROM c12 JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
+            WHERE pair_count >= 20
+            ORDER BY pmi DESC, w1, w2 LIMIT 15""").fetchdf()
+        pd.testing.assert_frame_equal(r.reset_index(drop=True), o,
+                                      check_dtype=False)
+        assert len(r) == 15
