@@ -87,6 +87,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flat_map_top_tokens": rel.flat_map_top_tokens,
         "window_hourly_user_value": rel.window_hourly_user_value,
         "resample_hourly_gapfill": rel.resample_hourly_gapfill,
+        # rows-only: JetStream-semantics sliding dedup window (reference
+        # pkg/spider/nats.go:161) — the anchor-hop chain has no bounded
+        # SQL unroll; pytest pins an independent per-row reference loop
+        "dedup_events_window": rel.dedup_events_window,
         "sessionize_users": rel.sessionize_users,
         "asof_join_purchase_click": rel.asof_join_purchase_click,
         "sliding_avg_user_value": rel.sliding_avg_user_value,

@@ -1632,3 +1632,37 @@ def regression_price_by_flag(sf_dir: str):
 
     return agg.map_batches(finish, batch_format="pyarrow") \
         .sort("l_returnflag")
+
+
+def dedup_events_window(sf_dir: str, window_minutes: int = 30):
+    """Windowed message dedup with the reference's JetStream semantics
+    (reference pkg/spider/nats.go:161: a message with the same id
+    inside the dedup window is dropped; once the window since the KEPT
+    message passes, the next occurrence is kept again and anchors a new
+    window).  Key = (user_id, event_type); kept events returned sorted
+    by event_id.
+
+    The anchor-hopping chain is inherently sequential per key, but the
+    loop is over KEPT events only (searchsorted jumps over the sorted
+    group timestamps), not over rows — output-sized work per group.
+    Partitioned by key via groupby; ties inside a group break on
+    (ts, event_id) like every ordered operator here.  rows-only for the
+    driver: the hop chain's length is data-dependent (no bounded SQL
+    unroll); pytest pins both an independent per-row reference loop and
+    the window-reset property."""
+    ds = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    window_us = np.int64(window_minutes) * 60_000_000
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], ignore_index=True)
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        keep_idx = []
+        i, n = 0, len(ts)
+        while i < n:  # hops once per KEPT event
+            keep_idx.append(i)
+            i = int(np.searchsorted(ts, ts[i] + window_us, side="right"))
+        return g.iloc[keep_idx]
+
+    return (ds.groupby(["user_id", "event_type"])
+            .map_groups(per_key, batch_format="pandas")
+            .sort("event_id"))

@@ -2936,3 +2936,65 @@ class TestPmiCollocations:
         pd.testing.assert_frame_equal(r.reset_index(drop=True), o,
                                       check_dtype=False)
         assert len(r) == 15
+
+
+class TestDedupEventsWindow:
+    """JetStream-semantics sliding dedup window vs an independent
+    per-row reference loop (reference pkg/spider/nats.go:161 parity)."""
+
+    def test_matches_reference_loop(self):
+        import pyarrow.parquet as pq
+
+        from spider_ray.pipelines.relational import dedup_events_window
+
+        r = dedup_events_window(SF, window_minutes=30).to_pandas()
+        ev = pq.read_table(
+            f"{SF}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"]) \
+            .to_pandas().sort_values(["user_id", "event_type", "ts",
+                                      "event_id"], ignore_index=True)
+        w = pd.Timedelta(minutes=30)
+        kept = []
+        anchors: dict = {}
+        for row in ev.itertuples():  # independent O(rows) reference
+            key = (row.user_id, row.event_type)
+            a = anchors.get(key)
+            if a is None or row.ts > a + w:
+                anchors[key] = row.ts
+                kept.append(row.event_id)
+        expect = ev[ev["event_id"].isin(kept)] \
+            .sort_values("event_id", ignore_index=True)
+        pd.testing.assert_frame_equal(
+            r[["event_id", "ts", "user_id", "event_type"]]
+            .reset_index(drop=True),
+            expect[["event_id", "ts", "user_id", "event_type"]],
+            check_dtype=False)
+        # the window must actually drop something AND reset (some key
+        # keeps >= 2 events)
+        assert len(r) < len(ev)
+        assert r.groupby(["user_id", "event_type"]).size().max() >= 2
+
+    def test_window_reset_semantics(self):
+        import ray.data as rd
+
+        from spider_ray.pipelines.relational import dedup_events_window
+
+        # crafted chain: t=0 keep, t=20 drop, t=45 keep (window since
+        # t=0 passed), t=70 drop (within 30 of 45), t=80 keep
+        base = pd.Timestamp("2024-01-01")
+        df = pd.DataFrame({
+            "event_id": range(5),
+            "ts": [base + pd.Timedelta(minutes=m)
+                   for m in (0, 20, 45, 70, 80)],
+            "user_id": [7] * 5,
+            "event_type": ["click"] * 5,
+        })
+        import spider_ray.pipelines.relational as rel
+        orig = rel._rp
+        try:
+            rel._rp = lambda sf, tbl, cols: rd.from_pandas(df[cols])
+            r = dedup_events_window("ignored", window_minutes=30) \
+                .to_pandas()
+        finally:
+            rel._rp = orig
+        assert list(r["event_id"]) == [0, 2, 4]
