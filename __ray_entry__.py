@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_user_item": gph.hits_user_item,
         "graph_components": gph.graph_components,
         "graph_bfs_depth": gph.graph_bfs_depth,
+        "graph_triangles": gph.graph_triangles,
         # -- deduplication -------------------------------------------------
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
@@ -231,7 +232,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from spider_ray.pipelines.graph import (bfs_oracle_sql,
                                             hits_oracle_sql,
-                                            pagerank_oracle_sql)
+                                            pagerank_oracle_sql,
+                                            triangles_oracle_sql)
 
     return {
         # Fixed-point PageRank: the SQL is the 5-iteration unroll with the
@@ -247,6 +249,9 @@ def oracle_sql() -> dict[str, str]:
         # (each level CTE distinct-node-sized, MIN over levels = hop
         # distance), seeds = 3 smallest node ids in both engines.
         "graph_bfs_depth": bfs_oracle_sql(),
+        # Triangle count of the user co-occurrence projection: the SQL
+        # is the canonical 3-way self-join over the same projection.
+        "graph_triangles": triangles_oracle_sql(),
         # C4-style rule battery: first failing rule (fixed precedence)
         # is the reason; all compares are integer cross-products.
         "c4_style_filter": """

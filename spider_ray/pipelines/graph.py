@@ -1164,3 +1164,123 @@ def bfs_oracle_sql(max_depth: int = 6) -> str:
     """The driver oracle for graph_bfs_depth."""
     return bfs_sql_for_edges(_USER_ITEM_EDGES_CTE, n_seeds=3,
                              max_depth=max_depth)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (clustering structure of the co-occurrence graph)
+# ---------------------------------------------------------------------------
+
+TRIANGLE_FILTER = "error"  # shared with the SQL oracle
+
+
+def graph_triangles(sf_dir: str, force_distributed: bool = False,
+                    tier: str | None = None):
+    """Triangle count of the USER CO-OCCURRENCE projection: users are
+    adjacent when they touched the same item (event_type =
+    TRIANGLE_FILTER), triangles = closed triples — the clustering
+    signal community detection starts from.  Returns one row
+    (n_edges, n_triangles) for the canonical (a < b) projection.
+
+    Scale shape: the bipartite (user, item) DISTINCT edges come from
+    the usual pre-aggregated groupby; the projection emits per-item
+    user pairs inside map_groups (per-item work is C(deg,2) — the
+    classic projection hazard; the event filter bounds item degree
+    here, and a degree-ordered emit is the documented swap if a
+    mega-item corpus needs it) and one grouped distinct makes pairs
+    canonical.  Counting tiers (both forced in tests):
+      driver     adjacency arrays + per-edge sorted intersection.
+      join       wedge join e1(a,b)⋈e2(b,c) on b (a<b<c by edge
+                 canonicalization) closed against the edge set with a
+                 composite-key Dataset.join — the pure-relational
+                 triangle count, every stage hash-partitioned."""
+    import ray
+    import ray.data as rd
+
+    assert tier in (None, "driver", "join")
+    bip = _distinct_edges(sf_dir, event_type=TRIANGLE_FILTER,
+                          directed=True)
+
+    def item_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        users = np.sort(g["src"].to_numpy())
+        if len(users) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype=object),
+                                 "b": pd.Series([], dtype=object)})
+        i, j = np.triu_indices(len(users), k=1)
+        return pd.DataFrame({"a": users[i], "b": users[j]})
+
+    proj = (bip.groupby("dst").map_groups(item_pairs,
+                                          batch_format="pandas")
+            .groupby(["a", "b"]).count().drop_columns(["count()"])
+            .materialize())
+    n_edges = proj.count()
+    if n_edges == 0:
+        return rd.from_arrow(pa.table({
+            "n_edges": pa.array([0], pa.int64()),
+            "n_triangles": pa.array([0], pa.int64())}))
+
+    use_driver = (tier == "driver" or
+                  (tier is None and n_edges <= _DRIVER_MAX_EDGES
+                   and not force_distributed))
+    if use_driver:
+        df = proj.to_pandas()
+        a = df["a"].to_numpy()
+        b = df["b"].to_numpy()
+        nodes = np.unique(np.concatenate([a, b]))
+        ai = np.searchsorted(nodes, a)
+        bi = np.searchsorted(nodes, b)
+        # forward adjacency (neighbors with larger id), CSR-style
+        order = np.lexsort((bi, ai))
+        ai_s, bi_s = ai[order], bi[order]
+        starts = np.searchsorted(ai_s, np.arange(len(nodes) + 1))
+        tri = 0
+        for e in range(len(ai_s)):  # driver tier: per-edge intersect
+            u, v = ai_s[e], bi_s[e]
+            nu = bi_s[starts[u]:starts[u + 1]]
+            nv = bi_s[starts[v]:starts[v + 1]]
+            tri += len(np.intersect1d(nu, nv, assume_unique=True))
+        return rd.from_arrow(pa.table({
+            "n_edges": pa.array([n_edges], pa.int64()),
+            "n_triangles": pa.array([int(tri)], pa.int64())}))
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    # a sparse side can deliver NOTHING to a hash partition and the
+    # shuffle then builds a zero-column block (repo join gotcha):
+    # bound partitions by the edge count and repartition the inputs
+    nparts = max(2, min(cpus // 2, n_edges))
+    proj_r = proj.repartition(nparts).materialize()
+    e2 = proj_r.map_batches(
+        lambda t: pa.table({"b2": t["a"], "c": t["b"]}),
+        batch_format="pyarrow")
+    wedges = (proj_r.join(e2, join_type="inner", num_partitions=nparts,
+                          on=("b",), right_on=("b2",))
+              .map_batches(lambda t: pa.table({"a": t["a"], "c": t["c"]}),
+                           batch_format="pyarrow"))
+    closer = proj_r.map_batches(
+        lambda t: pa.table({"a2": t["a"], "c2": t["b"]}),
+        batch_format="pyarrow")
+    closed = wedges.join(closer, join_type="inner",
+                         num_partitions=nparts,
+                         on=("a", "c"), right_on=("a2", "c2"))
+    tri = closed.count()
+    return rd.from_arrow(pa.table({
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "n_triangles": pa.array([int(tri)], pa.int64())}))
+
+
+def triangles_oracle_sql() -> str:
+    return f"""
+        WITH s AS (SELECT DISTINCT
+                          'u' || CAST(user_id AS VARCHAR) AS u,
+                          'k' || regexp_extract(props,
+                                                '"k":\\s*(-?[0-9]+)',
+                                                1) AS k
+                   FROM events
+                   WHERE event_type = '{TRIANGLE_FILTER}'),
+        uu AS (SELECT DISTINCT s1.u AS a, s2.u AS b
+               FROM s s1 JOIN s s2 ON s1.k = s2.k AND s1.u < s2.u)
+        SELECT (SELECT count(*) FROM uu) AS n_edges,
+               (SELECT count(*)
+                FROM uu e1 JOIN uu e2 ON e2.a = e1.b
+                           JOIN uu e3 ON e3.a = e1.a AND e3.b = e2.b)
+                   AS n_triangles
+    """

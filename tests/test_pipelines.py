@@ -2998,3 +2998,21 @@ class TestDedupEventsWindow:
         finally:
             rel._rp = orig
         assert list(r["event_id"]) == [0, 2, 4]
+
+
+class TestTriangles:
+    @pytest.mark.parametrize("tier", ["driver", "join"])
+    def test_tiers_match_duckdb(self, tier):
+        import duckdb
+
+        from spider_ray.pipelines.graph import (graph_triangles,
+                                                triangles_oracle_sql)
+
+        r = graph_triangles(SF, tier=tier).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS "
+                    f"SELECT * FROM read_parquet('{SF}/events.parquet')")
+        o = con.execute(triangles_oracle_sql()).fetchdf()
+        pd.testing.assert_frame_equal(r, o, check_dtype=False)
+        # the fixture projection must actually close triangles
+        assert int(r["n_triangles"][0]) > 0
