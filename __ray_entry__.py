@@ -209,6 +209,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- alternative source/sink formats (roundtrip-certified) ---------
         "csv_source_doc_stats": src.csv_source_doc_stats,
         "jsonl_source_token_stats": src.jsonl_source_token_stats,
+        "parquet_partition_pruned_stats":
+            src.parquet_partition_pruned_stats,
         # rows-only: WARC roundtrip over the self-generated crawl corpus
         # (pytest pins parsed records == source parquet exactly)
         "warc_source_host_stats": src.warc_source_host_stats,
@@ -1404,6 +1406,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         # oracles for the format-roundtrip sources run on the ORIGINAL
         # parquet view — equality certifies the CSV/JSONL sink+source
+        # Partitioned-parquet roundtrip: the oracle filters the ORIGINAL
+        # table, so equality certifies the hive write + pruned read.
+        "parquet_partition_pruned_stats": """
+            SELECT lang, source, count(*) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars
+            FROM documents WHERE lang IN ('de', 'en')
+            GROUP BY lang, source ORDER BY lang, source
+        """,
         "csv_source_doc_stats": """
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(length(text)) AS BIGINT) AS total_text_chars

@@ -238,3 +238,82 @@ def warc_source_host_stats(sf_dir: str):
             .aggregate(Sum("total_chars", alias_name="total_chars"),
                        Sum("docs", alias_name="docs"))
             .sort("host"))
+
+
+def _partitioned_parquet_dir(sf_dir: str, table: str, col: str) -> str:
+    """Write `table` hive-partitioned by `col` under /tmp (once per
+    source version) and return the directory path — the standard
+    partitioned-output layout a resumable 100 TB job writes (one
+    directory per key, skippable on retry)."""
+    import ray.data as rd
+
+    src = f"{sf_dir}/{table}.parquet"
+    st = os.stat(src)
+    key = f"{os.path.basename(os.path.normpath(sf_dir))}-{table}-hive-" \
+          f"{col}-{st.st_mtime_ns}-{st.st_size}"
+    out = os.path.join(_CACHE_ROOT, key)
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    rd.read_parquet(src).write_parquet(out, partition_cols=[col],
+                                       mode="overwrite")
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def parquet_partition_pruned_stats(sf_dir: str, langs=("de", "en")):
+    """Hive-partitioned parquet sink + PARTITION-PRUNED source: write
+    documents partitioned by lang, then compute per-source stats for a
+    lang subset by reading ONLY those langs' partition directories —
+    the files of every other language are never opened (measured read
+    fraction printed).  The DuckDB oracle runs a WHERE lang IN (...)
+    over the ORIGINAL parquet, so equality certifies the partitioned
+    write, the pruned read, AND that pruning lost no rows."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    root = _partitioned_parquet_dir(sf_dir, "documents", "lang")
+    all_parts = sorted(d for d in os.listdir(root)
+                       if d.startswith("lang="))
+    hit = [d for d in all_parts
+           if d.split("=", 1)[1] in set(langs)]
+    print(f"[parquet_partition_pruned_stats] reading {len(hit)}/"
+          f"{len(all_parts)} partitions "
+          f"(read fraction {len(hit) / max(len(all_parts), 1):.3f})")
+    files = [os.path.join(root, d, f)
+             for d in hit
+             for f in sorted(os.listdir(os.path.join(root, d)))
+             if f.endswith(".parquet")]
+    empty = pa.table({"lang": pa.array([], pa.string()),
+                      "source": pa.array([], pa.string()),
+                      "n_docs": pa.array([], pa.int64()),
+                      "total_chars": pa.array([], pa.int64())})
+    if not files:
+        return rd.from_arrow(empty)
+    # the partition column lives in the PATH, not the file — carry it
+    # back via the per-directory read (lang is constant per directory)
+    parts = []
+    for d in hit:
+        lang = d.split("=", 1)[1]
+        fs = [os.path.join(root, d, f)
+              for f in sorted(os.listdir(os.path.join(root, d)))
+              if f.endswith(".parquet")]
+        sub = rd.read_parquet(fs, columns=["source", "text"])
+
+        def tag(t: pa.Table, _lang=lang) -> pa.Table:
+            return pa.table({
+                "lang": pa.array([_lang] * t.num_rows, pa.string()),
+                "source": t["source"],
+                "chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            })
+
+        parts.append(sub.map_batches(tag, batch_format="pyarrow"))
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return (ds.groupby(["lang", "source"])
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("chars", alias_name="total_chars"))
+            .sort(["lang", "source"]))

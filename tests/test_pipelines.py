@@ -3016,3 +3016,29 @@ class TestTriangles:
         pd.testing.assert_frame_equal(r, o, check_dtype=False)
         # the fixture projection must actually close triangles
         assert int(r["n_triangles"][0]) > 0
+
+
+class TestPartitionedParquetRoundtrip:
+    def test_pruned_read_matches_duckdb(self, capsys):
+        import duckdb
+
+        from spider_ray.pipelines.sources import (
+            parquet_partition_pruned_stats)
+
+        r = (parquet_partition_pruned_stats(SF, langs=("de", "en"))
+             .to_pandas().sort_values(["lang", "source"],
+                                      ignore_index=True))
+        printed = capsys.readouterr().out
+        con = duckdb.connect()
+        o = con.execute(f"""
+            SELECT lang, source, count(*) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars
+            FROM read_parquet('{SF}/documents.parquet')
+            WHERE lang IN ('de', 'en')
+            GROUP BY lang, source ORDER BY lang, source""").fetchdf()
+        pd.testing.assert_frame_equal(r, o, check_dtype=False)
+        # pruning must actually skip partitions (corpus has >2 langs)
+        import re as _re
+
+        m = _re.search(r"reading (\d+)/(\d+) partitions", printed)
+        assert m and int(m.group(1)) == 2 and int(m.group(2)) > 2
