@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_components": gph.graph_components,
         "graph_bfs_depth": gph.graph_bfs_depth,
         "graph_triangles": gph.graph_triangles,
+        "graph_degree_histogram": gph.graph_degree_histogram,
         # -- deduplication -------------------------------------------------
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
@@ -254,6 +255,18 @@ def oracle_sql() -> dict[str, str]:
         # Triangle count of the user co-occurrence projection: the SQL
         # is the canonical 3-way self-join over the same projection.
         "graph_triangles": triangles_oracle_sql(),
+        # Out-degree distribution (power-law sanity check).
+        "graph_degree_histogram": """
+            WITH e AS (SELECT DISTINCT
+                              'u' || CAST(user_id AS VARCHAR) AS src,
+                              'k' || regexp_extract(props,
+                                                    '"k":\\s*(-?[0-9]+)',
+                                                    1) AS dst
+                       FROM events),
+            d AS (SELECT src, count(*) AS degree FROM e GROUP BY src)
+            SELECT degree, count(*) AS n_users
+            FROM d GROUP BY degree ORDER BY degree
+        """,
         # C4-style rule battery: first failing rule (fixed precedence)
         # is the reason; all compares are integer cross-products.
         "c4_style_filter": """

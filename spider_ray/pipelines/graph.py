@@ -1284,3 +1284,28 @@ def triangles_oracle_sql() -> str:
                            JOIN uu e3 ON e3.a = e1.a AND e3.b = e2.b)
                    AS n_triangles
     """
+
+
+def graph_degree_histogram(sf_dir: str):
+    """Out-degree distribution of the directed user→item graph
+    (how many users touch exactly d distinct items) — the power-law
+    sanity check every web-graph pipeline runs before sizing skew
+    mitigations.  Two pre-aggregated shuffles, both tiny: DISTINCT
+    edges -> per-user degree (user-sized) -> per-block (degree, count)
+    partials -> one grouped sum (degree-DOMAIN-sized)."""
+    from ray.data.aggregate import Sum
+
+    edges = _distinct_edges(sf_dir, directed=True)
+    deg = edges.groupby("src").count()
+
+    def partials(t: pa.Table) -> pa.Table:
+        d = np.asarray(t["count()"], dtype=np.int64)
+        ud, cnt = np.unique(d, return_counts=True)
+        return pa.table({"degree": pa.array(ud, pa.int64()),
+                         "n_users": pa.array(cnt.astype(np.int64),
+                                             pa.int64())})
+
+    return (deg.map_batches(partials, batch_format="pyarrow")
+            .groupby("degree").aggregate(Sum("n_users",
+                                             alias_name="n_users"))
+            .sort("degree"))

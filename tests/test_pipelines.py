@@ -3042,3 +3042,26 @@ class TestPartitionedParquetRoundtrip:
 
         m = _re.search(r"reading (\d+)/(\d+) partitions", printed)
         assert m and int(m.group(1)) == 2 and int(m.group(2)) > 2
+
+
+class TestDegreeHistogram:
+    def test_matches_duckdb(self):
+        import duckdb
+
+        from spider_ray.pipelines.graph import graph_degree_histogram
+
+        r = (graph_degree_histogram(SF).to_pandas()
+             .sort_values("degree", ignore_index=True))
+        con = duckdb.connect()
+        o = con.execute(f"""
+            WITH e AS (SELECT DISTINCT
+                              'u' || CAST(user_id AS VARCHAR) AS src,
+                              'k' || regexp_extract(props,
+                                                    '"k":\\s*(-?[0-9]+)',
+                                                    1) AS dst
+                       FROM read_parquet('{SF}/events.parquet')),
+            d AS (SELECT src, count(*) AS degree FROM e GROUP BY src)
+            SELECT degree, count(*) AS n_users
+            FROM d GROUP BY degree ORDER BY degree""").fetchdf()
+        pd.testing.assert_frame_equal(r, o, check_dtype=False)
+        assert r["n_users"].sum() > 0 and len(r) > 1
