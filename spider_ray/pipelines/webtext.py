@@ -1905,16 +1905,18 @@ def bpe_tokenize_stats(sf_dir: str, n_merges: int = 8):
     n_pieces = (np.bincount(parent, minlength=len(words_arr))
                 .astype(np.int64) if len(parent)
                 else np.zeros(len(words_arr), np.int64))
-    ref = ray.put((vocab["word"].to_numpy(), n_pieces))
+    # broadcast the Arrow vocab + int vector; the per-batch gather is
+    # a hashed index_in (vectorized), not per-token Python compares
+    ref = ray.put((words_arr, n_pieces))
 
     def per_doc(t: pa.Table, _ref=ref) -> pa.Table:
-        words_sorted, pieces = ray.get(_ref)
+        vocab_arr, pieces = ray.get(_ref)
         flat, par = split_tokens(t["text"])
         n_tok = (np.bincount(par, minlength=t.num_rows).astype(np.int64)
                  if len(par) else np.zeros(t.num_rows, np.int64))
         if len(flat):
-            wi = np.searchsorted(words_sorted,
-                                 np.asarray(flat, dtype=object))
+            wi = np.asarray(pc.index_in(flat, value_set=vocab_arr),
+                            dtype=np.int64)
             per_tok = pieces[wi]
             n_pc = np.zeros(t.num_rows, np.int64)
             np.add.at(n_pc, par, per_tok)
