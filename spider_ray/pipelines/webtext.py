@@ -657,7 +657,8 @@ def build_minhash_index(sf_dir: str, num_perms: int = 64, bands: int = 16,
 def dedup_incremental_indexed(sf_dir: str, threshold: float = 0.8,
                               num_perms: int = 64, bands: int = 16,
                               verify_distributed: bool | None = None,
-                              driver_pair_threshold: int = 200_000):
+                              driver_pair_threshold: int = 200_000,
+                              index_root: str = _MINHASH_INDEX_ROOT):
     """Incremental near-dup detection against the PERSISTED signature
     index: today's batch (doc_id % 8 == 1) sketches itself, reads ONLY
     the index partitions its band hashes hit (measured read fraction
@@ -673,7 +674,8 @@ def dedup_incremental_indexed(sf_dir: str, threshold: float = 0.8,
     from .dedup import MinHasher, _dedup_pairs_ds, _sketch_bands, \
         _verify_dispatch
 
-    idx_dir = build_minhash_index(sf_dir, num_perms=num_perms, bands=bands)
+    idx_dir = build_minhash_index(sf_dir, num_perms=num_perms, bands=bands,
+                                  index_root=index_root)
     hasher = MinHasher(num_perms=num_perms)
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
 
@@ -1624,7 +1626,8 @@ def build_text_index(sf_dir: str, index_root: str = _TEXT_INDEX_ROOT) -> str:
 
 
 def index_boolean_search(sf_dir: str,
-                         terms: tuple[str, ...] = SEARCH_TERMS):
+                         terms: tuple[str, ...] = SEARCH_TERMS,
+                         index_root: str = _TEXT_INDEX_ROOT):
     """AND-semantics boolean retrieval against the PERSISTED inverted
     file: documents containing EVERY query term, with total_tf = Σ tf
     over the terms.  Reads ONLY the partitions the query terms' hashes
@@ -1641,7 +1644,7 @@ def index_boolean_search(sf_dir: str,
     from ..common.tokens import hash_string_array
 
     terms = tuple(dict.fromkeys(terms))  # distinct, order-stable
-    idx_dir = build_text_index(sf_dir)
+    idx_dir = build_text_index(sf_dir, index_root=index_root)
     term_arr = pa.array(list(terms), pa.string())
     th = hash_string_array(term_arr)
     hit = {int(h) & (_TIDX_PARTS - 1) for h in th}

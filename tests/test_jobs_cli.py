@@ -171,3 +171,37 @@ def test_run_exactsubstr_cli_stages_and_resume(tmp_path):
     want = (entry.queries()["dedup_substring_apply"](sf).to_pandas()
             .sort_values("doc_id", ignore_index=True))
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_run_index_cli_builds_and_probes(tmp_path):
+    """run_index.py must build the text + minhash indexes standalone,
+    probe them (search hits + read fractions printed), and skip both
+    builds on rerun (marker resume)."""
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "idx")
+    env = dict(os.environ, RAY_ADDRESS="local")
+
+    def run(extra):
+        return subprocess.run(
+            [sys.executable, os.path.join(REPO, "jobs", "run_index.py"),
+             "--sf", sf, "--out", out, "--num-cpus", "2", *extra],
+            capture_output=True, text=True, env=env, cwd=REPO,
+            timeout=420)
+
+    r = run(["--text", "--minhash", "--search", "spark,window"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [json.loads(x) for x in r.stdout.splitlines()
+             if x.startswith("{")]
+    done = [x for x in lines if x.get("done")][0]
+    assert os.path.exists(os.path.join(done["text_index"], "_SUCCESS"))
+    assert os.path.exists(os.path.join(done["minhash_index"], "_SUCCESS"))
+    assert done["search_hits"] > 0
+    assert "index partitions" in r.stdout  # measured pruning printed
+
+    # rerun: both builders hit their markers and return the same dirs
+    r2 = run(["--text", "--minhash"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    done2 = [json.loads(x) for x in r2.stdout.splitlines()
+             if x.startswith("{")][-1]
+    assert done2["text_index"] == done["text_index"]
+    assert done2["minhash_index"] == done["minhash_index"]
