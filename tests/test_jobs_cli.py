@@ -205,3 +205,69 @@ def test_run_index_cli_builds_and_probes(tmp_path):
              if x.startswith("{")][-1]
     assert done2["text_index"] == done["text_index"]
     assert done2["minhash_index"] == done["minhash_index"]
+
+
+def test_run_ingest_cli_exactly_once(tmp_path):
+    """run_ingest.py must process landing shards exactly once across
+    passes: wave 2 re-runs touch only the new shard, and kept counts
+    equal a direct DuckDB filter."""
+    import duckdb
+    import pyarrow as pa
+
+    incoming = tmp_path / "landing"
+    out = tmp_path / "ingested"
+    incoming.mkdir()
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                        columns=["doc_id", "text"])
+    pq.write_table(src.slice(0, 200), incoming / "shard-000.parquet")
+    pq.write_table(src.slice(200, 200), incoming / "shard-001.parquet")
+
+    env = dict(os.environ, RAY_ADDRESS="local")
+
+    def run():
+        return subprocess.run(
+            [sys.executable, os.path.join(REPO, "jobs", "run_ingest.py"),
+             "--incoming", str(incoming), "--out", str(out),
+             "--num-cpus", "2"],
+            capture_output=True, text=True, env=env, cwd=REPO,
+            timeout=420)
+
+    r = run()
+    assert r.returncode == 0, r.stderr[-2000:]
+    done = json.loads(r.stdout.splitlines()[-1])
+    assert sorted(done["processed"]) == ["shard-000", "shard-001"]
+
+    # wave 2: one more shard lands; only it is processed
+    pq.write_table(src.slice(400, 100), incoming / "shard-002.parquet")
+    r2 = run()
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    done2 = json.loads(r2.stdout.splitlines()[-1])
+    assert done2["processed"] == ["shard-002"]
+    assert sorted(done2["skipped"]) == ["shard-000", "shard-001"]
+
+    # exactly-once + correctness: kept rows == direct C4 filter verdicts
+    con = duckdb.connect()
+    total_kept = 0
+    for stem in ("shard-000", "shard-001", "shard-002"):
+        with open(out / stem / "_SUCCESS") as f:
+            total_kept += json.loads(f.read())["n_kept"]
+    expect = con.execute(f"""
+        WITH tok AS (SELECT doc_id,
+                            regexp_extract_all(lower(text),
+                                               '[a-z0-9_]+') AS t
+                     FROM read_parquet(
+                         '/root/testdata/sf0.001/documents.parquet')
+                     WHERE doc_id < 500),
+        m AS (SELECT doc_id, len(t) AS n,
+                     list_sum(list_transform(t, x -> length(x)))
+                         AS sumlen,
+                     len(list_filter(t, x -> x IN
+                         ('the','a','of','to','and','in','is','it')))
+                         AS stopn,
+                     list_contains(t, 'dup') AS blocked
+              FROM tok)
+        SELECT count(*) FROM m
+        WHERE n >= 20 AND n <= 5000 AND sumlen >= 3 * n
+          AND sumlen <= 10 * n AND stopn * 100 >= 3 * n
+          AND NOT blocked""").fetchone()[0]
+    assert total_kept == expect
