@@ -172,6 +172,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only: piece counts depend on the trained merges; pytest
         # recomputes them from the independent reference trainer
         "bpe_tokenize_stats": wt.bpe_tokenize_stats,
+        # rows-only: GD-trained quality classifier (weights aren't
+        # SQL); pytest pins weights to a single-machine reference and
+        # requires high rule-agreement
+        "quality_classifier_scores": wt.quality_classifier_scores,
         "train_val_test_split": wt.train_val_test_split,
         "paragraph_dedup": wt.paragraph_dedup,
         "dedup_substring_spans": wt.dedup_substring_spans,

@@ -3065,3 +3065,39 @@ class TestDegreeHistogram:
             FROM d GROUP BY degree ORDER BY degree""").fetchdf()
         pd.testing.assert_frame_equal(r, o, check_dtype=False)
         assert r["n_users"].sum() > 0 and len(r) > 1
+
+
+class TestQualityClassifier:
+    """Distributed IRLS logistic regression vs a single-machine
+    reference: same weights within float tolerance, high agreement
+    with the rule labels it distills."""
+
+    def test_weights_match_reference_and_agreement(self):
+        import pyarrow.parquet as pq
+
+        from spider_ray.pipelines.webtext import (_quality_xy,
+                                                  quality_classifier_scores,
+                                                  quality_classifier_train)
+
+        w = quality_classifier_train(SF, iters=8)
+        t = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["doc_id", "text"])
+        _ids, X, y = _quality_xy(t)
+        k = X.shape[1]
+        wr = np.zeros(k)
+        for _ in range(8):  # independent single-machine IRLS
+            z = np.clip(X @ wr, -30, 30)
+            p = 1.0 / (1.0 + np.exp(-z))
+            H = X.T @ (X * (p * (1.0 - p))[:, None])
+            wr = wr + np.linalg.solve(H + 1e-6 * np.eye(k),
+                                      X.T @ (y - p))
+        assert np.allclose(w, wr, rtol=1e-5, atol=1e-7), (w, wr)
+
+        r = quality_classifier_scores(SF).to_pandas()
+        agree = (r["predicted"] == r["rule_kept"]).mean()
+        majority = max(r["rule_kept"].mean(), 1 - r["rule_kept"].mean())
+        assert agree >= 0.9
+        assert agree > majority  # genuinely better than predict-all-kept
+        # probabilities separate the classes
+        assert (r[r["rule_kept"]]["p_kept"].mean()
+                > r[~r["rule_kept"]]["p_kept"].mean() + 0.2)
