@@ -64,6 +64,9 @@ def main() -> int:
                     if f.endswith(".parquet"))
     os.makedirs(args.out, exist_ok=True)
     processed, skipped = [], []
+    import time
+
+    claim_ttl = float(os.environ.get("INGEST_CLAIM_TTL_S", "3600"))
     for shard in shards:
         stem = shard[:-len(".parquet")]
         shard_out = os.path.join(args.out, stem)
@@ -71,6 +74,22 @@ def main() -> int:
         if os.path.exists(marker):
             skipped.append(stem)
             continue
+        # overlapping scheduled passes: claim the shard with O_EXCL
+        # before touching its output dir, so two ticks never overwrite
+        # kept/ concurrently; a crashed run's stale claim expires after
+        # claim_ttl and the shard is redone (the marker, written LAST,
+        # is still the only completion signal)
+        os.makedirs(shard_out, exist_ok=True)
+        claim = os.path.join(shard_out, "_CLAIM")
+        try:
+            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, f"{os.getpid()} {time.time()}\n".encode())
+            os.close(fd)
+        except FileExistsError:
+            if time.time() - os.path.getmtime(claim) < claim_ttl:
+                skipped.append(stem + " (claimed)")
+                continue
+            os.utime(claim)  # stale claim: steal it
         ds = rd.read_parquet(os.path.join(args.incoming, shard))
 
         def keep(t: pa.Table) -> pa.Table:
@@ -86,6 +105,10 @@ def main() -> int:
             f.write(json.dumps({"shard": shard, "n_in": ds.count(),
                                 "n_kept": n_kept}) + "\n")
         os.replace(tmp, marker)  # marker LAST: crash -> shard redone
+        try:
+            os.remove(claim)
+        except FileNotFoundError:
+            pass
         processed.append(stem)
         print(json.dumps({"stage": "shard", "shard": stem,
                           "n_kept": n_kept}))

@@ -21,3 +21,26 @@ def sf_of(sf_dir: str, default: float = 0.001) -> float:
 
     m = re.search(r"sf([0-9.]+)", sf_dir or "")
     return float(m.group(1)) if m else default
+
+
+def distinct_tokens(ds, column_out: str = "token"):
+    """Corpus vocabulary over a Dataset with a `text` column: per-batch
+    distinct tokens (the shared split_tokens kernel) re-deduped by ONE
+    grouped count — vocab-sized shuffle — returned as a SORTED pandas
+    frame with one column.  One definition so the probe vocabularies of
+    cms_token_counts and bpe_tokenize_stats can never drift from the
+    tokenizer."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..common.tokens import split_tokens
+
+    def partials(t: pa.Table) -> pa.Table:
+        flat, _ = split_tokens(t["text"])
+        u = (np.unique(np.asarray(flat, dtype=object)) if len(flat)
+             else np.array([], dtype=object))
+        return pa.table({column_out: pa.array(u, pa.string())})
+
+    return (ds.map_batches(partials, batch_format="pyarrow")
+            .groupby(column_out).count().drop_columns(["count()"])
+            .sort(column_out).to_pandas())

@@ -1228,16 +1228,29 @@ def graph_triangles(sf_dir: str, force_distributed: bool = False,
         nodes = np.unique(np.concatenate([a, b]))
         ai = np.searchsorted(nodes, a)
         bi = np.searchsorted(nodes, b)
-        # forward adjacency (neighbors with larger id), CSR-style
+        # forward adjacency (neighbors with larger id), CSR-style;
+        # count = wedges (u->v->w) whose closing edge (u,w) exists —
+        # fully vectorized: expand every edge by its head's out-degree,
+        # then one sorted-membership test on composite int keys
         order = np.lexsort((bi, ai))
         ai_s, bi_s = ai[order], bi[order]
-        starts = np.searchsorted(ai_s, np.arange(len(nodes) + 1))
+        n_nodes = len(nodes)
+        starts = np.searchsorted(ai_s, np.arange(n_nodes + 1))
+        out_deg = np.diff(starts)
+        rep = out_deg[bi_s]  # wedges continuing through each edge's head
+        total = int(rep.sum())
         tri = 0
-        for e in range(len(ai_s)):  # driver tier: per-edge intersect
-            u, v = ai_s[e], bi_s[e]
-            nu = bi_s[starts[u]:starts[u + 1]]
-            nv = bi_s[starts[v]:starts[v + 1]]
-            tri += len(np.intersect1d(nu, nv, assume_unique=True))
+        if total:
+            u_rep = np.repeat(ai_s, rep)
+            base = np.repeat(starts[bi_s], rep)
+            offs = (np.arange(total, dtype=np.int64)
+                    - np.repeat(np.cumsum(rep) - rep, rep))
+            w = bi_s[base + offs]
+            edge_keys = ai_s * n_nodes + bi_s  # sorted by construction
+            wedge_keys = u_rep * n_nodes + w
+            pos = np.searchsorted(edge_keys, wedge_keys)
+            pos = np.minimum(pos, len(edge_keys) - 1)
+            tri = int((edge_keys[pos] == wedge_keys).sum())
         return rd.from_arrow(pa.table({
             "n_edges": pa.array([n_edges], pa.int64()),
             "n_triangles": pa.array([int(tri)], pa.int64())}))
@@ -1254,14 +1267,20 @@ def graph_triangles(sf_dir: str, force_distributed: bool = False,
     wedges = (proj_r.join(e2, join_type="inner", num_partitions=nparts,
                           on=("b",), right_on=("b2",))
               .map_batches(lambda t: pa.table({"a": t["a"], "c": t["c"]}),
-                           batch_format="pyarrow"))
-    closer = proj_r.map_batches(
-        lambda t: pa.table({"a2": t["a"], "c2": t["b"]}),
-        batch_format="pyarrow")
-    closed = wedges.join(closer, join_type="inner",
-                         num_partitions=nparts,
-                         on=("a", "c"), right_on=("a2", "c2"))
-    tri = closed.count()
+                           batch_format="pyarrow")
+              .materialize())
+    if wedges.count() == 0:
+        # wedge-free projection (e.g. a perfect matching): the closing
+        # join would see schema-less empty blocks — answer directly
+        tri = 0
+    else:
+        closer = proj_r.map_batches(
+            lambda t: pa.table({"a2": t["a"], "c2": t["b"]}),
+            batch_format="pyarrow")
+        closed = wedges.join(closer, join_type="inner",
+                             num_partitions=nparts,
+                             on=("a", "c"), right_on=("a2", "c2"))
+        tri = closed.count()
     return rd.from_arrow(pa.table({
         "n_edges": pa.array([n_edges], pa.int64()),
         "n_triangles": pa.array([int(tri)], pa.int64())}))

@@ -371,17 +371,11 @@ def cms_token_counts(sf_dir: str, width: int = 4096, depth: int = 4):
             other.table = np.asarray(tbl, np.int64).reshape(depth, width)
             merged.merge(other)
 
-    # probe set: the corpus vocabulary (vocab-sized distinct aggregate —
-    # per-batch distinct tokens are re-deduped by one grouped count)
-    def vocab_partials(t: pa.Table) -> pa.Table:
-        flat, _ = split_tokens(t["text"])
-        u = np.unique(np.asarray(flat, dtype=object)) if len(flat) else \
-            np.array([], dtype=object)
-        return pa.table({"token": pa.array(u, pa.string())})
+    # probe set: the corpus vocabulary (shared helper — one definition
+    # next to the tokenizer so probes can never drift from it)
+    from . import distinct_tokens
 
-    vocab = (ds.map_batches(vocab_partials, batch_format="pyarrow")
-             .groupby("token").count().drop_columns(["count()"])
-             .sort("token").to_pandas())
+    vocab = distinct_tokens(ds, column_out="token")
     toks = pa.array(vocab["token"].to_numpy(), pa.string())
     est = merged.estimate(hash_string_array(toks)) if len(toks) else \
         np.zeros(0, np.int64)

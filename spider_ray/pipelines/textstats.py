@@ -674,6 +674,14 @@ def pmi_adjacent_tokens(sf_dir: str, min_count: int = 30, k: int = 20):
              .groupby(["w1", "w2"])
              .aggregate(Sum("pair_count", alias_name="pair_count"))
              .materialize())
+    empty = pa.table({"w1": pa.array([], pa.string()),
+                      "w2": pa.array([], pa.string()),
+                      "pair_count": pa.array([], pa.int64()),
+                      "pmi": pa.array([], pa.float64())})
+    if pairs.count() == 0:
+        # guard BEFORE touching columns: an all-empty aggregated
+        # Dataset loses its schema at to_pandas() (repo gotcha)
+        return rd.from_arrow(empty)
 
     def left_part(t: pa.Table) -> pa.Table:
         return pa.table({"w": t["w1"], "c": t["pair_count"]})
@@ -686,16 +694,14 @@ def pmi_adjacent_tokens(sf_dir: str, min_count: int = 30, k: int = 20):
     rt = (pairs.map_batches(right_part, batch_format="pyarrow")
           .groupby("w").aggregate(Sum("c", alias_name="c")).to_pandas())
     n_total = int(lt["c"].sum())
-    if n_total == 0:
-        return rd.from_arrow(pa.table({
-            "w1": pa.array([], pa.string()),
-            "w2": pa.array([], pa.string()),
-            "pair_count": pa.array([], pa.int64()),
-            "pmi": pa.array([], pa.float64())}))
+    # marginals as float64: an int64 product cl*cr wraps once marginal
+    # counts pass ~3e9 (the SQL side promotes to HUGEINT); the division
+    # below is double anyway
     ref = ray.put((pa.array(lt["w"].to_numpy(), pa.string()),
-                   lt["c"].to_numpy(np.int64),
+                   lt["c"].to_numpy(np.int64).astype(np.float64),
                    pa.array(rt["w"].to_numpy(), pa.string()),
-                   rt["c"].to_numpy(np.int64), n_total))
+                   rt["c"].to_numpy(np.int64).astype(np.float64),
+                   float(n_total)))
 
     def score(t: pa.Table, _ref=ref, _k=k) -> pa.Table:
         lw, lc, rw, rc, n = ray.get(_ref)

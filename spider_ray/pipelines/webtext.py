@@ -1902,15 +1902,9 @@ def bpe_tokenize_stats(sf_dir: str, n_merges: int = 8):
 
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
 
-    def vocab_partials(t: pa.Table) -> pa.Table:
-        flat, _ = split_tokens(t["text"])
-        u = (np.unique(np.asarray(flat, dtype=object)) if len(flat)
-             else np.array([], dtype=object))
-        return pa.table({"word": pa.array(u, pa.string())})
+    from . import distinct_tokens
 
-    vocab = (ds.map_batches(vocab_partials, batch_format="pyarrow")
-             .groupby("word").count().drop_columns(["count()"])
-             .sort("word").to_pandas())
+    vocab = distinct_tokens(ds, column_out="word")
     words_arr = pa.array(vocab["word"].to_numpy(), pa.string())
     sym, parent = _bpe_chars(words_arr)
     sym, parent = _bpe_apply_merges(sym, parent, merges)

@@ -3101,3 +3101,25 @@ class TestQualityClassifier:
         # probabilities separate the classes
         assert (r[r["rule_kept"]]["p_kept"].mean()
                 > r[~r["rule_kept"]]["p_kept"].mean() + 0.2)
+
+
+def test_triangles_join_tier_wedge_free(monkeypatch):
+    """A perfect-matching projection has edges but zero wedges — the
+    join tier must return 0, not crash on schema-less empty blocks."""
+    import ray.data as rd
+
+    import spider_ray.pipelines.graph as gph
+
+    bip = pd.DataFrame({  # k1 shared by u1,u2; k2 shared by u3,u4
+        "src": ["u1", "u2", "u3", "u4"],
+        "dst": ["k1", "k1", "k2", "k2"],
+        })
+
+    monkeypatch.setattr(
+        gph, "_distinct_edges",
+        lambda sf, event_type=None, min_value=None, directed=False:
+        rd.from_pandas(bip))
+    for tier in ("driver", "join"):
+        r = gph.graph_triangles("ignored", tier=tier).to_pandas()
+        assert int(r["n_edges"][0]) == 2
+        assert int(r["n_triangles"][0]) == 0, tier
