@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonicalize": ur.url_canonicalize,
         # -- link-graph analytics (fixed-point PageRank, components) -------
         "pagerank_user_item": gph.pagerank_user_item,
+        "ppr_user_item": gph.ppr_user_item,
         "hits_user_item": gph.hits_user_item,
         "graph_components": gph.graph_components,
         "graph_bfs_depth": gph.graph_bfs_depth,
@@ -240,6 +241,7 @@ def oracle_sql() -> dict[str, str]:
     from spider_ray.pipelines.graph import (bfs_oracle_sql,
                                             hits_oracle_sql,
                                             pagerank_oracle_sql,
+                                            ppr_oracle_sql,
                                             triangles_oracle_sql)
 
     return {
@@ -247,6 +249,9 @@ def oracle_sql() -> dict[str, str]:
         # IDENTICAL int64 arithmetic (generated next to the engine code so
         # SCALE / damping / iteration count can never diverge).
         "pagerank_user_item": pagerank_oracle_sql(),
+        # Personalized PageRank: same generated integer unroll with
+        # the restart mass restricted to the 3-smallest-node seed set.
+        "ppr_user_item": ppr_oracle_sql(),
         # HITS hubs/authorities, normalization-free integer variant: the
         # SQL is the generated 2-iteration unroll (pure integer sums —
         # exact at any accumulation order; overflow loudly checked in

@@ -1328,3 +1328,164 @@ def graph_degree_histogram(sf_dir: str):
             .groupby("degree").aggregate(Sum("n_users",
                                              alias_name="n_users"))
             .sort("degree"))
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (topic-sensitive restart, Haveliwala 2002)
+# ---------------------------------------------------------------------------
+
+def ppr_edges(edges, seeds: list[str] | None = None, n_seeds: int = 3,
+              iters: int = 5, force_distributed: bool = False,
+              tier: str | None = None):
+    """Personalized PageRank: the restart mass lands ONLY on the seed
+    set (Haveliwala 2002's topic-sensitive variant) — the relevance
+    propagation a crawl scheduler uses to bias the frontier toward a
+    topic's neighborhood.
+
+    rank_0(n)   = SCALE·[n ∈ seeds]
+    rank_i+1(n) = BASE·[n ∈ seeds] + (85·Σ_{(m,n)∈E} rank_i(m)//deg(m))//100
+
+    Same int64 fixed-point arithmetic as pagerank_edges (exact at any
+    accumulation order → every tier hash-matches the generated SQL
+    unroll).  Seeds: explicit list or the n_seeds smallest node ids
+    (the BFS seed rule, SQL-replicable).  Two tiers, both forced in
+    tests: driver (numpy scatter-add) and broadcast (rank/deg vectors
+    ray.put per iteration, in-batch dst pre-aggregation, driver merge —
+    the pagerank broadcast shape; a msgpass variant would mirror
+    pagerank's and is omitted until a node-unbounded PPR caller
+    exists).  Returns (node, rank_fp) for ALL nodes sorted by
+    (rank desc, node); non-seed nodes unreachable from seeds rank 0."""
+    import ray
+    import ray.data as rd
+
+    assert tier in (None, "driver", "broadcast")
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "rank_fp": pa.array([], pa.int64())}))
+
+    def node_deg_partials(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        us, cs = np.unique(src, return_counts=True)
+        ud = np.unique(dst)
+        return pa.table({
+            "node": pa.array(np.concatenate([us, ud])),
+            "deg": pa.array(np.concatenate(
+                [cs.astype(np.int64), np.zeros(len(ud), np.int64)]),
+                pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    node_deg = (edges.map_batches(node_deg_partials,
+                                  batch_format="pyarrow")
+                .groupby("node").aggregate(Sum("deg", alias_name="deg"))
+                .materialize())
+    nd = node_deg.to_pandas().sort_values("node", ignore_index=True)
+    nodes_arr = nd["node"].to_numpy()
+    deg_arr = nd["deg"].to_numpy(np.int64)
+    if seeds is None:
+        seed_arr = nodes_arr[:n_seeds]
+    else:
+        seed_arr = np.unique(np.asarray(
+            [s for s in seeds if s in set(nodes_arr)], dtype=object))
+    is_seed = np.zeros(len(nodes_arr), bool)
+    is_seed[np.searchsorted(nodes_arr, seed_arr)] = True
+    base_vec = np.where(is_seed, _BASE, 0).astype(np.int64)
+    rank = np.where(is_seed, SCALE, 0).astype(np.int64)
+
+    use_driver = (tier == "driver" or
+                  (tier is None and n_edges <= _DRIVER_MAX_EDGES
+                   and not force_distributed))
+    if use_driver:
+        df = edges.to_pandas()
+        si = np.searchsorted(nodes_arr, df["src"].to_numpy())
+        di = np.searchsorted(nodes_arr, df["dst"].to_numpy())
+        for _ in range(iters):
+            contrib = rank[si] // deg_arr[si]
+            s = np.zeros(len(nodes_arr), np.int64)
+            np.add.at(s, di, contrib)
+            rank = base_vec + _damp(s)
+    else:
+        int_edges = _int_index_edges(edges, nodes_arr)
+        for _ in range(iters):
+            state_ref = ray.put((deg_arr, rank))
+
+            def contrib_partials(t: pa.Table, _ref=state_ref) -> pa.Table:
+                deg_b, rank_b = ray.get(_ref)
+                si = t["si"].to_numpy(zero_copy_only=False)
+                di = t["di"].to_numpy(zero_copy_only=False)
+                contrib = rank_b[si] // deg_b[si]
+                ud, inv = np.unique(di, return_inverse=True)
+                s = np.zeros(len(ud), np.int64)
+                np.add.at(s, inv, contrib)
+                return pa.table({"idx": pa.array(ud, pa.int64()),
+                                 "s": pa.array(s, pa.int64())})
+
+            part = (int_edges.map_batches(contrib_partials,
+                                          batch_format="pyarrow")
+                    .to_pandas())
+            s_full = np.zeros(len(nodes_arr), np.int64)
+            if "idx" in part.columns:
+                np.add.at(s_full, part["idx"].to_numpy(),
+                          part["s"].to_numpy())
+            rank = base_vec + _damp(s_full)
+    order = np.lexsort((nodes_arr, -rank))
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "node": pa.array(nodes_arr[order]),
+        "rank_fp": pa.array(rank[order], pa.int64()),
+    }))
+
+
+def ppr_user_item(sf_dir: str, iters: int = 5,
+                  force_distributed: bool = False,
+                  tier: str | None = None):
+    """Personalized PageRank over the symmetric interaction graph,
+    seeds = the 3 smallest node ids (rule shared with the SQL)."""
+    return ppr_edges(_distinct_edges(sf_dir), n_seeds=3, iters=iters,
+                     force_distributed=force_distributed, tier=tier)
+
+
+def ppr_sql_for_edges(edges_cte: str, seeds_sql: str | None = None,
+                      n_seeds: int = 3, iters: int = 5) -> str:
+    """Generated SQL unroll of ppr_edges — pagerank_sql_for_edges with
+    the restart mass restricted to the seed set."""
+    seeds_sql = seeds_sql or (
+        f"SELECT node FROM nodes ORDER BY node LIMIT {n_seeds}")
+    head = f"""
+        WITH {edges_cte},
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst FROM edges),
+        seeds AS ({seeds_sql}),
+        deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+        r0 AS (SELECT node,
+                      CAST(CASE WHEN node IN (SELECT node FROM seeds)
+                           THEN {SCALE} ELSE 0 END AS BIGINT) AS r
+               FROM nodes)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""
+        r{i} AS (SELECT n.node,
+                       CAST(CASE WHEN n.node IN (SELECT node FROM seeds)
+                                 THEN {_BASE} ELSE 0 END
+                            + (85 * COALESCE(SUM(r.r // d.d), 0)) // 100
+                            AS BIGINT) AS r
+                FROM nodes n
+                LEFT JOIN edges e ON e.dst = n.node
+                LEFT JOIN r{i-1} r ON r.node = e.src
+                LEFT JOIN deg d ON d.src = e.src
+                GROUP BY n.node)""")
+    return (head + "," + ",".join(steps)
+            + f"\n        SELECT node, r AS rank_fp FROM r{iters} "
+              "ORDER BY rank_fp DESC, node")
+
+
+def ppr_oracle_sql(iters: int = 5) -> str:
+    """The driver oracle for ppr_user_item."""
+    return ppr_sql_for_edges(_USER_ITEM_EDGES_CTE, n_seeds=3,
+                             iters=iters)

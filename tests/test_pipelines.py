@@ -3123,3 +3123,35 @@ def test_triangles_join_tier_wedge_free(monkeypatch):
         r = gph.graph_triangles("ignored", tier=tier).to_pandas()
         assert int(r["n_edges"][0]) == 2
         assert int(r["n_triangles"][0]) == 0, tier
+
+
+class TestPersonalizedPagerank:
+    @pytest.mark.parametrize("tier", ["driver", "broadcast"])
+    def test_tiers_match_duckdb(self, tier):
+        import duckdb
+
+        from spider_ray.pipelines.graph import ppr_oracle_sql, ppr_user_item
+
+        r = (ppr_user_item(SF, tier=tier).to_pandas()
+             .sort_values(["rank_fp", "node"], ascending=[False, True],
+                          ignore_index=True))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS "
+                    f"SELECT * FROM read_parquet('{SF}/events.parquet')")
+        o = con.execute(ppr_oracle_sql()).fetchdf()
+        pd.testing.assert_frame_equal(r, o, check_dtype=False)
+        # personalization: restart mass is concentrated, so far-away
+        # nodes rank strictly below seeds and some rank 0 is possible;
+        # total mass never exceeds the seeds' injected mass
+        assert r["rank_fp"].max() >= 15 * 10**12 // 100
+        assert r["rank_fp"].sum() <= 3 * 10**12
+
+    def test_differs_from_uniform_pagerank(self):
+        from spider_ray.pipelines.graph import (pagerank_user_item,
+                                                ppr_user_item)
+
+        p = ppr_user_item(SF).to_pandas()
+        u = pagerank_user_item(SF).to_pandas()
+        # same node universe, different ranking (the restart matters)
+        assert set(p["node"]) == set(u["node"])
+        assert list(p["node"]) != list(u["node"])
