@@ -7,8 +7,13 @@ workflow.go:186 run_scheduled) as:
 
     ray job submit --working-dir . -- \
         python jobs/run_ingest.py \
-            --incoming s3://bucket/landing/ \
-            --out      s3://bucket/ingested/
+            --incoming /mnt/shared/landing/ \
+            --out      /mnt/shared/ingested/
+
+In this sandbox it runs against local parquet with
+`ray.init(address="local")`.  Paths are filesystem paths (a shared
+mount on a cluster); an object-store deployment must swap the
+listdir/marker/claim calls for its store's conditional-put primitives.
 
 Each pass lists the incoming shards, SKIPS every shard whose output
 marker exists (exactly-once per shard, however many times the job
@@ -76,20 +81,42 @@ def main() -> int:
             continue
         # overlapping scheduled passes: claim the shard with O_EXCL
         # before touching its output dir, so two ticks never overwrite
-        # kept/ concurrently; a crashed run's stale claim expires after
-        # claim_ttl and the shard is redone (the marker, written LAST,
-        # is still the only completion signal)
+        # kept/ concurrently.  A stale claim (crashed owner, older than
+        # claim_ttl) is removed and the O_EXCL create RETRIED — the
+        # remove+retry means exactly one contender wins the steal; a
+        # claim vanishing mid-check (owner just finished) loops back to
+        # the marker/create checks instead of crashing the pass.  The
+        # marker, written LAST, stays the only completion signal.
         os.makedirs(shard_out, exist_ok=True)
         claim = os.path.join(shard_out, "_CLAIM")
-        try:
-            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, f"{os.getpid()} {time.time()}\n".encode())
-            os.close(fd)
-        except FileExistsError:
-            if time.time() - os.path.getmtime(claim) < claim_ttl:
-                skipped.append(stem + " (claimed)")
-                continue
-            os.utime(claim)  # stale claim: steal it
+        got_claim = False
+        while not got_claim:
+            if os.path.exists(marker):
+                break  # another pass completed it while we contended
+            try:
+                fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, f"{os.getpid()} {time.time()}\n".encode())
+                os.close(fd)
+                got_claim = True
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(claim)
+                except FileNotFoundError:
+                    continue  # claim released: retry the create
+                if age < claim_ttl:
+                    break  # live owner: leave the shard to it
+                try:
+                    os.remove(claim)  # stale: one remover wins the retry
+                except FileNotFoundError:
+                    pass
+        if not got_claim:
+            skipped.append(stem + " (claimed)"
+                           if not os.path.exists(marker) else stem)
+            continue
+        if os.path.exists(marker):  # completed between check and claim
+            os.remove(claim)
+            skipped.append(stem)
+            continue
         ds = rd.read_parquet(os.path.join(args.incoming, shard))
 
         def keep(t: pa.Table) -> pa.Table:

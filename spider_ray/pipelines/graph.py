@@ -1238,19 +1238,33 @@ def graph_triangles(sf_dir: str, force_distributed: bool = False,
         starts = np.searchsorted(ai_s, np.arange(n_nodes + 1))
         out_deg = np.diff(starts)
         rep = out_deg[bi_s]  # wedges continuing through each edge's head
-        total = int(rep.sum())
+        edge_keys = ai_s * n_nodes + bi_s  # sorted by construction
         tri = 0
-        if total:
-            u_rep = np.repeat(ai_s, rep)
-            base = np.repeat(starts[bi_s], rep)
-            offs = (np.arange(total, dtype=np.int64)
-                    - np.repeat(np.cumsum(rep) - rep, rep))
-            w = bi_s[base + offs]
-            edge_keys = ai_s * n_nodes + bi_s  # sorted by construction
-            wedge_keys = u_rep * n_nodes + w
-            pos = np.searchsorted(edge_keys, wedge_keys)
-            pos = np.minimum(pos, len(edge_keys) - 1)
-            tri = int((edge_keys[pos] == wedge_keys).sum())
+        # chunk the wedge expansion: a hot-item clique can hold 1e9+
+        # wedges — bound the transient arrays instead of materializing
+        # them all (the memory hazard of the naive vectorization)
+        _WEDGE_CHUNK = 1 << 22
+        cum = np.cumsum(rep)
+        lo = 0
+        while lo < len(ai_s):
+            base_cum = cum[lo - 1] if lo else 0
+            hi = int(np.searchsorted(cum, base_cum + _WEDGE_CHUNK,
+                                     side="right"))
+            hi = max(hi, lo + 1)  # a single mega-edge still advances
+            hi = min(hi, len(ai_s))
+            rep_c = rep[lo:hi]
+            total = int(rep_c.sum())
+            if total:
+                u_rep = np.repeat(ai_s[lo:hi], rep_c)
+                base = np.repeat(starts[bi_s[lo:hi]], rep_c)
+                offs = (np.arange(total, dtype=np.int64)
+                        - np.repeat(np.cumsum(rep_c) - rep_c, rep_c))
+                w = bi_s[base + offs]
+                wedge_keys = u_rep * n_nodes + w
+                pos = np.searchsorted(edge_keys, wedge_keys)
+                pos = np.minimum(pos, len(edge_keys) - 1)
+                tri += int((edge_keys[pos] == wedge_keys).sum())
+            lo = hi
         return rd.from_arrow(pa.table({
             "n_edges": pa.array([n_edges], pa.int64()),
             "n_triangles": pa.array([int(tri)], pa.int64())}))

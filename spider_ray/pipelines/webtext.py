@@ -1966,29 +1966,50 @@ def _quality_xy(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return ids, X, kept.astype(np.float64)
 
 
-def quality_classifier_train(sf_dir: str, iters: int = 8,
-                             ridge: float = 1e-6) -> np.ndarray:
-    """Train a logistic-regression quality classifier ON the corpus
-    with Newton/IRLS (converges in a handful of passes where plain GD
-    needs thousands), Ray-Data-parallel: per iteration the weight
-    vector broadcasts (ray.put — model-sized, like every parameter
-    broadcast here); each block computes its partial gradient
-    Xᵀ(y − p) AND its 8×8 Hessian partial Xᵀdiag(p(1−p))X IN-BATCH;
-    the driver reduces the block partials (sorted canonically so the
-    float accumulation order is reproducible) and solves the tiny
-    ridge-damped 8×8 system.  Nothing example-sized ever reaches the
-    driver; each iteration is one map pass.  Returns the weight
-    vector (8 floats)."""
+def _quality_features_ds(sf_dir: str):
+    """ONE tokenize pass over the corpus -> materialized (doc_id, f0..f7,
+    y) feature table — the expensive RE2/token work happens once; the
+    IRLS iterations and the scoring pass then touch only 10 numeric
+    columns."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def featurize(t: pa.Table) -> pa.Table:
+        ids, X, y = _quality_xy(t)
+        cols = {"doc_id": pa.array(ids, pa.int64())}
+        for j in range(_QC_DIM):
+            cols[f"f{j}"] = pa.array(X[:, j], pa.float64())
+        cols["y"] = pa.array(y, pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(featurize, batch_format="pyarrow").materialize()
+
+
+def _feat_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    X = np.stack([np.asarray(t[f"f{j}"], dtype=np.float64)
+                  for j in range(_QC_DIM)], axis=1)
+    return X, np.asarray(t["y"], dtype=np.float64)
+
+
+def _quality_train_on(feats, iters: int = 8,
+                      ridge: float = 1e-6) -> np.ndarray:
+    """Newton/IRLS over a materialized feature Dataset (converges in a
+    handful of passes where plain GD needs thousands), Ray-Data-
+    parallel: per iteration the weight vector broadcasts (ray.put —
+    model-sized, like every parameter broadcast here); each block
+    computes its partial gradient Xᵀ(y − p) AND its 8×8 Hessian partial
+    Xᵀdiag(p(1−p))X IN-BATCH; the driver reduces the block partials
+    (sorted canonically so the float accumulation order is
+    reproducible) and solves the tiny ridge-damped 8×8 system.  Nothing
+    example-sized ever reaches the driver."""
     import ray
 
-    ds = _rp(sf_dir, "documents", ["doc_id", "text"]).materialize()
     w = np.zeros(_QC_DIM, np.float64)
     for _ in range(iters):
         wref = ray.put(w)
 
         def hg_partial(t: pa.Table, _w=wref) -> pa.Table:
             wb = ray.get(_w)
-            _ids, X, y = _quality_xy(t)
+            X, y = _feat_matrix(t)
             z = np.clip(X @ wb, -30, 30)
             p = 1.0 / (1.0 + np.exp(-z))
             g = X.T @ (y - p)
@@ -1997,41 +2018,51 @@ def quality_classifier_train(sf_dir: str, iters: int = 8,
             return pa.table({"hg": pa.array([row.tolist()],
                                             pa.list_(pa.float64()))})
 
-        parts = (ds.map_batches(hg_partial, batch_format="pyarrow")
+        parts = (feats.map_batches(hg_partial, batch_format="pyarrow")
                  .to_pandas())
         M = np.asarray([np.asarray(v, np.float64)
                         for v in parts["hg"]], np.float64)
         order = np.lexsort(M.T)  # canonical sum order: reproducible
-        s = M[order].sum(axis=0)
-        g, H = s[:_QC_DIM], s[_QC_DIM:].reshape(_QC_DIM, _QC_DIM)
+        ssum = M[order].sum(axis=0)
+        g, H = ssum[:_QC_DIM], ssum[_QC_DIM:].reshape(_QC_DIM, _QC_DIM)
         w = w + np.linalg.solve(H + ridge * np.eye(_QC_DIM), g)
     return w
+
+
+def quality_classifier_train(sf_dir: str, iters: int = 8,
+                             ridge: float = 1e-6) -> np.ndarray:
+    """Train the logistic-regression quality classifier ON the corpus:
+    one tokenize/featurize pass (materialized), then _quality_train_on's
+    distributed IRLS.  Returns the weight vector (8 floats)."""
+    return _quality_train_on(_quality_features_ds(sf_dir), iters=iters,
+                             ridge=ridge)
 
 
 def quality_classifier_scores(sf_dir: str, iters: int = 8):
     """Apply the trained classifier back to the corpus: per document
     the predicted keep-probability (round 4), the thresholded verdict,
     and the rule battery's actual verdict — the distillation-quality
-    view (where does the smooth scorer disagree with the rules?).
-    rows-only for the driver (GD weights aren't SQL); pytest pins the
-    weights to an independent single-machine reference within float
-    tolerance and requires high agreement with the rule labels."""
+    view (where does the smooth scorer disagree with the rules?).  The
+    materialized feature table serves BOTH training and scoring, so the
+    corpus text is tokenized exactly once.  rows-only for the driver
+    (GD weights aren't SQL); pytest pins the weights to an independent
+    single-machine reference within float tolerance and requires high
+    agreement with the rule labels."""
     import ray
-    import ray.data as rd
 
-    w = quality_classifier_train(sf_dir, iters=iters)
+    feats = _quality_features_ds(sf_dir)
+    w = _quality_train_on(feats, iters=iters)
     wref = ray.put(w)
-    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
 
     def score(t: pa.Table, _w=wref) -> pa.Table:
         wb = ray.get(_w)
-        ids, X, y = _quality_xy(t)
-        p = 1.0 / (1.0 + np.exp(-(X @ wb)))
+        X, y = _feat_matrix(t)
+        p = 1.0 / (1.0 + np.exp(-np.clip(X @ wb, -30, 30)))
         return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
+            "doc_id": t["doc_id"],
             "p_kept": pa.array(np.round(p, 4), pa.float64()),
             "predicted": pa.array(p >= 0.5),
             "rule_kept": pa.array(y > 0.5),
         })
 
-    return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
+    return feats.map_batches(score, batch_format="pyarrow").sort("doc_id")
