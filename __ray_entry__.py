@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_flag_status": rel.distinct_flag_status,
         "broadcast_join_segment_revenue": rel.broadcast_join_segment_revenue,
         "hash_join_priority_revenue": rel.hash_join_priority_revenue,
+        "skew_join_nation_order_stats": rel.skew_join_nation_order_stats,
         "semi_join_customers_with_orders": rel.semi_join_customers_with_orders,
         "anti_join_customers_without_big_orders": rel.anti_join_customers_without_big_orders,
         "union_all_names": rel.union_all_names,
@@ -722,6 +723,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
+        """,
+        # Skew-split join: hot keys broadcast, cold keys hash-joined —
+        # the union must equal the plain inner join.
+        "skew_join_nation_order_stats": """
+            SELECT c_nationkey,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey ORDER BY c_nationkey
         """,
         "semi_join_customers_with_orders": """
             SELECT c_custkey, c_name, c_acctbal FROM customer

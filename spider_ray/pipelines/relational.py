@@ -1666,3 +1666,148 @@ def dedup_events_window(sf_dir: str, window_minutes: int = 30):
     return (ds.groupby(["user_id", "event_type"])
             .map_groups(per_key, batch_format="pandas")
             .sort("event_id"))
+
+
+# ---------------------------------------------------------------------------
+# Skew-mitigated join (hot-key split: broadcast the hot slice, hash-join
+# the cold remainder)
+# ---------------------------------------------------------------------------
+
+def skew_join(left_ds, right_ds, left_key: str, right_key: str,
+              hot_threshold: int, num_partitions: int | None = None,
+              force: str | None = None):
+    """Inner join resilient to hot keys (the scale hazard of ANY
+    hash-partitioned join: one mega-key lands every one of its rows in
+    a single shuffle partition — a 20%-hot key serializes 20% of a
+    100 TB join into one aggregator).  Split-by-frequency:
+
+      1. ONE pre-aggregated frequency pass over the left (fact) side:
+         per-block (key, n) Arrow partials -> grouped sum -> keys with
+         n > hot_threshold.  The hot set is bounded by construction
+         (|hot| <= total_rows / hot_threshold), so collecting it to the
+         driver is safe at any corpus size when the threshold is a
+         meaningful skew bar.
+      2. HOT rows join via broadcast: the right side's hot rows ship
+         once (ray.put) and each left batch gathers them with Arrow
+         index_in + take — hot keys never enter a shuffle, so the
+         mega-key's rows stay spread across all input blocks.
+      3. COLD rows join via hash-partitioned Dataset.join as usual.
+      4. Union — row-set identical to a plain inner join (forced-path
+         tested vs DuckDB).
+
+    The right side must be unique on `right_key` (dim-table contract —
+    a hot N:M join explodes regardless of strategy); violations raise
+    loudly rather than dropping rows.  `force` in {"broadcast_only",
+    "join_only", None}: test hook pinning everything hot / everything
+    cold."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def freq(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select([left_key]), [left_key]).aggregate(
+            [([], "count_all")])
+        return pa.table({left_key: g[left_key],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    if force == "join_only":
+        hot = np.empty(0, np.int64)
+    else:
+        counts = (left_ds.map_batches(freq, batch_format="pyarrow")
+                  .groupby(left_key).aggregate(Sum("n", alias_name="n")))
+        hot_t = counts.map_batches(
+            lambda t: t.filter(pc.greater(t["n"],
+                                          pa.scalar(hot_threshold))),
+            batch_format="pyarrow").to_pandas()
+        # a zero-row Dataset drops its columns at to_pandas()
+        hot = (np.sort(np.asarray(hot_t[left_key], dtype=np.int64))
+               if len(hot_t) else np.empty(0, np.int64))
+    if force == "broadcast_only":
+        # pin EVERY key hot: the broadcast branch must reproduce the
+        # whole join on its own (right side must fit a worker — tests)
+        hot = np.sort(np.unique(np.asarray(
+            left_ds.select_columns([left_key]).to_pandas()[left_key],
+            dtype=np.int64)))
+
+    left_cols = left_ds.schema().names
+    right_cols = [c for c in right_ds.schema().names if c != right_key]
+    out_cols = left_cols + right_cols
+    parts = []
+
+    if len(hot):
+        hot_ref = ray.put(hot)
+        right_hot = right_ds.map_batches(
+            lambda t: t.filter(pa.array(np.isin(
+                np.asarray(t[right_key]), ray.get(hot_ref)))),
+            batch_format="pyarrow").to_arrow_refs()
+        rh = pa.concat_tables([ray.get(r) for r in right_hot])
+        rh = rh.combine_chunks()
+        rk = np.asarray(rh[right_key], dtype=np.int64)
+        if len(np.unique(rk)) != len(rk):
+            raise ValueError(
+                f"skew_join: right side is not unique on {right_key} "
+                "within the hot key set — N:M hot joins are not "
+                "supported (pre-aggregate the right side first)")
+        rh_ref = ray.put(rh)
+
+        def hot_join(t: pa.Table, _r=rh_ref, _h=hot_ref) -> pa.Table:
+            rht = ray.get(_r)
+            t = t.filter(pa.array(np.isin(np.asarray(t[left_key]),
+                                          ray.get(_h))))
+            idx = pc.index_in(t[left_key], value_set=rht[right_key])
+            t = t.filter(pc.is_valid(idx))  # inner: drop unmatched
+            idx = idx.filter(pc.is_valid(idx))
+            cols = {c: t[c] for c in left_cols}
+            for c in right_cols:
+                cols[c] = pc.take(rht[c], idx)
+            return pa.table(cols).select(out_cols)
+
+        parts.append(left_ds.map_batches(hot_join, batch_format="pyarrow"))
+
+    if force != "broadcast_only":
+        if num_partitions is None:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            num_partitions = max(2, min(16, cpus // 2))
+        if len(hot):
+            hot_ref2 = ray.put(hot)
+            cold_mask = lambda t, col: pa.array(~np.isin(
+                np.asarray(t[col]), ray.get(hot_ref2)))
+            left_cold = left_ds.map_batches(
+                lambda t: t.filter(cold_mask(t, left_key)),
+                batch_format="pyarrow")
+            right_cold = right_ds.map_batches(
+                lambda t: t.filter(cold_mask(t, right_key)),
+                batch_format="pyarrow")
+        else:
+            left_cold, right_cold = left_ds, right_ds
+        joined = left_cold.join(right_cold, join_type="inner",
+                                num_partitions=num_partitions,
+                                on=(left_key,), right_on=(right_key,))
+        parts.append(joined.map_batches(lambda t: t.select(out_cols),
+                                        batch_format="pyarrow"))
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def skew_join_nation_order_stats(sf_dir: str, hot_threshold: int = 15,
+                                 force: str | None = None):
+    """Driver query for the skew-split join: orders (fact) ⋈ customer
+    (dim) on custkey with heavy-customer keys routed through the
+    broadcast branch, aggregated to per-nation order counts + revenue.
+    At sf0.01 ~70 of 1500 customers exceed the threshold, so BOTH
+    branches carry rows in the driver run (forced single-branch runs in
+    pytest must each match the oracle too)."""
+    from ray.data.aggregate import Count, Sum
+
+    joined = skew_join(
+        _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+        _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        "o_custkey", "c_custkey", hot_threshold=hot_threshold, force=force)
+    out = joined.groupby("c_nationkey").aggregate(
+        Sum("o_totalprice", alias_name="revenue"),
+        Count(alias_name="n_orders"))
+    return (out.map_batches(_round_cols({"revenue": 2}),
+                            batch_format="pyarrow")
+            .sort("c_nationkey"))

