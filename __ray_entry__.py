@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #    bigram LM, packing, domain mixing) -----------------------------
         "repetition_stats": wt.repetition_stats,
         "dedup_minhash_clusters": wt.dedup_minhash_clusters,
+        "dedup_cluster_keep_best": wt.dedup_cluster_keep_best,
         "keyword_search_topk": wt.keyword_search_topk,
         "bigram_logprob_score": wt.bigram_logprob_score,
         "pack_documents": wt.pack_documents,
@@ -1265,6 +1266,56 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT least(a, min(b)) AS cluster_id, a AS doc_id
             FROM reach GROUP BY a ORDER BY cluster_id, doc_id
+        """,
+        # Cluster representative selection: same closure, then keep the
+        # longest member per cluster (tie-break min doc_id).
+        "dedup_cluster_keep_best": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+              FROM toks,
+                   UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT doc_a, doc_b
+              FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                         JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+            ),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                      UNION ALL SELECT doc_b, doc_a FROM pairs),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ),
+            clusters AS (
+              SELECT least(a, min(b)) AS cluster_id, a AS doc_id
+              FROM reach GROUP BY a
+            ),
+            members AS (
+              SELECT c.cluster_id, c.doc_id, d.n_chars,
+                     row_number() OVER (PARTITION BY c.cluster_id
+                                        ORDER BY d.n_chars DESC,
+                                                 c.doc_id) AS rn,
+                     count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+              FROM clusters c JOIN documents d USING (doc_id)
+            )
+            SELECT cluster_id, doc_id AS keep_doc_id,
+                   CAST(n_chars AS BIGINT) AS keep_chars,
+                   CAST(n_members AS BIGINT) AS n_members
+            FROM members WHERE rn = 1 ORDER BY cluster_id
         """,
         # Incremental dedup: NEW batch (odd doc_id) vs EXISTING corpus
         # (even doc_id), cross-side pairs only — exact all-pairs

@@ -2066,3 +2066,77 @@ def quality_classifier_scores(sf_dir: str, iters: int = 8):
         })
 
     return feats.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Cluster representative selection: keep the BEST copy, not an arbitrary one
+# ---------------------------------------------------------------------------
+
+def dedup_cluster_keep_best(sf_dir: str, threshold: float = 0.8,
+                            force_distributed: bool = False):
+    """Representative selection over the near-dup clusters: per cluster
+    keep the LONGEST document (n_chars, tie-break min doc_id) — what a
+    real prep pipeline does instead of dedup_exact's arbitrary min-id
+    keeper (the shortest copy of a page is usually the truncated one).
+    Returns (cluster_id, keep_doc_id, keep_chars, n_members).
+
+    Clusters come from dedup_minhash_clusters (dup-set-sized, not
+    corpus-sized); n_chars arrives via ONE hash-partitioned
+    Dataset.join against the column-pruned documents read — the text
+    column never loads.  The winner + member count reduce in one
+    grouped pass over per-block argmax/count partials (≤1 row per
+    (cluster, block) enters the shuffle)."""
+    import ray
+    import ray.data as rd
+
+    clusters = dedup_minhash_clusters(sf_dir, threshold=threshold,
+                                      force_distributed=force_distributed)
+    clusters = clusters.materialize()
+    n_clustered = clusters.count()
+    empty = pa.table({"cluster_id": pa.array([], pa.int64()),
+                      "keep_doc_id": pa.array([], pa.int64()),
+                      "keep_chars": pa.array([], pa.int64()),
+                      "n_members": pa.array([], pa.int64())})
+    if n_clustered == 0:
+        return rd.from_arrow(empty)
+    # repartition the dup-sized side so the hash join sees no empty
+    # blocks (Ray's join drops them and then finds "no match for key
+    # field"); documents stays streaming
+    clusters = clusters.repartition(max(1, min(16, n_clustered)))
+    docs = _rp(sf_dir, "documents", ["doc_id", "n_chars"])
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    joined = clusters.join(docs, join_type="inner",
+                           num_partitions=max(2, min(16, cpus // 2)),
+                           on=("doc_id",), right_on=("doc_id",))
+
+    def partials(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[
+            ("cluster_id", "ascending"), ("n_chars", "descending"),
+            ("doc_id", "ascending")])
+        t = t.take(idx)
+        c = np.asarray(t["cluster_id"])
+        first = np.ones(len(c), dtype=bool)
+        first[1:] = c[1:] != c[:-1]
+        uniq, counts = np.unique(c, return_counts=True)
+        best = t.filter(pa.array(first))
+        return pa.table({
+            "cluster_id": best["cluster_id"],
+            "keep_doc_id": best["doc_id"],
+            "keep_chars": pc.cast(best["n_chars"], pa.int64()),
+            "n_members": pa.array(counts, pa.int64()),
+        })
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["keep_chars", "keep_doc_id"],
+                            ascending=[False, True], kind="mergesort")
+        top = df.iloc[:1]
+        return pd.DataFrame({
+            "cluster_id": top["cluster_id"].to_numpy(),
+            "keep_doc_id": top["keep_doc_id"].to_numpy(),
+            "keep_chars": top["keep_chars"].to_numpy(),
+            "n_members": [int(df["n_members"].sum())],
+        })
+
+    return (joined.map_batches(partials, batch_format="pyarrow")
+            .groupby("cluster_id").map_groups(final, batch_format="pandas")
+            .sort("cluster_id"))

@@ -689,6 +689,7 @@ class TestRound3LateOperators:
         ("unigram_logprob_score", ["doc_id"]),
         ("repetition_stats", ["doc_id"]),
         ("dedup_minhash_clusters", ["doc_id"]),
+        ("dedup_cluster_keep_best", ["cluster_id"]),
         ("keyword_search_topk", ["doc_id"]),
         ("bigram_logprob_score", ["doc_id"]),
         ("pack_documents", ["doc_id"]),
@@ -859,6 +860,7 @@ class TestWebtextOps:
         t = pa.table({
             "doc_id": pa.array(list(range(len(texts))), pa.int64()),
             "text": pa.array(texts, pa.string()),
+            "n_chars": pa.array([len(s) for s in texts], pa.int64()),
         })
         pq.write_table(t, f"{d}/documents.parquet")
         return d
@@ -880,6 +882,33 @@ class TestWebtextOps:
         pd.testing.assert_frame_equal(
             drv.sort_values("doc_id").reset_index(drop=True),
             dist.sort_values("doc_id").reset_index(drop=True),
+            check_dtype=False)
+
+    def test_keep_best_selects_longest_member(self, chain_corpus):
+        import pandas as _pd
+
+        from spider_ray.pipelines.webtext import dedup_cluster_keep_best
+
+        fix = pq.read_table(
+            f"{chain_corpus}/documents.parquet").to_pandas()
+        out = dedup_cluster_keep_best(chain_corpus).to_pandas()
+        assert set(out["cluster_id"]) == {0, 3}
+        for _, row in out.iterrows():
+            members = ([0, 1, 2] if row["cluster_id"] == 0 else [3, 4])
+            sub = fix[fix["doc_id"].isin(members)].sort_values(
+                ["n_chars", "doc_id"], ascending=[False, True])
+            assert row["keep_doc_id"] == sub.iloc[0]["doc_id"]
+            assert row["keep_chars"] == sub.iloc[0]["n_chars"]
+            assert row["n_members"] == len(members)
+
+    def test_keep_best_paths_agree(self, chain_corpus):
+        from spider_ray.pipelines.webtext import dedup_cluster_keep_best
+
+        drv = dedup_cluster_keep_best(chain_corpus).to_pandas()
+        dist = dedup_cluster_keep_best(
+            chain_corpus, force_distributed=True).to_pandas()
+        pd.testing.assert_frame_equal(
+            drv.reset_index(drop=True), dist.reset_index(drop=True),
             check_dtype=False)
 
     def test_pack_documents_quota_invariants(self):
