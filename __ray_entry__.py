@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": dedup.dedup_minhash,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_containment": dedup.dedup_containment,
         "dedup_embedding": dedup.dedup_embedding,
         # dirty-key similarity join (SymSpell deletion blocking +
         # exact vectorized distance-1 verify)
@@ -1623,6 +1624,35 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes sa ON sa.doc_id = doc_a
                        JOIN sizes sb ON sb.doc_id = doc_b
             WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+            ORDER BY doc_a, doc_b
+        """,
+        # Asymmetric containment |A∩B|/|A| over word-3-grams — ORDERED
+        # pairs (a contained-in b).  Certifies the exact prefix-filter
+        # candidate generation end-to-end: any missed candidate would
+        # hash-mismatch this all-pairs SQL.
+        "dedup_containment": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+              FROM toks,
+                   UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM grams a JOIN grams b
+                ON a.g = b.g AND a.doc_id != b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   ROUND(CAST(i AS DOUBLE) / sa.n, 4) AS containment
+            FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+            WHERE CAST(i AS DOUBLE) / sa.n >= 0.9
             ORDER BY doc_a, doc_b
         """,
         "dedup_embedding": """

@@ -277,8 +277,33 @@ def _jaccard_rows(texts_a, texts_b, shingler_batch,
     return keep_idx, np.asarray(js, dtype=np.float64)
 
 
+def _containment_rows(texts_a, texts_b, shingler_batch,
+                      threshold: float) -> tuple[list, np.ndarray]:
+    """Row-aligned exact set CONTAINMENT |A∩B| / |A| (Broder 1997's
+    asymmetric resemblance): how much of doc_a's shingle set doc_b
+    covers — the near-dup relation Jaccard misses when a small page is
+    quoted inside a much larger one."""
+    n = len(texts_a)
+    sa, pa_ = shingler_batch(texts_a)
+    sb, pb_ = shingler_batch(texts_b)
+    la = split_by_doc(sa, pa_, n)
+    lb = split_by_doc(sb, pb_, n)
+    keep_idx, cs = [], []
+    for i in range(n):
+        x, y = la[i], lb[i]
+        if len(x) == 0 or len(y) == 0:
+            continue
+        inter = len(np.intersect1d(x, y, assume_unique=True))
+        c = inter / len(x)
+        if c >= threshold:
+            keep_idx.append(i)
+            cs.append(c)
+    return keep_idx, np.asarray(cs, dtype=np.float64)
+
+
 def _verify_pairs_driver(sf_dir: str, pairs_df: pd.DataFrame, shingler_batch,
-                         metric: str, threshold: float) -> pa.Table:
+                         metric: str, threshold: float,
+                         rows_fn=_jaccard_rows) -> pa.Table:
     """Exact verification on candidates, driver-side: bounded by
     driver_pair_threshold (the dispatch in dedup_minhash/_ngram)."""
     empty = pa.table({"doc_a": pa.array([], pa.int64()),
@@ -292,7 +317,7 @@ def _verify_pairs_driver(sf_dir: str, pairs_df: pd.DataFrame, shingler_batch,
     pos = {i: k for k, i in enumerate(t["doc_id"].to_pylist())}
     ta = t["text"].take(pa.array([pos[int(a)] for a in pairs_df["doc_a"]]))
     tb = t["text"].take(pa.array([pos[int(b)] for b in pairs_df["doc_b"]]))
-    keep_idx, js = _jaccard_rows(ta, tb, shingler_batch, threshold)
+    keep_idx, js = rows_fn(ta, tb, shingler_batch, threshold)
     if not keep_idx:
         return empty
     out = pa.table({
@@ -305,7 +330,8 @@ def _verify_pairs_driver(sf_dir: str, pairs_df: pd.DataFrame, shingler_batch,
 
 def _verify_pairs_distributed(docs_ds, pairs_ds, shingler_batch, metric: str,
                               threshold: float,
-                              num_partitions: int | None = None):
+                              num_partitions: int | None = None,
+                              rows_fn=_jaccard_rows):
     """Scale-path verification: hash-partitioned pairs⋈documents join on
     doc_a then doc_b (texts travel worker-to-worker through the shuffle,
     never to the driver), exact Jaccard inside map_batches.
@@ -338,8 +364,8 @@ def _verify_pairs_distributed(docs_ds, pairs_ds, shingler_batch, metric: str,
           .map_batches(_rename("text", "text_b"), batch_format="pyarrow"))
 
     def verify(t: pa.Table) -> pa.Table:
-        keep_idx, js = _jaccard_rows(t["text_a"], t["text_b"],
-                                        shingler_batch, threshold)
+        keep_idx, js = rows_fn(t["text_a"], t["text_b"],
+                               shingler_batch, threshold)
         sub = t.take(pa.array(keep_idx, pa.int64()))
         return pa.table({
             "doc_a": sub["doc_a"],
@@ -354,17 +380,18 @@ def _verify_pairs_distributed(docs_ds, pairs_ds, shingler_batch, metric: str,
 def _verify_dispatch(sf_dir: str, docs_ds, cand_ds, shingler_batch,
                      metric: str, threshold: float,
                      verify_distributed: bool | None,
-                     driver_pair_threshold: int):
+                     driver_pair_threshold: int,
+                     rows_fn=_jaccard_rows):
     cand_ds = cand_ds.materialize()
     n_pairs = cand_ds.count()
     if verify_distributed is None:
         verify_distributed = n_pairs > driver_pair_threshold
     if verify_distributed:
         return _verify_pairs_distributed(docs_ds, cand_ds, shingler_batch,
-                                         metric, threshold)
+                                         metric, threshold, rows_fn=rows_fn)
     pairs_df = cand_ds.to_pandas()  # bounded by driver_pair_threshold
     return _verify_pairs_driver(sf_dir, pairs_df, shingler_batch,
-                                metric, threshold)
+                                metric, threshold, rows_fn=rows_fn)
 
 
 # ---------------------------------------------------------------------------
@@ -729,3 +756,86 @@ def fuzzy_match_customer_names(sf_dir: str,
     ds = _rp(sf_dir, "customer", ["c_custkey", "c_name"])
     return edit1_pairs(ds, id_col="c_custkey", name_col="c_name",
                        force_distributed=force_distributed)
+
+
+# ---------------------------------------------------------------------------
+# Containment dedup (asymmetric near-dup: small doc inside a big one)
+# ---------------------------------------------------------------------------
+
+def dedup_containment(sf_dir: str, threshold: float = 0.9,
+                      verify_distributed: bool | None = None,
+                      driver_pair_threshold: int = 200_000):
+    """Ordered near-dup pairs under set CONTAINMENT |A∩B|/|A| >=
+    threshold over word-3-gram shingles (Broder 1997's asymmetric
+    resemblance) — catches a short page quoted wholesale inside a long
+    one, where Jaccard stays low and MinHash-LSH never pairs them.
+
+    Candidate generation is an EXACT prefix filter (the ppjoin family,
+    Xiao et al. 2008), not a probabilistic sketch: under the global
+    total order "shingle hash ascending", if none of A's first
+    (|A| - t + 1) shingles appears anywhere in B (t = min overlap for
+    the threshold), then |A∩B| <= t-1 — so probing only each doc's
+    prefix against the full (shingle, doc) stream has 100% recall by
+    construction, and the driver query can be hash-checked against the
+    exact all-pairs SQL.  Probe volume is ~(1-τ)·shingles; the join is
+    hash-partitioned on the shingle, pairs dedup in the shared
+    pair-bucket groupby, and verification reuses the adaptive
+    driver/distributed exact machinery with the containment kernel."""
+    import ray
+    import ray.data as rd
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def _doc_rows(t: pa.Table, prefix_only: bool) -> pa.Table:
+        ids = np.asarray(t["doc_id"])
+        sh, par = word_shingle_hashes(t["text"])  # distinct+sorted per doc
+        if len(sh) == 0:
+            col = "doc_a" if prefix_only else "doc_b"
+            return pa.table({"sh": pa.array([], pa.int64()),
+                             col: pa.array([], pa.int64())})
+        n = np.bincount(par, minlength=t.num_rows).astype(np.int64)
+        if prefix_only:
+            # minimal t with t/n >= tau UNDER FLOAT DIVISION (the same
+            # comparison verify and the SQL oracle make), then prefix
+            # length p = n - t + 1 of the per-doc hash-ascending order
+            nn = np.maximum(n, 1)
+            tmin = np.maximum(np.ceil(threshold * nn).astype(np.int64), 1)
+            over = (tmin - 1 >= 1) & ((tmin - 1) / nn >= threshold)
+            tmin = tmin - over
+            tmin = tmin + (tmin / nn < threshold)
+            p = n - tmin + 1
+            starts = np.concatenate(([0], np.cumsum(n)[:-1]))
+            pos = np.arange(len(sh), dtype=np.int64) - starts[par]
+            keep = pos < p[par]
+            sh, par = sh[keep], par[keep]
+        col = "doc_a" if prefix_only else "doc_b"
+        return pa.table({"sh": pa.array(sh, pa.int64()),
+                         col: pa.array(ids[par], pa.int64())})
+
+    probes = ds.map_batches(lambda t: _doc_rows(t, True),
+                            batch_format="pyarrow").materialize()
+    index = ds.map_batches(lambda t: _doc_rows(t, False),
+                           batch_format="pyarrow").materialize()
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "containment": pa.array([], pa.float64())})
+    n_probe, n_index = probes.count(), index.count()
+    if n_probe == 0 or n_index == 0:
+        return rd.from_arrow(empty)
+    # no empty blocks into the hash join (Ray drops them and the join
+    # then fails on the key field)
+    probes = probes.repartition(max(1, min(16, n_probe)))
+    index = index.repartition(max(1, min(16, n_index)))
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    cand = probes.join(index, join_type="inner",
+                       num_partitions=max(2, min(16, cpus // 2)),
+                       on=("sh",), right_on=("sh",))
+    cand = cand.map_batches(
+        lambda t: t.filter(pc.not_equal(t["doc_a"], t["doc_b"]))
+                   .select(["doc_a", "doc_b"]),
+        batch_format="pyarrow")
+    cand = _dedup_pairs_ds(cand)
+    return _verify_dispatch(sf_dir, ds, cand, word_shingle_hashes,
+                            "containment", threshold,
+                            verify_distributed, driver_pair_threshold,
+                            rows_fn=_containment_rows)

@@ -695,6 +695,7 @@ class TestRound3LateOperators:
         ("pack_documents", ["doc_id"]),
         ("domain_mix_sample", ["doc_id"]),
         ("dedup_incremental", ["doc_a", "doc_b"]),
+        ("dedup_containment", ["doc_a", "doc_b"]),
         ("train_val_test_split", ["doc_id"]),
         ("global_shuffle_rank", ["position"]),
     ])
@@ -3272,3 +3273,51 @@ class TestSkewJoin:
                   ON o_custkey = c_custkey
                 GROUP BY c_nationkey ORDER BY c_nationkey""").fetchdf()
             pd.testing.assert_frame_equal(r, o, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestContainmentDedup:
+    """Asymmetric containment dedup: the quoted-inside case Jaccard
+    misses, plus both-verify-paths equality (the oracle hash gate runs
+    in TestRound3LateOperators)."""
+
+    @pytest.fixture(scope="class")
+    def contain_corpus(self, tmp_path_factory):
+        d = str(tmp_path_factory.mktemp("contain"))
+        small = " ".join(f"core{i:03d}" for i in range(30))
+        big = small + " " + " ".join(f"extra{i:04d}" for i in range(300))
+        fillers = [
+            f"filler doc number{i} token{i}a token{i}b token{i}c "
+            f"token{i}d token{i}e token{i}f token{i}g"
+            for i in range(20)]
+        texts = [small, big] + fillers
+        pq.write_table(pa.table({
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }), f"{d}/documents.parquet")
+        return d
+
+    def test_finds_containment_jaccard_misses(self, contain_corpus):
+        from spider_ray.pipelines.dedup import dedup_containment, dedup_minhash
+
+        df = dedup_containment(contain_corpus, threshold=0.9).to_pandas()
+        pairs = set(zip(df["doc_a"], df["doc_b"]))
+        assert (0, 1) in pairs          # small contained in big
+        assert (1, 0) not in pairs      # big NOT contained in small
+        row = df[(df["doc_a"] == 0) & (df["doc_b"] == 1)].iloc[0]
+        assert row["containment"] == 1.0
+        # the symmetric machinery misses it: jaccard ~ 28/328
+        mh_df = dedup_minhash(contain_corpus, threshold=0.8).to_pandas()
+        assert (0, 1) not in set(zip(mh_df.get("doc_a", []),
+                                     mh_df.get("doc_b", [])))
+
+    def test_verify_paths_agree(self, contain_corpus):
+        from spider_ray.pipelines.dedup import dedup_containment
+
+        drv = dedup_containment(
+            contain_corpus,
+            verify_distributed=False).to_pandas().reset_index(drop=True)
+        dist = dedup_containment(
+            contain_corpus,
+            verify_distributed=True).to_pandas().reset_index(drop=True)
+        pd.testing.assert_frame_equal(drv, dist, check_dtype=False)
