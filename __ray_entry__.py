@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": wt.repetition_stats,
         "dedup_minhash_clusters": wt.dedup_minhash_clusters,
         "dedup_cluster_keep_best": wt.dedup_cluster_keep_best,
+        "ngram_novelty": wt.ngram_novelty,
         "keyword_search_topk": wt.keyword_search_topk,
         "bigram_logprob_score": wt.bigram_logprob_score,
         "pack_documents": wt.pack_documents,
@@ -1625,6 +1626,28 @@ def oracle_sql() -> dict[str, str]:
                        JOIN sizes sb ON sb.doc_id = doc_b
             WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
             ORDER BY doc_a, doc_b
+        """,
+        # Per-doc novelty: fraction of its distinct word-3-grams with
+        # corpus document-frequency 1 (docs with no 3-gram excluded,
+        # matching the engine's shingle semantics).
+        "ngram_novelty": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+              FROM toks,
+                   UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+            ),
+            df AS (SELECT g, count(*) AS c FROM grams GROUP BY g)
+            SELECT doc_id, count(*) AS n_shingles,
+                   round(CAST(count(*) FILTER (c = 1) AS DOUBLE)
+                         / count(*), 4) AS novel_frac
+            FROM grams JOIN df USING (g)
+            GROUP BY doc_id ORDER BY doc_id
         """,
         # Asymmetric containment |A∩B|/|A| over word-3-grams — ORDERED
         # pairs (a contained-in b).  Certifies the exact prefix-filter

@@ -2140,3 +2140,84 @@ def dedup_cluster_keep_best(sf_dir: str, threshold: float = 0.8,
     return (joined.map_batches(partials, batch_format="pyarrow")
             .groupby("cluster_id").map_groups(final, batch_format="pandas")
             .sort("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty: how much of a document exists nowhere else
+# ---------------------------------------------------------------------------
+
+def ngram_novelty(sf_dir: str):
+    """Per-document novelty: the fraction of its distinct word-3-grams
+    that occur in NO other document — the inverse of the boilerplate
+    signal (repeated_shingles_topk finds what everyone shares; this
+    scores what only this page says).  Returns (doc_id, n_shingles,
+    novel_frac) for every doc with >= 1 shingle.
+
+    One corpus-scale groupby total: shingle rows reduce to (shingle ->
+    doc_count, min_doc); a df==1 shingle's min_doc IS its sole owner,
+    so per-doc novel counts come from re-aggregating the unique-shingle
+    slice — no (shingle,doc)⋈df join.  Per-doc totals fall out of the
+    sketch pass in-batch; the two doc-sized partial tables merge with
+    the union + grouped-sum pattern (no sparse-side join hazard)."""
+    from ray.data.aggregate import Sum
+
+    from ..common.tokens import word_shingle_hashes
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def totals(t: pa.Table) -> pa.Table:
+        sh, par = word_shingle_hashes(t["text"])
+        ids = np.asarray(t["doc_id"])
+        n = np.bincount(par, minlength=t.num_rows).astype(np.int64)
+        keep = n > 0
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "n_shingles": pa.array(n[keep], pa.int64()),
+            "n_novel": pa.array(np.zeros(int(keep.sum()), np.int64)),
+        })
+
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        sh, par = word_shingle_hashes(t["text"])
+        ids = np.asarray(t["doc_id"])
+        return pa.table({"sh": pa.array(sh, pa.int64()),
+                         "doc_id": pa.array(ids[par], pa.int64())})
+
+    from ray.data.aggregate import Count, Min
+
+    uniq = (ds.map_batches(shingle_rows, batch_format="pyarrow")
+            .groupby("sh")
+            .aggregate(Count(alias_name="df"),
+                       Min("doc_id", alias_name="owner"))
+            .map_batches(
+                lambda t: t.filter(pc.equal(t["df"], pa.scalar(1))),
+                batch_format="pyarrow"))
+
+    def novel_partials(t: pa.Table) -> pa.Table:
+        # pre-aggregate the unique-shingle slice per owner in-batch
+        g = pa.TableGroupBy(t.select(["owner"]), ["owner"]).aggregate(
+            [([], "count_all")])
+        k = g.num_rows
+        return pa.table({
+            "doc_id": pc.cast(g["owner"], pa.int64()),
+            "n_shingles": pa.array(np.zeros(k, np.int64)),
+            "n_novel": pc.cast(g["count_all"], pa.int64()),
+        })
+
+    merged = (ds.map_batches(totals, batch_format="pyarrow")
+              .union(uniq.map_batches(novel_partials,
+                                      batch_format="pyarrow"))
+              .groupby("doc_id")
+              .aggregate(Sum("n_shingles", alias_name="n_shingles"),
+                         Sum("n_novel", alias_name="n_novel")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["n_shingles"], dtype=np.float64)
+        k = np.asarray(t["n_novel"], dtype=np.float64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_shingles": t["n_shingles"],
+            "novel_frac": pa.array(_rnd4(k / n), pa.float64()),
+        })
+
+    return (merged.map_batches(finish, batch_format="pyarrow")
+            .sort("doc_id"))

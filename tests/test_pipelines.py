@@ -696,6 +696,7 @@ class TestRound3LateOperators:
         ("domain_mix_sample", ["doc_id"]),
         ("dedup_incremental", ["doc_a", "doc_b"]),
         ("dedup_containment", ["doc_a", "doc_b"]),
+        ("ngram_novelty", ["doc_id"]),
         ("train_val_test_split", ["doc_id"]),
         ("global_shuffle_rank", ["position"]),
     ])
