@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "broadcast_join_segment_revenue": rel.broadcast_join_segment_revenue,
         "hash_join_priority_revenue": rel.hash_join_priority_revenue,
         "skew_join_nation_order_stats": rel.skew_join_nation_order_stats,
+        "bloom_join_big_order_items": rel.bloom_join_big_order_items,
         "semi_join_customers_with_orders": rel.semi_join_customers_with_orders,
         "anti_join_customers_without_big_orders": rel.anti_join_customers_without_big_orders,
         "union_all_names": rel.union_all_names,
@@ -735,6 +736,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_nationkey ORDER BY c_nationkey
+        """,
+        # Bloom-pre-filtered join: the false positives die in the real
+        # join, so the result is the plain inner join.
+        "bloom_join_big_order_items": """
+            SELECT o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_totalprice > 450000
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "semi_join_customers_with_orders": """
             SELECT c_custkey, c_name, c_acctbal FROM customer

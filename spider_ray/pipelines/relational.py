@@ -1811,3 +1811,132 @@ def skew_join_nation_order_stats(sf_dir: str, hot_threshold: int = 15,
     return (out.map_batches(_round_cols({"revenue": 2}),
                             batch_format="pyarrow")
             .sort("c_nationkey"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join reduction (semi-join pushdown without a shuffle)
+# ---------------------------------------------------------------------------
+
+def bloom_filtered_join(left_ds, right_ds, left_key: str, right_key: str,
+                        fp_rate: float = 0.01,
+                        num_partitions: int | None = None):
+    """Inner join with a Bloom pre-filter on the probe side — the
+    classic shuffle-volume reduction (Spark's runtime bloom join, and
+    the same bloom kernel the URL-seen shards run): when the build side
+    is selective, most left rows have no match, yet a plain hash join
+    ships ALL of them through the exchange.  Here:
+
+      1. the right side's keys build per-block Bloom bitmaps in one map
+         pass; the bitmaps OR together in a ray.remote TREE (the driver
+         receives only the root — never num_blocks × m/8 bytes);
+      2. the merged filter broadcasts once (ray.put, ~1.2 MB per 10⁶
+         keys at 1%) and each left batch drops definite-miss rows
+         BEFORE the shuffle — a bloom "no" is authoritative, so no
+         matching row is ever lost;
+      3. survivors (true matches + measured false positives) run the
+         normal hash-partitioned Dataset.join, which removes the false
+         positives — the result is EXACTLY the plain inner join.
+
+    Prints the measured pruned fraction (suite convention: every
+    approximate/pruning stage reports what it actually did)."""
+    import ray
+
+    from ..state.bloom import BloomFilter
+
+    n_keys = right_ds.count()
+    proto = BloomFilter(capacity=max(n_keys, 1), fp_rate=fp_rate)
+    m, k = int(proto.m), int(proto.k)
+
+    def block_bloom(t: pa.Table) -> pa.Table:
+        bf = BloomFilter(capacity=max(n_keys, 1), fp_rate=fp_rate)
+        bf.add_many(np.asarray(t[right_key], dtype=np.int64))
+        return pa.table({"bits": pa.array([bf.bits.tobytes()],
+                                          pa.large_binary())})
+
+    bitmap_blocks = right_ds.map_batches(
+        block_bloom, batch_format="pyarrow").to_arrow_refs()
+
+    @ray.remote
+    def or_block(tbl) -> np.ndarray:
+        acc = np.zeros((m + 7) // 8, dtype=np.uint8)
+        for buf in tbl["bits"].to_pylist():
+            acc |= np.frombuffer(buf, dtype=np.uint8)
+        return acc
+
+    @ray.remote
+    def or_pair(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return np.bitwise_or(a, b)
+
+    refs = [or_block.remote(t) for t in bitmap_blocks]
+    while len(refs) > 1:  # tree reduce: log2(blocks) rounds
+        nxt = [or_pair.remote(refs[i], refs[i + 1])
+               for i in range(0, len(refs) - 1, 2)]
+        if len(refs) % 2:
+            nxt.append(refs[-1])
+        refs = nxt
+    bits_ref = refs[0]
+
+    def probe(t: pa.Table, _b=bits_ref) -> pa.Table:
+        bf = BloomFilter.__new__(BloomFilter)
+        bf.m, bf.k, bf.count = np.uint64(m), k, n_keys
+        bf.bits = ray.get(_b)  # zero-copy plasma view per task
+        mask = bf.contains_many(np.asarray(t[left_key], dtype=np.int64))
+        out = t.filter(pa.array(mask))
+        return out
+
+    survivors = left_ds.map_batches(probe,
+                                    batch_format="pyarrow").materialize()
+    n_left = left_ds.count()
+    n_surv = survivors.count()
+    if n_left:
+        print(f"[bloom_filtered_join] pruned "
+              f"{1.0 - n_surv / n_left:.3f} of {n_left} probe rows "
+              f"(bloom {m} bits, k={k}, build {n_keys} keys)")
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(16, cpus // 2))
+    if n_surv == 0:
+        import ray.data as rd
+        left_schema = left_ds.schema()
+        right_names = [f for f in right_ds.schema().names
+                       if f != right_key]
+        right_schema = right_ds.schema()
+        fields = list(zip(left_schema.names, left_schema.types)) + [
+            (n, right_schema.types[right_schema.names.index(n)])
+            for n in right_names]
+        return rd.from_arrow(pa.schema(fields).empty_table())
+    survivors = survivors.repartition(max(1, min(16, n_surv)))
+    return survivors.join(right_ds, join_type="inner",
+                          num_partitions=num_partitions,
+                          on=(left_key,), right_on=(right_key,))
+
+
+def bloom_join_big_order_items(sf_dir: str, min_price: float = 450_000.0):
+    """Driver query: lineitems of very large orders — the selective
+    build side (~1-2% of orders) makes the bloom drop ~98% of lineitem
+    rows before the join shuffle; result = plain inner join + grouped
+    revenue by priority."""
+    from ray.data.aggregate import Count, Sum
+
+    big = _rp(sf_dir, "orders",
+              ["o_orderkey", "o_orderpriority", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], min_price))
+                   .select(["o_orderkey", "o_orderpriority"]),
+        batch_format="pyarrow")
+
+    li = _rp(sf_dir, "lineitem",
+             ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
+        lambda t: pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "revenue": pc.multiply(t["l_extendedprice"],
+                                   pc.subtract(pa.scalar(1.0),
+                                               t["l_discount"]))}),
+        batch_format="pyarrow")
+
+    joined = bloom_filtered_join(li, big, "l_orderkey", "o_orderkey")
+    out = joined.groupby("o_orderpriority").aggregate(
+        Sum("revenue", alias_name="revenue"),
+        Count(alias_name="n_items"))
+    return (out.map_batches(_round_cols({"revenue": 2}),
+                            batch_format="pyarrow")
+            .sort("o_orderpriority"))

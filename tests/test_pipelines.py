@@ -3322,3 +3322,65 @@ class TestContainmentDedup:
             contain_corpus,
             verify_distributed=True).to_pandas().reset_index(drop=True)
         pd.testing.assert_frame_equal(drv, dist, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBloomFilteredJoin:
+    """Bloom pre-filter + hash join must equal the plain inner join —
+    false positives die in the join, false negatives are impossible."""
+
+    def test_equals_plain_inner_join(self):
+        import ray.data as rd
+
+        from spider_ray.pipelines.relational import bloom_filtered_join
+
+        rng = np.random.default_rng(11)
+        fact = pa.table({
+            "k": pa.array(rng.integers(0, 10_000, 50_000), pa.int64()),
+            "v": pa.array(rng.integers(0, 100, 50_000), pa.int64())})
+        dim_keys = np.arange(0, 10_000, 37, dtype=np.int64)  # ~2.7% hit
+        dim = pa.table({"dk": pa.array(dim_keys),
+                        "w": pa.array(dim_keys * 2)})
+        out = bloom_filtered_join(rd.from_arrow(fact), rd.from_arrow(dim),
+                                  "k", "dk").to_pandas()
+        exp = fact.to_pandas().merge(dim.to_pandas(),
+                                     left_on="k", right_on="dk")
+        got = out.sort_values(["k", "v", "w"], ignore_index=True)
+        exp = (exp[["k", "v", "w"]]
+               .sort_values(["k", "v", "w"], ignore_index=True))
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_empty_build_side_yields_empty_join(self):
+        import ray.data as rd
+
+        from spider_ray.pipelines.relational import bloom_filtered_join
+
+        fact = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                         "v": pa.array([9, 9, 9], pa.int64())})
+        dim = pa.table({"dk": pa.array([100], pa.int64()),
+                        "w": pa.array([0], pa.int64())})
+        out = bloom_filtered_join(rd.from_arrow(fact), rd.from_arrow(dim),
+                                  "k", "dk")
+        assert out.count() == 0
+        # the empty result still carries the joined schema
+        assert set(out.schema().names) == {"k", "v", "w"}
+
+    def test_driver_query_matches_duckdb(self):
+        import duckdb
+
+        from spider_ray.pipelines.relational import bloom_join_big_order_items
+
+        sf = "/root/testdata/sf0.001"
+        r = (bloom_join_big_order_items(sf)
+             .to_pandas().reset_index(drop=True))
+        o = duckdb.connect().execute(f"""
+            SELECT o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   count(*) AS n_items
+            FROM read_parquet('{sf}/lineitem.parquet') l
+            JOIN read_parquet('{sf}/orders.parquet') o
+              ON l_orderkey = o_orderkey
+            WHERE o_totalprice > 450000
+            GROUP BY o_orderpriority ORDER BY o_orderpriority""").fetchdf()
+        pd.testing.assert_frame_equal(r, o, check_dtype=False)
