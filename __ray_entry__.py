@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join_priority_revenue": rel.hash_join_priority_revenue,
         "skew_join_nation_order_stats": rel.skew_join_nation_order_stats,
         "bloom_join_big_order_items": rel.bloom_join_big_order_items,
+        "cohort_retention": rel.cohort_retention,
         "semi_join_customers_with_orders": rel.semi_join_customers_with_orders,
         "anti_join_customers_without_big_orders": rel.anti_join_customers_without_big_orders,
         "union_all_names": rel.union_all_names,
@@ -736,6 +737,24 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_nationkey ORDER BY c_nationkey
+        """,
+        # Cohort/retention matrix: first-event-hour cohorts × hour
+        # offsets, distinct users per cell.
+        "cohort_retention": """
+            WITH uh AS (
+              SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour
+              FROM events
+            ),
+            firsts AS (
+              SELECT user_id, min(hour) AS cohort_hour
+              FROM uh GROUP BY user_id
+            )
+            SELECT cohort_hour,
+                   CAST(epoch(hour - cohort_hour) / 3600 AS BIGINT)
+                       AS offset_hours,
+                   count(*) AS n_users
+            FROM uh JOIN firsts USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # Bloom-pre-filtered join: the false positives die in the real
         # join, so the result is the plain inner join.

@@ -1940,3 +1940,56 @@ def bloom_join_big_order_items(sf_dir: str, min_price: float = 450_000.0):
     return (out.map_batches(_round_cols({"revenue": 2}),
                             batch_format="pyarrow")
             .sort("o_orderpriority"))
+
+
+def cohort_retention(sf_dir: str):
+    """Cohort/retention matrix — the canonical product-analytics shape:
+    cohort = the hour of a user's FIRST event, retention cell =
+    distinct users of that cohort active at each hour offset.
+
+    Scale shape: the raw event stream reduces to distinct (user, hour)
+    pairs FIRST (per-block Arrow distinct, then one grouped distinct —
+    the only corpus-scale shuffle); cohorts come from a user-sized Min
+    aggregate of that table; the (pairs ⋈ cohorts) join and the final
+    (cohort, offset) count both run over user-scale inputs.  Both join
+    sides are grouped-aggregate outputs, so they repartition first (the
+    empty-block hash-join hazard)."""
+    from ray.data.aggregate import Min
+
+    ds = _rp(sf_dir, "events", ["user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        sub = pa.table({"user_id": t["user_id"], "hour": hour})
+        return pa.TableGroupBy(sub, ["user_id", "hour"]).aggregate([])
+
+    uh = (ds.map_batches(pairs, batch_format="pyarrow")
+          .groupby(["user_id", "hour"]).count()
+          .drop_columns(["count()"])
+          .materialize())
+    firsts = (uh.groupby("user_id")
+              .aggregate(Min("hour", alias_name="cohort_hour")))
+    n_pairs = uh.count()
+    uh = uh.repartition(max(1, min(16, n_pairs)))
+    firsts = firsts.materialize()
+    firsts = firsts.repartition(max(1, min(16, firsts.count())))
+    joined = uh.join(firsts, join_type="inner",
+                     num_partitions=max(2, min(16, n_pairs or 2)),
+                     on=("user_id",), right_on=("user_id",))
+
+    def offset(t: pa.Table) -> pa.Table:
+        h = np.asarray(t["hour"]).astype("datetime64[us]").astype(np.int64)
+        c = np.asarray(t["cohort_hour"]).astype(
+            "datetime64[us]").astype(np.int64)
+        return pa.table({
+            "cohort_hour": t["cohort_hour"],
+            "offset_hours": pa.array((h - c) // 3_600_000_000, pa.int64()),
+        })
+
+    out = (joined.map_batches(offset, batch_format="pyarrow")
+           .groupby(["cohort_hour", "offset_hours"]).count())
+    return (out.map_batches(
+        lambda t: t.rename_columns(
+            ["cohort_hour", "offset_hours", "n_users"]),
+        batch_format="pyarrow")
+        .sort(["cohort_hour", "offset_hours"]))

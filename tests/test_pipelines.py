@@ -697,6 +697,7 @@ class TestRound3LateOperators:
         ("dedup_incremental", ["doc_a", "doc_b"]),
         ("dedup_containment", ["doc_a", "doc_b"]),
         ("ngram_novelty", ["doc_id"]),
+        ("cohort_retention", ["cohort_hour", "offset_hours"]),
         ("train_val_test_split", ["doc_id"]),
         ("global_shuffle_rank", ["position"]),
     ])
