@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skew_join_nation_order_stats": rel.skew_join_nation_order_stats,
         "bloom_join_big_order_items": rel.bloom_join_big_order_items,
         "cohort_retention": rel.cohort_retention,
+        "equidepth_histogram_event_value": rel.equidepth_histogram_event_value,
         "semi_join_customers_with_orders": rel.semi_join_customers_with_orders,
         "anti_join_customers_without_big_orders": rel.anti_join_customers_without_big_orders,
         "union_all_names": rel.union_all_names,
@@ -737,6 +738,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_nationkey ORDER BY c_nationkey
+        """,
+        # Equi-depth histogram: NTILE(k) over the globally sorted value
+        # column; counts follow the NTILE sizing rule, min/max are the
+        # exact tile-boundary order statistics.
+        "equidepth_histogram_event_value": """
+            WITH t AS (
+              SELECT value,
+                     ntile(8) OVER (ORDER BY value, event_id) AS tile
+              FROM events
+            )
+            SELECT tile, count(*) AS n,
+                   min(value) AS min_value,
+                   max(value) AS max_value
+            FROM t GROUP BY tile ORDER BY tile
         """,
         # Cohort/retention matrix: first-event-hour cohorts × hour
         # offsets, distinct users per cell.

@@ -623,11 +623,9 @@ def pivot_status_by_priority(sf_dir: str):
             .sort("o_orderstatus"))
 
 
-def quantile_event_value_global(sf_dir: str, qs=(0.5, 0.9, 0.99),
-                                bins: int = 4096, cap: int = 200_000):
-    """EXACT global quantiles over a large column by distributed
-    rank-select — the scale path quantile_chars_by_lang's docstring
-    promises.  No sort, no shuffle, nothing data-sized on the driver:
+class _RankSelector:
+    """EXACT order statistics over a large column by distributed
+    rank-select.  No sort, no shuffle, nothing data-sized on the driver:
 
       pass 1  Min/Max/Count aggregate (streaming).
       pass 2  per-block histograms over `bins` equal-width buckets; the
@@ -641,47 +639,55 @@ def quantile_event_value_global(sf_dir: str, qs=(0.5, 0.9, 0.99),
     recursively re-histogrammed over its own value range (each level
     divides the candidate count by up to `bins`); equal-value pileups
     that cannot subdivide are resolved directly (every candidate equals
-    the answer).  Rank rule: value at floor(q·(n−1)) of the sorted
-    column — identical in the SQL oracle, and the result is an element
-    of the column, so float bits match exactly."""
-    from ray.data.aggregate import Count, Max, Min
+    the answer).  The result is an element of the column, so float bits
+    match the SQL oracle exactly.  Shared by quantile_event_value_global
+    (floor(q·(n−1)) rank rule) and equidepth_histogram_event_value
+    (NTILE tile-boundary ranks)."""
 
-    ds = _rp(sf_dir, "events", ["value"])
-    stats = ds.aggregate(Min("value", alias_name="lo"),
-                         Max("value", alias_name="hi"),
-                         Count(alias_name="n"))
-    lo, hi, n = float(stats["lo"]), float(stats["hi"]), int(stats["n"])
-    ranks = [int(np.floor(q * (n - 1))) for q in qs]
+    def __init__(self, ds, bins: int = 4096, cap: int = 200_000):
+        from ray.data.aggregate import Count, Max, Min
+
+        self.ds, self.bins, self.cap = ds, bins, cap
+        stats = ds.aggregate(Min("value", alias_name="lo"),
+                             Max("value", alias_name="hi"),
+                             Count(alias_name="n"))
+        self.lo = float(stats["lo"]) if stats["lo"] is not None else 0.0
+        self.hi = float(stats["hi"]) if stats["hi"] is not None else 0.0
+        self.n = int(stats["n"])
+        self._h0 = (self._hist([], self.lo, self.hi - self.lo)
+                    if self.n and self.hi > self.lo else None)
 
     # bucket membership is ALWAYS this clip-index rule — histogram counts
     # and candidate gathers share it verbatim, so float edge rounding can
     # never put a value in one pass's bucket and outside the other's
-    def _members(v: np.ndarray, chain) -> np.ndarray:
+    def _members(self, v: np.ndarray, chain) -> np.ndarray:
+        bins = self.bins
         for l, w, b in chain:
             idx = np.clip(((v - l) / w * bins).astype(np.int64), 0, bins - 1)
             v = v[idx == b]
         return v
 
-    def _hist(chain, l: float, w: float) -> np.ndarray:
-        def fn(t: pa.Table) -> pa.Table:
-            v = _members(np.asarray(t["value"], dtype=np.float64), chain)
+    def _hist(self, chain, l: float, w: float) -> np.ndarray:
+        bins = self.bins
+
+        def fn(t: pa.Table, _s=self) -> pa.Table:
+            v = _s._members(np.asarray(t["value"], dtype=np.float64), chain)
             c = (np.bincount(np.clip(((v - l) / w * bins).astype(np.int64),
                                      0, bins - 1), minlength=bins)
                  if len(v) else np.zeros(bins, np.int64))
             return pa.table({"h": pa.array([c.tolist()],
                                            pa.list_(pa.int64()))})
 
-        rows = ds.map_batches(fn, batch_format="pyarrow").take_all()
+        rows = self.ds.map_batches(fn, batch_format="pyarrow").take_all()
         return (np.sum([np.asarray(r["h"]) for r in rows], axis=0)
                 if rows else np.zeros(bins, np.int64))
 
-    h0 = _hist([], lo, hi - lo) if n and hi > lo else None
-
-    def _select(rank: int) -> float:
-        if h0 is None:
-            return lo
+    def select(self, rank: int) -> float:
+        if self._h0 is None:
+            return self.lo
+        bins = self.bins
         chain: list = []
-        lo_, w, below, h = lo, hi - lo, 0, h0
+        lo_, w, below, h = self.lo, self.hi - self.lo, 0, self._h0
         while True:
             cum = below + np.cumsum(h)
             b = int(np.searchsorted(cum, rank + 1))
@@ -689,27 +695,67 @@ def quantile_event_value_global(sf_dir: str, qs=(0.5, 0.9, 0.99),
             b_lo = lo_ + w * b / bins
             b_w = w / bins
             chain_b = chain + [(lo_, w, b)]
-            if int(h[b]) > cap and b_w > 0 and b_lo + b_w > np.nextafter(
+            if int(h[b]) > self.cap and b_w > 0 and b_lo + b_w > np.nextafter(
                     b_lo, np.inf):
                 chain, lo_, w, below = chain_b, b_lo, b_w, b_below
-                h = _hist(chain, lo_, w)
+                h = self._hist(chain, lo_, w)
                 continue
 
-            def gather(t: pa.Table) -> pa.Table:
-                v = _members(np.asarray(t["value"], dtype=np.float64),
-                             chain_b)
+            def gather(t: pa.Table, _s=self) -> pa.Table:
+                v = _s._members(np.asarray(t["value"], dtype=np.float64),
+                                chain_b)
                 return pa.table({"value": pa.array(v, pa.float64())})
 
             vals = np.sort(np.concatenate(
                 [np.asarray(t["value"], dtype=np.float64) for t in
-                 ds.map_batches(gather, batch_format="pyarrow")
-                   .iter_batches(batch_format="pyarrow")] or [np.zeros(0)]))
+                 self.ds.map_batches(gather, batch_format="pyarrow")
+                     .iter_batches(batch_format="pyarrow")] or [np.zeros(0)]))
             return float(vals[rank - b_below])
 
-    out = {"n_events": pa.array([n], pa.int64())}
-    for q, r in zip(qs, ranks):
-        out[f"p{int(q * 100)}"] = pa.array([_select(r)], pa.float64())
+
+def quantile_event_value_global(sf_dir: str, qs=(0.5, 0.9, 0.99),
+                                bins: int = 4096, cap: int = 200_000):
+    """EXACT global quantiles by the shared _RankSelector machinery.
+    Rank rule: value at floor(q·(n−1)) of the sorted column — identical
+    in the SQL oracle."""
+    sel = _RankSelector(_rp(sf_dir, "events", ["value"]), bins, cap)
+    out = {"n_events": pa.array([sel.n], pa.int64())}
+    for q in qs:
+        r = int(np.floor(q * (sel.n - 1)))
+        out[f"p{int(q * 100)}"] = pa.array([sel.select(r)], pa.float64())
     return pa.table(out)
+
+
+def equidepth_histogram_event_value(sf_dir: str, k: int = 8,
+                                    bins: int = 4096, cap: int = 200_000):
+    """Equi-DEPTH histogram (the planner statistic equal-width
+    histograms get wrong on skew): k tiles of near-equal row count with
+    each tile's exact value range.  SQL's NTILE over a global sort is
+    the semantics — but tile COUNTS are fixed by the NTILE rule alone
+    (first n mod k tiles get ceil(n/k)) and tile MIN/MAX are order
+    statistics at the tile-boundary ranks, so the whole histogram is
+    2k exact rank-selects on the shared _RankSelector — no global sort,
+    no shuffle.  (Ties: sorted-by-(value,id) only permutes equal
+    values, so value@rank is tie-break-independent.)"""
+    sel = _RankSelector(_rp(sf_dir, "events", ["value"]), bins, cap)
+    n = sel.n
+    q, r = divmod(n, k)
+    sizes = [q + 1 if t < r else q for t in range(k)]
+    starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    rows = {"tile": [], "n": [], "min_value": [], "max_value": []}
+    for t in range(k):
+        if sizes[t] == 0:
+            continue
+        rows["tile"].append(t + 1)
+        rows["n"].append(sizes[t])
+        rows["min_value"].append(sel.select(int(starts[t])))
+        rows["max_value"].append(sel.select(int(starts[t] + sizes[t] - 1)))
+    return pa.table({
+        "tile": pa.array(rows["tile"], pa.int64()),
+        "n": pa.array(rows["n"], pa.int64()),
+        "min_value": pa.array(rows["min_value"], pa.float64()),
+        "max_value": pa.array(rows["max_value"], pa.float64()),
+    })
 
 
 def lag_event_gap(sf_dir: str):

@@ -698,6 +698,7 @@ class TestRound3LateOperators:
         ("dedup_containment", ["doc_a", "doc_b"]),
         ("ngram_novelty", ["doc_id"]),
         ("cohort_retention", ["cohort_hour", "offset_hours"]),
+        ("equidepth_histogram_event_value", ["tile"]),
         ("train_val_test_split", ["doc_id"]),
         ("global_shuffle_rank", ["position"]),
     ])
@@ -3385,3 +3386,24 @@ class TestBloomFilteredJoin:
             WHERE o_totalprice > 450000
             GROUP BY o_orderpriority ORDER BY o_orderpriority""").fetchdf()
         pd.testing.assert_frame_equal(r, o, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEquidepthHistogram:
+    def test_tile_invariants_and_coverage(self):
+        from spider_ray.pipelines.relational import (
+            equidepth_histogram_event_value)
+
+        sf = "/root/testdata/sf0.001"
+        df = equidepth_histogram_event_value(sf, k=8).to_pandas()
+        n_total = int(df["n"].sum())
+        assert sorted(df["tile"]) == list(range(1, 9))
+        # NTILE sizing: first n%k tiles get one extra row
+        q, r = divmod(n_total, 8)
+        assert list(df.sort_values("tile")["n"]) == [
+            q + 1 if t < r else q for t in range(8)]
+        # ranges are non-overlapping and ordered (min<=max<=next min)
+        s = df.sort_values("tile")
+        assert (s["min_value"] <= s["max_value"]).all()
+        assert (s["max_value"].to_numpy()[:-1]
+                <= s["min_value"].to_numpy()[1:]).all()
