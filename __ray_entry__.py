@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_doc_stats_by_lang": ts.doc_stats_by_lang,
         "text_token_count": ts.token_count,
         "text_quality_score": ts.quality_score,
+        "quality_quantile_gate": ts.quality_quantile_gate,
         "text_normalize": ts.normalize_text,
         "text_lang_id": ts.lang_id,
         "text_fingerprints": ts.fingerprints,
@@ -900,6 +901,32 @@ def oracle_sql() -> dict[str, str]:
                          - length(regexp_replace(text, '[^0-9]', '', 'g'))
                          / greatest(length(text), 1), 4) AS quality
             FROM documents
+        """,
+        # Per-language quality gate: keep docs at or above the lang's
+        # q=0.75 order statistic (rank rule floor(q*(n-1)) on the
+        # ROUNDED score — the same value both engines compute).
+        "quality_quantile_gate": """
+            WITH s AS (
+              SELECT doc_id, lang,
+                     round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                           / greatest(length(text), 1)
+                           - length(regexp_replace(text, '[^0-9]', '', 'g'))
+                           / greatest(length(text), 1), 4) AS q_score
+              FROM documents
+            ),
+            thr AS (
+              SELECT lang, q_score AS thr FROM (
+                SELECT lang, q_score,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY q_score, doc_id) - 1
+                           AS rn,
+                       count(*) OVER (PARTITION BY lang) AS n
+                FROM s) t
+              WHERE rn = CAST(floor(0.75 * (n - 1)) AS BIGINT)
+            )
+            SELECT s.doc_id, s.lang, s.q_score
+            FROM s JOIN thr USING (lang)
+            WHERE s.q_score >= thr.thr ORDER BY s.doc_id
         """,
         "text_normalize": r"""
             SELECT doc_id,

@@ -727,3 +727,61 @@ def pmi_adjacent_tokens(sf_dir: str, min_count: int = 30, k: int = 20):
     return (pairs.map_batches(score, batch_format="pyarrow")
             .sort(["pmi", "w1", "w2"], descending=[True, False, False])
             .limit(k))
+
+
+def quality_quantile_gate(sf_dir: str, q: float = 0.75):
+    """Per-language quality gating — keep each language's top quality
+    quartile (what curation pipelines actually do with a quality score:
+    threshold RELATIVE to the language, since absolute scores aren't
+    comparable across languages).  Returns the kept (doc_id, lang,
+    q_score) rows.
+
+    Two stages over a materialized doc-sized score table (the text
+    column is read once and never again): per-lang exact order
+    statistic at floor(q·(n−1)) (lang domain is tiny — one map_groups
+    over ≤|langs| groups), thresholds broadcast like model parameters,
+    then a vectorized per-batch filter.  Score = the text_quality_score
+    formula rounded at 4dp in BOTH engines, so the threshold value is
+    bit-identical to the SQL's."""
+    import ray
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        n_safe = pc.max_element_wise(
+            pc.cast(pc.utf8_length(text), pa.float64()), pa.scalar(1.0))
+        n_alpha = pc.cast(pc.utf8_length(pc.replace_substring_regex(
+            text, pattern="[^A-Za-z]", replacement="")), pa.float64())
+        n_digit = pc.cast(pc.utf8_length(pc.replace_substring_regex(
+            text, pattern="[^0-9]", replacement="")), pa.float64())
+        s = pc.round(pc.subtract(pc.divide(n_alpha, n_safe),
+                                 pc.divide(n_digit, n_safe)),
+                     ndigits=4, round_mode="half_towards_infinity")
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
+                         "q_score": s})
+
+    scored = ds.map_batches(score, batch_format="pyarrow").materialize()
+
+    def group_thr(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        v = np.sort(df["q_score"].to_numpy())
+        r = int(np.floor(q * (len(v) - 1)))
+        return pd.DataFrame({"lang": df["lang"].iloc[:1],
+                             "thr": [float(v[r])]})
+
+    thr_df = (scored.groupby("lang")
+              .map_groups(group_thr, batch_format="pandas").to_pandas())
+    thr_ref = ray.put(dict(zip(thr_df["lang"], thr_df["thr"])))
+
+    def gate(t: pa.Table, _thr=thr_ref) -> pa.Table:
+        thr = ray.get(_thr)
+        langs = t["lang"].to_pylist()  # lang-domain-sized dict lookup
+        bounds = np.fromiter((thr[l] for l in langs), np.float64,
+                             count=t.num_rows)
+        return t.filter(pa.array(
+            np.asarray(t["q_score"], dtype=np.float64) >= bounds))
+
+    return (scored.map_batches(gate, batch_format="pyarrow")
+            .sort("doc_id"))

@@ -699,6 +699,7 @@ class TestRound3LateOperators:
         ("ngram_novelty", ["doc_id"]),
         ("cohort_retention", ["cohort_hour", "offset_hours"]),
         ("equidepth_histogram_event_value", ["tile"]),
+        ("quality_quantile_gate", ["doc_id"]),
         ("train_val_test_split", ["doc_id"]),
         ("global_shuffle_rank", ["position"]),
     ])
