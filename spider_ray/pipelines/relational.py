@@ -2039,3 +2039,82 @@ def cohort_retention(sf_dir: str):
             ["cohort_hour", "offset_hours", "n_users"]),
         batch_format="pyarrow")
         .sort(["cohort_hour", "offset_hours"]))
+
+
+def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                         cutoff: str = "1995-03-15", k: int = 10):
+    """TPC-H Q3 shape — the canonical 3-table analytics join
+    (customer ⋈ orders ⋈ lineitem), executed with each table reduced
+    BEFORE it meets a shuffle:
+
+      * customer never joins at all: the segment's custkeys broadcast
+        once and semi-filter orders with a vectorized index_in;
+      * lineitem pre-aggregates revenue per orderkey IN-BATCH, so the
+        only hash join runs order-sized ⋈ order-sized;
+      * the top-k never sorts the join output globally — per-block
+        top-k combiner + one tiny final sort (ties broken on the
+        ROUNDED revenue + date + orderkey, rule shared with the SQL)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cut = pd.Timestamp(cutoff)
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], pa.scalar(segment)))
+                   .select(["c_custkey"]),
+        batch_format="pyarrow").to_pandas()
+    keys_ref = ray.put(np.sort(np.asarray(cust["c_custkey"],
+                                          dtype=np.int64)))
+
+    def orders_filter(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["o_orderdate"], pa.scalar(cut)))
+        mask = np.isin(np.asarray(t["o_custkey"]), ray.get(keys_ref))
+        return (t.filter(pa.array(mask))
+                .select(["o_orderkey", "o_orderdate", "o_orderpriority"]))
+
+    orders = _rp(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate",
+                  "o_orderpriority"]).map_batches(
+        orders_filter, batch_format="pyarrow")
+
+    def li_partials(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cut)))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        sub = pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+        return pa.TableGroupBy(sub, ["l_orderkey"]).aggregate(
+            [("rev", "sum")]).rename_columns(["l_orderkey", "rev"])
+
+    rev_per_order = (_rp(sf_dir, "lineitem",
+                         ["l_orderkey", "l_extendedprice", "l_discount",
+                          "l_shipdate"])
+                     .map_batches(li_partials, batch_format="pyarrow")
+                     .groupby("l_orderkey")
+                     .aggregate(Sum("rev", alias_name="revenue")))
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    joined = rev_per_order.join(orders, join_type="inner",
+                                num_partitions=max(2, min(16, cpus // 2)),
+                                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "revenue": pc.round(t["revenue"], ndigits=2,
+                                round_mode="half_towards_infinity"),
+            "o_orderdate": t["o_orderdate"],
+            "o_orderpriority": t["o_orderpriority"],
+        })
+
+    sort_keys = [("revenue", "descending"), ("o_orderdate", "ascending"),
+                 ("l_orderkey", "ascending")]
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        return t.take(pc.select_k_unstable(t, k, sort_keys))
+
+    return (joined.map_batches(finish, batch_format="pyarrow")
+            .map_batches(local_topk, batch_format="pyarrow")
+            .sort(["revenue", "o_orderdate", "l_orderkey"],
+                  descending=[True, False, False])
+            .limit(k))

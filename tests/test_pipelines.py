@@ -700,6 +700,7 @@ class TestRound3LateOperators:
         ("cohort_retention", ["cohort_hour", "offset_hours"]),
         ("equidepth_histogram_event_value", ["tile"]),
         ("quality_quantile_gate", ["doc_id"]),
+        ("q3_shipping_priority", ["l_orderkey"]),
         ("train_val_test_split", ["doc_id"]),
         ("global_shuffle_rank", ["position"]),
     ])
@@ -712,7 +713,7 @@ class TestRound3LateOperators:
         import __ray_entry__ as E
 
         con = duckdb.connect()
-        for t in ("orders", "lineitem", "events", "documents"):
+        for t in ("orders", "lineitem", "events", "documents", "customer"):
             con.execute(f"create view {t} as select * from "
                         f"read_parquet('{SF}/{t}.parquet')")
         r = E.queries()[name](SF).to_pandas()
