@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # reduce; rows-only — integer features recomputed bit-for-bit
         # in pytest
         "multimodal_frame_stats": mm.multimodal_frame_stats,
+        "multimodal_audio_stats": mm.multimodal_audio_stats,
         # -- composed end-to-end training-data prep ------------------------
         "training_data_prep": prep.training_data_prep,
         "training_data_prep_fuzzy": prep.training_data_prep_fuzzy,

@@ -276,3 +276,115 @@ def multimodal_frame_stats(sf_dir: str, stride: int = 3):
         })
 
     return out.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Audio-style payloads: frame-energy / silence analysis (the standard
+# first pass of any speech-data pipeline) as an actor-pool stage
+# ---------------------------------------------------------------------------
+
+AMAGIC = b"AUD1"
+_SR = 16_000
+_FRAME = 160  # 10 ms at 16 kHz — the conventional VAD hop
+
+
+def synth_audio_payload(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic fake audio: little-endian int16 PCM in a tiny
+    container (magic + sample-rate + count), sample count from the doc
+    stats, samples from one splitmix64 stream — with every 4th 10 ms
+    frame attenuated >>6 so silence detection has real work to do."""
+    n = 640 + (n_chars % 7) * _FRAME + (doc_id % 3) * 40  # not frame-aligned
+    words = _splitmix64(np.arange((n + 3) // 4, dtype=np.uint64)
+                        + np.uint64(doc_id * 2_654_435_761 + 97))
+    samples = words.view(np.int16)[:n].copy()
+    frame_of = np.arange(n) // _FRAME
+    quiet = (frame_of + doc_id) % 4 == 0
+    samples[quiet] >>= 6
+    return (AMAGIC + int(_SR).to_bytes(4, "little")
+            + int(n).to_bytes(4, "little") + samples.tobytes())
+
+
+def make_audio_table(sf_dir: str):
+    """documents -> (doc_id, payload:binary, media_type): the synthetic
+    audio input table."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        ncs = np.asarray(t["n_chars"], dtype=np.int64)
+        payloads = [synth_audio_payload(int(i), int(n))
+                    for i, n in zip(ids, ncs)]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "payload": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(["audio/fake"] * len(ids), pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+class AudioFeaturizer:
+    """Actor-pool audio analysis stage: decode the container ONCE per
+    payload, frame into 10 ms hops, and emit integer-exact per-doc
+    features (tests recompute them bit-for-bit): total samples, frame
+    count, mean frame energy (floor-divided int), silent-frame fraction
+    (energy below `silence_thresh`), peak amplitude.  __init__ is the
+    once-per-actor codec/config slot; a real soundfile/ffmpeg decoder
+    plugs into decode_audio_real below."""
+
+    def __init__(self, frame: int = _FRAME,
+                 silence_thresh: int = 2_000_000_000):
+        self.frame = frame
+        self.silence_thresh = silence_thresh
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        assert payload[:4] == AMAGIC, "not an AUD1 payload"
+        n = int.from_bytes(payload[8:12], "little")
+        return np.frombuffer(payload, np.int16, count=n, offset=12)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows = {k: [] for k in ("doc_id", "n_samples", "n_frames",
+                                "mean_energy", "silence_frac", "peak_amp")}
+        for doc_id, payload in zip(t["doc_id"].to_pylist(),
+                                   t["payload"].to_pylist()):
+            x = self.decode(payload).astype(np.int64)
+            nf = len(x) // self.frame
+            frames = x[:nf * self.frame].reshape(nf, self.frame)
+            energy = (frames * frames).sum(axis=1)  # ≤ 160·(2¹⁵)² ≪ int64
+            silent = int((energy < self.silence_thresh).sum())
+            rows["doc_id"].append(doc_id)
+            rows["n_samples"].append(len(x))
+            rows["n_frames"].append(nf)
+            rows["mean_energy"].append(
+                int(energy.sum() // nf) if nf else 0)
+            rows["silence_frac"].append(
+                np.floor(silent / nf * 1e4 + 0.5) / 1e4 if nf else 0.0)
+            rows["peak_amp"].append(int(np.abs(x).max()) if len(x) else 0)
+        return pa.table({
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "n_samples": pa.array(rows["n_samples"], pa.int64()),
+            "n_frames": pa.array(rows["n_frames"], pa.int64()),
+            "mean_energy": pa.array(rows["mean_energy"], pa.int64()),
+            "silence_frac": pa.array(rows["silence_frac"], pa.float64()),
+            "peak_amp": pa.array(rows["peak_amp"], pa.int64()),
+        })
+
+
+def decode_audio_real(payload: bytes):
+    """The real-codec seam.  Plug soundfile/ffmpeg here when available."""
+    raise NotImplementedError(
+        "audio codecs are not available in this environment; "
+        "AudioFeaturizer.decode parses the synthetic container instead")
+
+
+def multimodal_audio_stats(sf_dir: str):
+    """Audio payloads -> actor-pool frame-energy features, sorted by
+    doc_id.  Same byte-aware batch sizing as the image/video stages
+    (payload bytes × batch × concurrency is the worker heap envelope)."""
+    return (make_audio_table(sf_dir).map_batches(
+        AudioFeaturizer, batch_format="pyarrow", batch_size=256,
+        concurrency=2, num_cpus=1)
+        .sort("doc_id"))

@@ -3409,3 +3409,43 @@ class TestEquidepthHistogram:
         assert (s["min_value"] <= s["max_value"]).all()
         assert (s["max_value"].to_numpy()[:-1]
                 <= s["min_value"].to_numpy()[1:]).all()
+
+
+class TestAudioFeatures:
+    """Audio-payload plumbing: container roundtrip, integer frame-energy
+    features recomputed bit-for-bit, silence separation by design."""
+
+    def test_features_exact_vs_recompute(self):
+        from spider_ray.pipelines.multimodal import (AudioFeaturizer,
+                                                     decode_audio_real,
+                                                     multimodal_audio_stats,
+                                                     synth_audio_payload)
+
+        with pytest.raises(NotImplementedError):
+            decode_audio_real(b"AUD1whatever")
+        r = (multimodal_audio_stats(SF).to_pandas()
+             .sort_values("doc_id", ignore_index=True))
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "n_chars"]).to_pandas()
+        f = AudioFeaturizer()
+        rows = []
+        for doc_id, n_chars in docs.itertuples(index=False):
+            x = f.decode(synth_audio_payload(int(doc_id),
+                                             int(n_chars))).astype(np.int64)
+            nf = len(x) // f.frame
+            fr = x[:nf * f.frame].reshape(nf, f.frame)
+            en = (fr * fr).sum(axis=1)
+            rows.append((doc_id, len(x), nf,
+                         int(en.sum() // nf),
+                         np.floor((en < f.silence_thresh).sum()
+                                  / nf * 1e4 + 0.5) / 1e4,
+                         int(np.abs(x).max())))
+        want = (pd.DataFrame(rows, columns=[
+            "doc_id", "n_samples", "n_frames", "mean_energy",
+            "silence_frac", "peak_amp"])
+            .sort_values("doc_id", ignore_index=True))
+        pd.testing.assert_frame_equal(r, want, check_dtype=False)
+        # the synthetic attenuation makes ~1/4 of frames silent: the
+        # detector must actually separate the two populations
+        assert ((r["silence_frac"] > 0.1) & (r["silence_frac"] < 0.45)).all()
+        assert (r["mean_energy"] > 10**9).all()
