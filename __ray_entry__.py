@@ -220,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": ann.ann_lsh_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,
         "dedup_embedding_ivf": ann.dedup_embedding_ivf,
+        "embedding_kmeans_clusters": ann.embedding_kmeans_clusters,
         "embedding_centroids_by_label": ann.embedding_centroids_by_label,
         # -- alternative source/sink formats (roundtrip-certified) ---------
         "csv_source_doc_stats": src.csv_source_doc_stats,

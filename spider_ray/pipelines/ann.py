@@ -325,9 +325,18 @@ def _kmeans_distributed(path: str, n_cells: int, init: np.ndarray,
     (cell, count, sum-vector) partials (n_cells rows per block, tiny),
     the driver reduces them into new centroids.  Removes the driver
     sample cap: every corpus vector votes, only kilobyte partials move.
-    Empty cells keep their previous centroid (deterministic)."""
+    Empty cells keep their previous centroid.
+
+    Contributions are quantized per ROW to int64 fixed-point (scale
+    1e9 — PageRank convention) BEFORE any summation, so the reduced
+    centroids are bit-identical however Ray blocks the read: float
+    block-partials would shift with batch boundaries, which vary run to
+    run.  |component| ≤ 1 ⇒ per-cell sums stay exact below ~9.2e9 rows
+    (checked loudly)."""
     import ray
     import ray.data as rd
+
+    _KSCALE = 1_000_000_000
 
     cent = init.copy()
     n_cells = len(cent)
@@ -340,27 +349,32 @@ def _kmeans_distributed(path: str, n_cells: int, init: np.ndarray,
                 t["embedding"].to_numpy(zero_copy_only=False))
                 .astype(np.float64))
             a = np.argmax(m @ c.T, axis=1)
-            dim = m.shape[1]
-            sums = np.zeros((len(c), dim))
-            np.add.at(sums, a, m)
+            q = np.round(m * _KSCALE).astype(np.int64)
+            sums = np.zeros((len(c), m.shape[1]), np.int64)
+            np.add.at(sums, a, q)
             counts = np.bincount(a, minlength=len(c))
             return pa.table({
                 "cell": pa.array(np.arange(len(c), dtype=np.int32)),
                 "count": pa.array(counts.astype(np.int64)),
-                "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                "vsum": pa.array(list(sums), pa.list_(pa.int64())),
             })
 
         parts = (rd.read_parquet(path, columns=["embedding"])
                  .map_batches(partial, batch_format="pyarrow").to_pandas())
         counts = np.zeros(n_cells, dtype=np.int64)
-        sums = np.zeros_like(cent)
+        sums = np.zeros((n_cells, cent.shape[1]), np.int64)
         for cell, cnt, vs in zip(parts["cell"], parts["count"],
                                  parts["vsum"]):
             counts[cell] += cnt
-            sums[cell] += np.asarray(vs)
+            sums[cell] += np.asarray(vs, dtype=np.int64)
+        if counts.sum() > 8_000_000_000:
+            raise ValueError("_kmeans_distributed: row count exceeds the "
+                             "int64 fixed-point sum bound — raise _KSCALE "
+                             "granularity or shard the reduce")
         new = cent.copy()
         nz = counts > 0
-        new[nz] = _normalize(sums[nz] / counts[nz, None])
+        new[nz] = _normalize(sums[nz].astype(np.float64) / _KSCALE
+                             / counts[nz, None])
         if np.allclose(new, cent):
             break
         cent = new
@@ -669,3 +683,77 @@ def embedding_centroids_by_label(sf_dir: str):
             .groupby("label").map_groups(merge_group,
                                          batch_format="pyarrow")
             .sort(["label", "dim"]))
+
+
+def embedding_kmeans_clusters(sf_dir: str, k: int = 8,
+                              train_cap: int = 4096,
+                              lloyd_iters: int = 3):
+    """Corpus clustering as a first-class operator (the curriculum /
+    data-mixing / SemDeDup front door): deterministic sample-seeded
+    Lloyd refined by FULL-CORPUS distributed iterations (every vector
+    votes; only k×dim partials move per round — _kmeans_distributed),
+    then one streaming assignment pass reduced to per-cluster size and
+    mean cosine-to-centroid.
+
+    The per-block (cell, count, sim_sum) partials carry per-ROW int64
+    fixed-point sums (1e9), so the reduce is exact however Ray blocks
+    the read and the rounded means re-run bit-identical — pytest pins
+    exact re-run equality, size totals, and cohesion bounds.  rows-only
+    for the driver (iterative argmax training isn't one SQL
+    statement)."""
+    import ray
+    import ray.data as rd
+
+    path = f"{sf_dir}/embeddings.parquet"
+    n_total = pq.ParquetFile(path).metadata.num_rows
+    every = max(1, n_total // train_cap)
+
+    def sample_rows(t: pa.Table) -> pa.Table:
+        keep = (np.asarray(t["vec_id"], dtype=np.int64) % every) == 0
+        return t.filter(pa.array(keep))
+
+    parts = [t for t in ray.get(
+        rd.read_parquet(path, columns=["vec_id", "embedding"])
+        .map_batches(sample_rows, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows]
+    sample = _normalize(np.concatenate(
+        [np.stack(t["embedding"].to_numpy(zero_copy_only=False))
+         for t in parts]).astype(np.float64))[:train_cap]
+    cent = _kmeans(sample, k, iters=3)
+    cent = _kmeans_distributed(path, k, cent, iters=lloyd_iters)
+    cent_ref = ray.put(cent)
+
+    def partials(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _normalize(np.stack(
+            t["embedding"].to_numpy(zero_copy_only=False))
+            .astype(np.float64))
+        sims = m @ c.T
+        a = np.argmax(sims, axis=1)
+        # per-ROW int64 quantization (1e9): the similarity sums are
+        # exact at any blocking, so the rounded means re-run identical
+        best = np.round(sims[np.arange(len(m)), a]
+                        * 1_000_000_000).astype(np.int64)
+        counts = np.bincount(a, minlength=k).astype(np.int64)
+        ssum = np.zeros(k, np.int64)
+        np.add.at(ssum, a, best)
+        return pa.table({
+            "cell": pa.array(np.arange(k, dtype=np.int64)),
+            "n": pa.array(counts),
+            "sim_sum": pa.array(ssum, pa.int64()),
+        })
+
+    df = (rd.read_parquet(path, columns=["embedding"])
+          .map_batches(partials, batch_format="pyarrow").to_pandas())
+    n = np.zeros(k, np.int64)
+    s = np.zeros(k, np.int64)  # int sums: exact at any order/blocking
+    for cell, cnt, ss in zip(df["cell"], df["n"], df["sim_sum"]):
+        n[cell] += cnt
+        s[cell] += ss
+    mean = np.floor(s / 1e9 / np.maximum(n, 1) * 1e4 + 0.5) / 1e4
+    keep = n > 0
+    return pa.table({
+        "cell_id": pa.array(np.arange(k, dtype=np.int64)[keep]),
+        "n_vecs": pa.array(n[keep]),
+        "mean_cos": pa.array(mean[keep], pa.float64()),
+    })

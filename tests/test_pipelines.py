@@ -3449,3 +3449,20 @@ class TestAudioFeatures:
         # detector must actually separate the two populations
         assert ((r["silence_frac"] > 0.1) & (r["silence_frac"] < 0.45)).all()
         assert (r["mean_energy"] > 10**9).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEmbeddingKmeans:
+    def test_deterministic_sizes_and_cohesion(self):
+        from spider_ray.pipelines.ann import embedding_kmeans_clusters
+
+        import pyarrow.parquet as _pq
+
+        a = embedding_kmeans_clusters(SF, k=8).to_pandas()
+        b = embedding_kmeans_clusters(SF, k=8).to_pandas()
+        pd.testing.assert_frame_equal(a, b)  # bit-reproducible re-run
+        n_total = _pq.ParquetFile(
+            f"{SF}/embeddings.parquet").metadata.num_rows
+        assert int(a["n_vecs"].sum()) == n_total
+        assert ((a["mean_cos"] > 0.0) & (a["mean_cos"] <= 1.0)).all()
+        assert len(a) >= 2  # the corpus actually splits into clusters
