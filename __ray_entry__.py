@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_join_big_order_items": rel.bloom_join_big_order_items,
         "cohort_retention": rel.cohort_retention,
         "equidepth_histogram_event_value": rel.equidepth_histogram_event_value,
+        "mad_event_value_by_type": rel.mad_event_value_by_type,
         "semi_join_customers_with_orders": rel.semi_join_customers_with_orders,
         "anti_join_customers_without_big_orders": rel.anti_join_customers_without_big_orders,
         "union_all_names": rel.union_all_names,
@@ -758,6 +759,36 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_nationkey ORDER BY c_nationkey
+        """,
+        # Robust stats: exact per-type median + MAD, rank rule
+        # floor(0.5*(n-1)) in both engines.
+        "mad_event_value_by_type": """
+            WITH med AS (
+              SELECT event_type, value AS med FROM (
+                SELECT event_type, value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value, event_id) - 1
+                           AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM events) t
+              WHERE rn = CAST(floor(0.5 * (n - 1)) AS BIGINT)
+            ),
+            dev AS (
+              SELECT e.event_type, abs(e.value - m.med) AS d, e.event_id
+              FROM events e JOIN med m USING (event_type)
+            ),
+            mad AS (
+              SELECT event_type, d AS mad FROM (
+                SELECT event_type, d,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY d, event_id) - 1 AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM dev) t
+              WHERE rn = CAST(floor(0.5 * (n - 1)) AS BIGINT)
+            )
+            SELECT event_type, round(med, 2) AS median_value,
+                   round(mad, 2) AS mad
+            FROM med JOIN mad USING (event_type) ORDER BY event_type
         """,
         # Equi-depth histogram: NTILE(k) over the globally sorted value
         # column; counts follow the NTILE sizing rule, min/max are the

@@ -2118,3 +2118,30 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
             .sort(["revenue", "o_orderdate", "l_orderkey"],
                   descending=[True, False, False])
             .limit(k))
+
+
+def mad_event_value_by_type(sf_dir: str):
+    """Robust scale statistics per event type: exact median + median
+    absolute deviation (the outlier-resistant sibling of stddev — what
+    a data-quality monitor thresholds on when the value column has a
+    heavy tail).  Rank rule floor(0.5·(n−1)) shared verbatim with the
+    SQL; both statistics are ELEMENTS of the column (median) or of the
+    deviation multiset (MAD), so float bits match before the final
+    round.  The event-type domain is tiny, so the per-group pass is one
+    map_groups over ≤|types| groups (the grouped-quantile pattern)."""
+    ds = _rp(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def group_mad(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(df["value"].to_numpy(dtype=np.float64))
+        med = float(v[int(np.floor(0.5 * (len(v) - 1)))])
+        d = np.sort(np.abs(df["value"].to_numpy(dtype=np.float64) - med))
+        mad = float(d[int(np.floor(0.5 * (len(d) - 1)))])
+        rnd = lambda x: float(np.floor(abs(x) * 100 + 0.5) / 100
+                              * np.sign(x)) if x else 0.0
+        return pd.DataFrame({"event_type": df["event_type"].iloc[:1],
+                             "median_value": [rnd(med)],
+                             "mad": [rnd(mad)]})
+
+    return (ds.groupby("event_type")
+            .map_groups(group_mad, batch_format="pandas")
+            .sort("event_type"))

@@ -701,6 +701,7 @@ class TestRound3LateOperators:
         ("equidepth_histogram_event_value", ["tile"]),
         ("quality_quantile_gate", ["doc_id"]),
         ("q3_shipping_priority", ["l_orderkey"]),
+        ("mad_event_value_by_type", ["event_type"]),
         ("train_val_test_split", ["doc_id"]),
         ("global_shuffle_rank", ["position"]),
     ])
