@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": rel.cohort_retention,
         "equidepth_histogram_event_value": rel.equidepth_histogram_event_value,
         "mad_event_value_by_type": rel.mad_event_value_by_type,
+        "snapshot_diff_user_types": rel.snapshot_diff_user_types,
         "semi_join_customers_with_orders": rel.semi_join_customers_with_orders,
         "anti_join_customers_without_big_orders": rel.anti_join_customers_without_big_orders,
         "union_all_names": rel.union_all_names,
@@ -759,6 +760,41 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_nationkey ORDER BY c_nationkey
+        """,
+        # CDC snapshot diff: latest event_type per user in each half of
+        # the stream (integer-µs midpoint), classified.
+        "snapshot_diff_user_types": """
+            WITH bounds AS (
+              SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid
+              FROM events
+            ),
+            old AS (
+              SELECT user_id, event_type AS old_type FROM (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC,
+                                                   event_id DESC) AS rn
+                FROM events, bounds WHERE epoch_us(ts) <= mid) t
+              WHERE rn = 1
+            ),
+            new AS (
+              SELECT user_id, event_type AS new_type FROM (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC,
+                                                   event_id DESC) AS rn
+                FROM events, bounds WHERE epoch_us(ts) > mid) t
+              WHERE rn = 1
+            )
+            SELECT user_id,
+                   coalesce(old_type, '') AS old_type,
+                   coalesce(new_type, '') AS new_type,
+                   CASE WHEN old_type IS NULL THEN 'added'
+                        WHEN new_type IS NULL THEN 'removed'
+                        WHEN old_type = new_type THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM old FULL OUTER JOIN new USING (user_id)
+            ORDER BY user_id
         """,
         # Robust stats: exact per-type median + MAD, rank rule
         # floor(0.5*(n-1)) in both engines.

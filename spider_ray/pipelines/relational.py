@@ -2145,3 +2145,56 @@ def mad_event_value_by_type(sf_dir: str):
     return (ds.groupby("event_type")
             .map_groups(group_mad, batch_format="pandas")
             .sort("event_type"))
+
+
+def snapshot_diff_user_types(sf_dir: str):
+    """CDC-style snapshot diff — the recrawl / incremental-ingest
+    primitive: compare each key's latest state in two time windows and
+    classify added / removed / changed / unchanged.  Here: each user's
+    latest event_type in the first vs second half of the event stream
+    (midpoint in integer µs, same floor division in the SQL).
+
+    Scale shape: ONE combiner pass keeps each user's per-side argmax
+    row per block (≤2 rows per user per block enter the shuffle, with
+    their (ts, event_id) tie-break keys), then ONE grouped final pass
+    picks each side's true latest and classifies — a single user-keyed
+    shuffle for the whole diff."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    b = ds.aggregate(Min("ts", alias_name="lo"), Max("ts", alias_name="hi"))
+    lo = np.datetime64(b["lo"], "us").astype(np.int64)
+    hi = np.datetime64(b["hi"], "us").astype(np.int64)
+    mid = int((lo + hi) // 2)
+
+    def local_argmax(t: pa.Table) -> pa.Table:
+        us = np.asarray(t["ts"]).astype("datetime64[us]").astype(np.int64)
+        t = t.append_column("side", pa.array(
+            (us > mid).astype(np.int8)))  # 0 = old half, 1 = new half
+        idx = pc.sort_indices(t, sort_keys=[
+            ("user_id", "ascending"), ("side", "ascending"),
+            ("ts", "descending"), ("event_id", "descending")])
+        t = t.take(idx)
+        u = np.asarray(t["user_id"])
+        s = np.asarray(t["side"])
+        first = np.ones(len(u), dtype=bool)
+        first[1:] = (u[1:] != u[:-1]) | (s[1:] != s[:-1])
+        return t.filter(pa.array(first))
+
+    def final_diff(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], ascending=False,
+                          kind="mergesort")
+        old = g[g["side"] == 0].head(1)
+        new = g[g["side"] == 1].head(1)
+        ot = old["event_type"].iloc[0] if len(old) else ""
+        nt = new["event_type"].iloc[0] if len(new) else ""
+        status = ("added" if not ot else "removed" if not nt
+                  else "unchanged" if ot == nt else "changed")
+        return pd.DataFrame({"user_id": g["user_id"].iloc[:1],
+                             "old_type": [ot], "new_type": [nt],
+                             "status": [status]})
+
+    return (ds.map_batches(local_argmax, batch_format="pyarrow")
+            .groupby("user_id")
+            .map_groups(final_diff, batch_format="pandas")
+            .sort("user_id"))

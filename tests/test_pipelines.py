@@ -702,6 +702,7 @@ class TestRound3LateOperators:
         ("quality_quantile_gate", ["doc_id"]),
         ("q3_shipping_priority", ["l_orderkey"]),
         ("mad_event_value_by_type", ["event_type"]),
+        ("snapshot_diff_user_types", ["user_id"]),
         ("train_val_test_split", ["doc_id"]),
         ("global_shuffle_rank", ["position"]),
     ])
