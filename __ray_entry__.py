@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "equidepth_histogram_event_value": rel.equidepth_histogram_event_value,
         "mad_event_value_by_type": rel.mad_event_value_by_type,
         "snapshot_diff_user_types": rel.snapshot_diff_user_types,
+        "rolling_active_users": rel.rolling_active_users,
         "semi_join_customers_with_orders": rel.semi_join_customers_with_orders,
         "anti_join_customers_without_big_orders": rel.anti_join_customers_without_big_orders,
         "union_all_names": rel.union_all_names,
@@ -760,6 +761,21 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_nationkey ORDER BY c_nationkey
+        """,
+        # Rolling distinct users: each (user, hour) pair covers the
+        # window hours [h, h+W), count distinct users per window hour.
+        "rolling_active_users": """
+            WITH uh AS (
+              SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
+              FROM events
+            ),
+            w AS (
+              SELECT DISTINCT user_id,
+                     h + to_hours(o) AS window_hour
+              FROM uh, UNNEST([0, 1, 2]) AS t(o)
+            )
+            SELECT window_hour, count(*) AS active_users
+            FROM w GROUP BY window_hour ORDER BY window_hour
         """,
         # CDC snapshot diff: latest event_type per user in each half of
         # the stream (integer-µs midpoint), classified.

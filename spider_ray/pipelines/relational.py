@@ -2198,3 +2198,50 @@ def snapshot_diff_user_types(sf_dir: str):
             .groupby("user_id")
             .map_groups(final_diff, batch_format="pandas")
             .sort("user_id"))
+
+
+def rolling_active_users(sf_dir: str, window_hours: int = 3):
+    """Sliding-window DISTINCT aggregate: per hour, the count of
+    distinct users active in the trailing `window_hours` window — the
+    rolling-MAU/DAU shape, which the sliding-AVG operator can't express
+    (distinct doesn't decompose into per-block sums).
+
+    Scale shape: the stream reduces to distinct (user, hour) pairs
+    first (the only corpus-scale shuffle); each pair then EXPANDS
+    vectorized into its `window_hours` covering windows (repeat/tile —
+    output is pairs×W, still user-scale), and one more grouped distinct
+    + count finishes.  No per-window rescan of the raw events."""
+    from ray.data.aggregate import Count
+
+    ds = _rp(sf_dir, "events", ["user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        sub = pa.table({"user_id": t["user_id"], "hour": hour})
+        return pa.TableGroupBy(sub, ["user_id", "hour"]).aggregate([])
+
+    uh = (ds.map_batches(pairs, batch_format="pyarrow")
+          .groupby(["user_id", "hour"]).count()
+          .drop_columns(["count()"]))
+
+    def expand(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "window_hour": pa.array(
+                                 [], pa.timestamp("us"))})
+        us = np.asarray(t["hour"]).astype("datetime64[us]").astype(np.int64)
+        uid = np.asarray(t["user_id"], dtype=np.int64)
+        offs = np.arange(window_hours, dtype=np.int64) * 3_600_000_000
+        wh = (np.repeat(us, window_hours)
+              + np.tile(offs, len(us))).astype("datetime64[us]")
+        return pa.table({
+            "user_id": pa.array(np.repeat(uid, window_hours), pa.int64()),
+            "window_hour": pa.array(wh, pa.timestamp("us")),
+        })
+
+    out = (uh.map_batches(expand, batch_format="pyarrow")
+           .groupby(["user_id", "window_hour"]).count()
+           .drop_columns(["count()"])
+           .groupby("window_hour")
+           .aggregate(Count(alias_name="active_users")))
+    return out.sort("window_hour")

@@ -703,6 +703,7 @@ class TestRound3LateOperators:
         ("q3_shipping_priority", ["l_orderkey"]),
         ("mad_event_value_by_type", ["event_type"]),
         ("snapshot_diff_user_types", ["user_id"]),
+        ("rolling_active_users", ["window_hour"]),
         ("train_val_test_split", ["doc_id"]),
         ("global_shuffle_rank", ["position"]),
     ])
