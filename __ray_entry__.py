@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_clusters": wt.dedup_minhash_clusters,
         "dedup_cluster_keep_best": wt.dedup_cluster_keep_best,
         "ngram_novelty": wt.ngram_novelty,
+        "bm25_search_topk": wt.bm25_search_topk,
         "keyword_search_topk": wt.keyword_search_topk,
         "bigram_logprob_score": wt.bigram_logprob_score,
         "pack_documents": wt.pack_documents,
@@ -1587,6 +1588,36 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(tf * ln(CAST(n AS DOUBLE) / df)), 4) AS score
             FROM tf JOIN df USING (token) CROSS JOIN n
             GROUP BY doc_id
+            ORDER BY score DESC, doc_id LIMIT 10
+        """,
+        # BM25 (Robertson/Lucene idf variant), same query terms as the
+        # tf-idf search; k1=1.2 b=0.75 literals shared with the engine.
+        "bm25_search_topk": """
+            WITH toks AS (SELECT doc_id,
+                                 regexp_extract_all(lower(text),
+                                                    '[a-z0-9_]+') AS t
+                          FROM documents),
+            dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+            stats AS (SELECT count(*) AS n,
+                             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+                      FROM dl),
+            tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+            q(term) AS (VALUES ('spark'), ('window'), ('hash')),
+            tf AS (SELECT doc_id, token, count(*) AS tf
+                   FROM tok JOIN q ON token = term GROUP BY 1, 2),
+            df AS (SELECT token, count(DISTINCT doc_id) AS df
+                   FROM tok JOIN q ON token = term GROUP BY 1)
+            SELECT tf.doc_id,
+                   round(sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5)
+                                + 1)
+                             * tf.tf * (1.2 + 1)
+                             / (tf.tf + 1.2 * (1 - 0.75
+                                               + 0.75 * dl.dl
+                                                 / stats.avgdl))),
+                         4) AS score
+            FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+            CROSS JOIN stats
+            GROUP BY tf.doc_id
             ORDER BY score DESC, doc_id LIMIT 10
         """,
         # bigram LM trained on the corpus itself: P(w2|w1) =

@@ -115,6 +115,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "paragraph_dedup", "pagerank_user_item", "c4_style_filter",
         "dedup_substring_apply", "ann_topk_quantized", "url_canonicalize",
         "graph_bfs_depth", "index_boolean_search",
+        "skew_join_nation_order_stats", "bloom_join_big_order_items",
+        "q3_shipping_priority", "dedup_containment",
     ]
     qs = entry.queries()
     # untimed warmup: the first Dataset execution of a session pays

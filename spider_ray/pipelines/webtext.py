@@ -2221,3 +2221,90 @@ def ngram_novelty(sf_dir: str):
 
     return (merged.map_batches(finish, batch_format="pyarrow")
             .sort("doc_id"))
+
+
+def bm25_search_topk(sf_dir: str, terms: tuple[str, ...] = SEARCH_TERMS,
+                     k: int = 10, k1: float = 1.2, b: float = 0.75):
+    """BM25 ranking (Robertson/Lucene idf variant) over the corpus —
+    the production search scorer beside keyword_search_topk's plain
+    tf-idf: saturating term frequency and document-length
+    normalization.  score(d) = Σ_t ln((N−df+0.5)/(df+0.5)+1) ·
+    tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)).
+
+    Same two-pass shape as keyword search: pass 1 aggregates df per
+    query term, N and Σdl (integer-exact; avgdl = one float division
+    identical in the SQL); the parameters broadcast; pass 2 scores each
+    document inside its batch (per-(doc,term) tf via one flat bincount,
+    fully vectorized) and the usual per-block top-k combiner finishes.
+    Ordering uses the ROUNDED score in both engines."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..common.tokens import split_tokens
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    term_arr = pa.array(list(terms), pa.string())
+    nt = len(terms)
+
+    def _term_idx(flat) -> np.ndarray:
+        return np.asarray(pc.fill_null(pc.index_in(flat, value_set=term_arr),
+                                       -1)).astype(np.int64)
+
+    def stat_partials(t: pa.Table) -> pa.Table:
+        flat, parent = split_tokens(t["text"], lower=True)
+        idx = _term_idx(flat)
+        hit = idx >= 0
+        distinct = pa.TableGroupBy(pa.table({
+            "term": np.asarray(idx[hit], dtype=np.int64),
+            "d": parent[hit],
+        }), ["term", "d"]).aggregate([])
+        g = pa.TableGroupBy(distinct, ["term"]).aggregate(
+            [([], "count_all")]).rename_columns(["term", "df"])
+        # doc-count / token-total partials ride as sentinel terms
+        extra = pa.table({"term": pa.array([-1, -2], pa.int64()),
+                          "df": pa.array([t.num_rows, len(flat)],
+                                         pa.int64())})
+        return pa.concat_tables([pa.table({
+            "term": g["term"], "df": pc.cast(g["df"], pa.int64())}), extra])
+
+    agg = (ds.map_batches(stat_partials, batch_format="pyarrow")
+           .groupby("term").aggregate(Sum("df", alias_name="df"))
+           .to_pandas())
+    stats = dict(zip(agg["term"], agg["df"]))
+    n_docs = int(stats.get(-1, 0))
+    avgdl = float(stats.get(-2, 0)) / max(n_docs, 1)
+    idf = np.zeros(nt, dtype=np.float64)
+    for ti in range(nt):
+        dfi = float(stats.get(ti, 0))
+        idf[ti] = np.log((n_docs - dfi + 0.5) / (dfi + 0.5) + 1.0)
+    params_ref = ray.put((idf, avgdl))
+
+    def score(t: pa.Table) -> pa.Table:
+        w, ad = ray.get(params_ref)
+        flat, parent = split_tokens(t["text"], lower=True)
+        dl = np.bincount(parent, minlength=t.num_rows).astype(np.float64)
+        idx = _term_idx(flat)
+        hit = idx >= 0
+        tf = np.bincount(parent[hit] * nt + idx[hit],
+                         minlength=t.num_rows * nt).reshape(
+            t.num_rows, nt).astype(np.float64)
+        norm = tf + k1 * (1.0 - b + b * dl[:, None] / ad)
+        s = (w[None, :] * tf * (k1 + 1.0)
+             / np.where(norm > 0, norm, 1.0)).sum(axis=1)
+        keep = s > 0
+        return pa.table({
+            "doc_id": pc.take(t["doc_id"],
+                              pa.array(np.flatnonzero(keep), pa.int64())),
+            "score": pa.array(_rnd4(s[keep]), pa.float64()),
+        })
+
+    def local_topk(df_: pd.DataFrame) -> pd.DataFrame:
+        df_ = df_.assign(neg=-df_["score"])
+        return (df_.sort_values(["neg", "doc_id"], kind="mergesort")
+                .head(k).drop(columns=["neg"]))
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    return (scored.map_batches(local_topk, batch_format="pandas",
+                               zero_copy_batch=True)
+            .sort([("score"), ("doc_id")], descending=[True, False])
+            .limit(k))

@@ -691,6 +691,7 @@ class TestRound3LateOperators:
         ("dedup_minhash_clusters", ["doc_id"]),
         ("dedup_cluster_keep_best", ["cluster_id"]),
         ("keyword_search_topk", ["doc_id"]),
+        ("bm25_search_topk", ["doc_id"]),
         ("bigram_logprob_score", ["doc_id"]),
         ("pack_documents", ["doc_id"]),
         ("domain_mix_sample", ["doc_id"]),
