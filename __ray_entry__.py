@@ -132,6 +132,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_clicks_before_purchase": rel.range_join_clicks_before_purchase,
         "sources_per_lang": rel.sources_per_lang,
         "histogram_event_value": rel.histogram_event_value,
+        "recrawl_priority": rel.recrawl_priority,
+        "source_quality_shrunk": rel.source_quality_shrunk,
+        "event_type_drift_kl": rel.event_type_drift_kl,
         "approx_distinct_tokens": sk.approx_distinct_tokens,
         # rows-only: grouped HLL; per-group error bound asserted in tests
         "approx_distinct_tokens_by_lang": sk.approx_distinct_tokens_by_lang,
@@ -640,6 +643,68 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Trending: per hour bucket, top-2 event types by count with
         # count-desc / type-asc tie-break.
+        # recrawl scheduling: per-key change rate × staleness (the
+        # data-driven replacement for the reference's fixed cron
+        # schedule); both systems compute from the same int64
+        # epoch-microseconds in the same expression order, round(4)
+        "recrawl_priority": """
+            WITH per AS (
+              SELECT user_id, count(*) AS n_changes,
+                     min(epoch_us(ts)) AS min_us,
+                     max(epoch_us(ts)) AS max_us
+              FROM events GROUP BY user_id),
+            g AS (SELECT max(epoch_us(ts)) AS gmax FROM events)
+            SELECT user_id, n_changes,
+                   round(n_changes * 3600000000.0 / (max_us - min_us), 4)
+                       AS changes_per_hour,
+                   round((gmax - max_us) / 3600000000.0, 4)
+                       AS staleness_hours,
+                   round((n_changes * 3600000000.0 / (max_us - min_us))
+                         * ((gmax - max_us) / 3600000000.0), 4)
+                       AS recrawl_score
+            FROM per, g
+            WHERE n_changes >= 2 AND max_us > min_us
+            ORDER BY recrawl_score DESC, user_id
+        """,
+        # empirical-Bayes shrinkage toward the global mean with a
+        # pseudo-count prior of 20 observations
+        "source_quality_shrunk": """
+            WITH per AS (SELECT source, count(*) AS n,
+                                sum(n_chars) AS sum_chars
+                         FROM documents GROUP BY source),
+            g AS (SELECT sum(n_chars) * 1.0 / count(*) AS gmean
+                  FROM documents)
+            SELECT source, n,
+                   round(sum_chars * 1.0 / n, 4) AS raw_mean_chars,
+                   round((sum_chars + 20.0 * gmean) / (n + 20.0), 4)
+                       AS shrunk_mean_chars
+            FROM per, g ORDER BY source
+        """,
+        # distribution drift: KL(early || late) of the event-type mix
+        # split at the integer midpoint timestamp, add-one smoothing
+        # over the full type domain
+        "event_type_drift_kl": """
+            WITH b AS (SELECT min(epoch_us(ts)) AS gmin,
+                              max(epoch_us(ts)) AS gmax FROM events),
+            c AS (SELECT event_type,
+                         CAST(sum(CASE WHEN epoch_us(ts) <
+                                            gmin + (gmax - gmin) // 2
+                                       THEN 1 ELSE 0 END) AS BIGINT)
+                             AS n_early,
+                         CAST(sum(CASE WHEN epoch_us(ts) <
+                                            gmin + (gmax - gmin) // 2
+                                       THEN 0 ELSE 1 END) AS BIGINT)
+                             AS n_late
+                  FROM events, b GROUP BY event_type),
+            t AS (SELECT count(*) AS nt, sum(n_early) AS se,
+                         sum(n_late) AS sl FROM c)
+            SELECT event_type, n_early, n_late,
+                   round(((n_early + 1.0) / (se + nt))
+                         * ln(((n_early + 1.0) / (se + nt))
+                              / ((n_late + 1.0) / (sl + nt))), 6)
+                       AS kl_term
+            FROM c, t ORDER BY event_type
+        """,
         "trending_event_types_hourly": """
             SELECT hour, event_type, n, rank FROM (
               SELECT date_trunc('hour', ts) AS hour, event_type,

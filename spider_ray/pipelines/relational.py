@@ -2245,3 +2245,182 @@ def rolling_active_users(sf_dir: str, window_hours: int = 3):
            .groupby("window_hour")
            .aggregate(Count(alias_name="active_users")))
     return out.sort("window_hour")
+
+
+def recrawl_priority(sf_dir: str, min_observations: int = 2):
+    """Recrawl scheduling (the crawl engine's cron/reconcile loop turned
+    into a data-driven priority source — reference trigger semantics at
+    cmd/workflow/main.go:56 run flows on a FIXED schedule; a web-scale
+    crawler instead re-schedules each page by its observed change rate).
+
+    The events table is read as a revisit log: each row is one observed
+    change of key `user_id`.  Per key we estimate changes/hour over the
+    observation span and multiply by hours-since-last-observation —
+    the classic freshness-utility recrawl score (rate × staleness).
+
+    Scale shape: per-block (key → count, min_ts, max_ts) partials via a
+    pyarrow groupby, ONE grouped reduce over 3-column partial rows (the
+    event stream never shuffles), a scalar global-max pass over the
+    pruned ts column, and a vectorized finalize.  Output is key-sized.
+    Floats: both systems compute rate and staleness from the SAME int64
+    epoch-microseconds in the same expression order, then round(4)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _rp(sf_dir, "events", ["user_id", "ts"])
+
+    # global "now" = last observation in the log (scalar; streaming agg
+    # over the pruned ts column — never key-sized, safe at any scale)
+    def _us(t: pa.Table) -> pa.Table:
+        return pa.table({"us": pc.cast(t["ts"], pa.int64())})
+
+    span = (_rp(sf_dir, "events", ["ts"])
+            .map_batches(_us, batch_format="pyarrow")
+            .aggregate(Max("us", alias_name="gmax")))
+    gmax_us = int(span["gmax"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        sub = pa.table({"user_id": t["user_id"], "us": us})
+        g = pa.TableGroupBy(sub, ["user_id"]).aggregate(
+            [("us", "count"), ("us", "min"), ("us", "max")])
+        return g.rename_columns(["user_id", "n", "min_us", "max_us"])
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("user_id")
+           .aggregate(Sum("n", alias_name="n"),
+                      Min("min_us", alias_name="min_us"),
+                      Max("max_us", alias_name="max_us")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["n"], dtype=np.int64)
+        mn = np.asarray(t["min_us"], dtype=np.int64)
+        mx = np.asarray(t["max_us"], dtype=np.int64)
+        keep = (n >= min_observations) & (mx > mn)
+        n, mn, mx = n[keep], mn[keep], mx[keep]
+        uid = np.asarray(t["user_id"], dtype=np.int64)[keep]
+        # identical expression order as the SQL oracle
+        rate = n * 3_600_000_000.0 / (mx - mn)
+        stale = (gmax_us - mx) / 3_600_000_000.0
+        score = rate * stale
+        out = pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "n_changes": pa.array(n, pa.int64()),
+            "changes_per_hour": pa.array(rate, pa.float64()),
+            "staleness_hours": pa.array(stale, pa.float64()),
+            "recrawl_score": pa.array(score, pa.float64()),
+        })
+        return _round_cols({"changes_per_hour": 4, "staleness_hours": 4,
+                            "recrawl_score": 4})(out)
+
+    return (agg.map_batches(finalize, batch_format="pyarrow")
+            .sort(["recrawl_score", "user_id"], descending=[True, False]))
+
+
+def source_quality_shrunk(sf_dir: str, prior_n: float = 20.0):
+    """Empirical-Bayes shrinkage (the domain-reputation prior a corpus
+    filter needs: a source with 3 documents must not outrank one with
+    3000 on raw means).  Per-source mean document length shrunk toward
+    the global mean with a pseudo-count prior:
+        shrunk = (sum + prior_n·global_mean) / (n + prior_n).
+
+    Scale shape: per-block (source → n, sum) partials, ONE grouped sum,
+    a scalar global (sum, count) aggregate over the pruned column, and a
+    vectorized finalize over the source-sized aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _rp(sf_dir, "documents", ["source", "n_chars"])
+
+    g = _rp(sf_dir, "documents", ["n_chars"]).aggregate(
+        Sum("n_chars", alias_name="s"), Count(alias_name="cnt"))
+    gmean = int(g["s"]) * 1.0 / int(g["cnt"])  # SQL: sum(...)*1.0/count(*)
+
+    def partials(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["source"]).aggregate(
+            [("n_chars", "count"), ("n_chars", "sum")])
+        return g.rename_columns(["source", "n", "sum_chars"])
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sum_chars", alias_name="sum_chars")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["n"], dtype=np.int64)
+        s = np.asarray(t["sum_chars"], dtype=np.int64)
+        raw = s * 1.0 / n
+        shrunk = (s + prior_n * gmean) / (n + prior_n)
+        out = pa.table({
+            "source": t["source"], "n": pa.array(n, pa.int64()),
+            "raw_mean_chars": pa.array(raw, pa.float64()),
+            "shrunk_mean_chars": pa.array(shrunk, pa.float64()),
+        })
+        return _round_cols({"raw_mean_chars": 4, "shrunk_mean_chars": 4})(out)
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort("source")
+
+
+def event_type_drift_kl(sf_dir: str):
+    """Distribution-drift monitor: KL(P_early || P_late) of the
+    event-type distribution between the log's first and second half
+    (split at the midpoint timestamp), with add-one smoothing over the
+    full type domain — the pipeline-health check a continuously-ingesting
+    corpus needs (a collapsing type mix flags upstream breakage).
+
+    Scale shape: a scalar (min,max) pass over the pruned ts column fixes
+    the integer midpoint; per-block (type, half) count partials then ONE
+    grouped sum (the stream never shuffles); the finalize runs over the
+    ≤2·|types| aggregate rows, re-keyed to a single group so every type
+    sees the global totals.  Output: one row per type with its KL term
+    (round 6, values are O(1e-3))."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def _us(t: pa.Table) -> pa.Table:
+        return pa.table({"us": pc.cast(t["ts"], pa.int64())})
+
+    span = (_rp(sf_dir, "events", ["ts"])
+            .map_batches(_us, batch_format="pyarrow")
+            .aggregate(Min("us", alias_name="gmin"),
+                       Max("us", alias_name="gmax")))
+    gmin, gmax = int(span["gmin"]), int(span["gmax"])
+    mid_us = gmin + (gmax - gmin) // 2  # integer midpoint, both systems
+
+    ds = _rp(sf_dir, "events", ["ts", "event_type"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        us = np.asarray(pc.cast(t["ts"], pa.int64()))
+        early = us < mid_us
+        sub = pa.table({"event_type": t["event_type"],
+                        "n_early": pa.array(early.astype(np.int64)),
+                        "n_late": pa.array((~early).astype(np.int64))})
+        g = pa.TableGroupBy(sub, ["event_type"]).aggregate(
+            [("n_early", "sum"), ("n_late", "sum")])
+        return g.rename_columns(["event_type", "n_early", "n_late"])
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n_early", alias_name="n_early"),
+                      Sum("n_late", alias_name="n_late")))
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        ne = g["n_early"].to_numpy(dtype=np.int64)
+        nl = g["n_late"].to_numpy(dtype=np.int64)
+        T = len(g)
+        p = (ne + 1.0) / (ne.sum() + T)
+        q = (nl + 1.0) / (nl.sum() + T)
+        kl = p * np.log(p / q)
+        return pd.DataFrame({
+            "event_type": g["event_type"].to_numpy(),
+            "n_early": ne, "n_late": nl,
+            # half-away-from-zero at 6 dp == DuckDB round(x, 6)
+            "kl_term": np.sign(kl) * np.floor(np.abs(kl) * 1e6 + 0.5) / 1e6,
+        })
+
+    # single-group map_groups: the aggregate is type-domain-sized, and
+    # the smoothing denominators need all of it at once
+    def onekey(t: pa.Table) -> pa.Table:
+        return t.append_column("_g", pa.array(np.zeros(t.num_rows,
+                                                       dtype=np.int64)))
+
+    return (agg.map_batches(onekey, batch_format="pyarrow")
+            .groupby("_g").map_groups(finalize, batch_format="pandas")
+            .sort("event_type"))

@@ -3470,3 +3470,66 @@ class TestEmbeddingKmeans:
         assert int(a["n_vecs"].sum()) == n_total
         assert ((a["mean_cos"] > 0.0) & (a["mean_cos"] <= 1.0)).all()
         assert len(a) >= 2  # the corpus actually splits into clusters
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSchedulingAndDrift:
+    """Recrawl scheduling, EB shrinkage, and KL drift vs their oracles
+    (the registered __ray_entry__ SQL, run at the pytest sf)."""
+
+    @pytest.mark.parametrize("name", ["recrawl_priority",
+                                      "source_quality_shrunk",
+                                      "event_type_drift_kl"])
+    def test_matches_oracle(self, name):
+        import duckdb
+        import os
+        import sys
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        import __ray_entry__ as E
+
+        con = duckdb.connect()
+        for t in ("events", "documents"):
+            con.execute(f"create view {t} as select * from "
+                        f"read_parquet('{SF}/{t}.parquet')")
+        r = E.queries()[name](SF).to_pandas()
+        o = con.execute(E.oracle_sql()[name]).fetchdf()
+        assert len(r) > 0
+        ra = r[sorted(r.columns)].sort_values(
+            sorted(r.columns)).reset_index(drop=True)
+        oa = o[sorted(o.columns)].sort_values(
+            sorted(o.columns)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(ra, oa, check_dtype=False)
+
+    def test_recrawl_semantics(self):
+        """A key observed more often (higher change rate) and longer ago
+        (staler) must outrank a fresh slow-changing key."""
+        from spider_ray.pipelines.relational import recrawl_priority
+
+        r = recrawl_priority(SF).to_pandas()
+        assert (r["changes_per_hour"] > 0).all()
+        assert (r["staleness_hours"] >= 0).all()
+        # score is exactly rate × staleness (rounded)
+        expect = r["changes_per_hour"] * r["staleness_hours"]
+        assert np.allclose(r["recrawl_score"], expect, atol=2e-3)
+
+    def test_shrinkage_bounds(self):
+        """Shrunk means sit between the raw mean and the global mean,
+        and shrink MORE for smaller sources."""
+        from spider_ray.pipelines.relational import source_quality_shrunk
+
+        r = source_quality_shrunk(SF).to_pandas()
+        gmean = (r["raw_mean_chars"] * r["n"]).sum() / r["n"].sum()
+        lo = np.minimum(r["raw_mean_chars"], gmean) - 1e-6
+        hi = np.maximum(r["raw_mean_chars"], gmean) + 1e-6
+        assert ((r["shrunk_mean_chars"] >= lo)
+                & (r["shrunk_mean_chars"] <= hi)).all()
+
+    def test_kl_nonnegative_total(self):
+        """Gibbs' inequality: the summed KL divergence is >= 0 (and
+        exactly 0 only for identical distributions)."""
+        from spider_ray.pipelines.relational import event_type_drift_kl
+
+        r = event_type_drift_kl(SF).to_pandas()
+        assert r["kl_term"].sum() >= -1e-9
+        assert (r["n_early"] + r["n_late"] > 0).all()
