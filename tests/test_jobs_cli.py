@@ -271,3 +271,22 @@ def test_run_ingest_cli_exactly_once(tmp_path):
           AND sumlen <= 10 * n AND stopn * 100 >= 3 * n
           AND NOT blocked""").fetchone()[0]
     assert total_kept == expect
+
+
+def test_run_seenstress_cli(tmp_path):
+    """The seen-set stress job must hold the exactness and resident-bound
+    contracts at a forced-spill size (tiny mem_capacity) and exit 0."""
+    env = dict(os.environ, RAY_ADDRESS="local")
+    spill = str(tmp_path / "spill")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "run_seenstress.py"),
+         "--urls", "120000", "--batch", "16384", "--shards", "2",
+         "--mem-capacity", "8192", "--capacity", "262144",
+         "--dup-frac", "0.4", "--spill-root", spill, "--num-cpus", "2"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["exact"] and rep["resident_within_bound"]
+    assert rep["admitted"] == rep["oracle_distinct"]
+    assert rep["spilled_rows"] > 0          # the log structure engaged
+    assert rep["spill_files"] > 0
