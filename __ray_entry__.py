@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sources_per_lang": rel.sources_per_lang,
         "histogram_event_value": rel.histogram_event_value,
         "recrawl_priority": rel.recrawl_priority,
+        "weighted_sample_docs": rel.weighted_sample_docs,
         "source_quality_shrunk": rel.source_quality_shrunk,
         "event_type_drift_kl": rel.event_type_drift_kl,
         "approx_distinct_tokens": sk.approx_distinct_tokens,
@@ -665,6 +666,18 @@ def oracle_sql() -> dict[str, str]:
             FROM per, g
             WHERE n_changes >= 2 AND max_us > min_us
             ORDER BY recrawl_score DESC, user_id
+        """,
+        # Efraimidis–Spirakis A-ES weighted sampling without
+        # replacement: k smallest -ln(u)/weight keys with u from a
+        # SQL-replicable multiplicative hash of doc_id
+        "weighted_sample_docs": """
+            SELECT doc_id, lang, n_chars,
+                   round(-ln((1 + (doc_id * 2654435761) % 1000003)
+                             / 1000004.0) / n_chars, 6) AS sample_key
+            FROM documents
+            ORDER BY -ln((1 + (doc_id * 2654435761) % 1000003)
+                         / 1000004.0) / n_chars, doc_id
+            LIMIT 20
         """,
         # empirical-Bayes shrinkage toward the global mean with a
         # pseudo-count prior of 20 observations

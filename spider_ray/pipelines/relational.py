@@ -2424,3 +2424,36 @@ def event_type_drift_kl(sf_dir: str):
     return (agg.map_batches(onekey, batch_format="pyarrow")
             .groupby("_g").map_groups(finalize, batch_format="pandas")
             .sort("event_type"))
+
+
+def weighted_sample_docs(sf_dir: str, k: int = 20):
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES,
+    exponential jitter form): select k documents with probability
+    proportional to length — the corpus-mixing op a training pipeline
+    uses to tilt toward higher-value sources while staying reproducible.
+
+    Each doc draws a deterministic uniform u from a multiplicative hash
+    of doc_id (SQL-replicable integer arithmetic; swap in hash64 for
+    id domains beyond 2^31) and scores key = -ln(u)/weight; the k
+    smallest keys ARE an exact weighted sample without replacement.
+
+    Scale shape: the score is per-row vectorized; each block keeps only
+    its k smallest (combiner), the final sort+limit sees k·n_blocks
+    rows — no global shuffle of the corpus."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        did = np.asarray(t["doc_id"], dtype=np.int64)
+        w = np.asarray(t["n_chars"], dtype=np.float64)
+        # identical integer expression as the SQL oracle
+        u = (1 + (did * 2654435761) % 1000003) / 1000004.0
+        key = -np.log(u) / w
+        order = np.lexsort((did, key))[:k]
+        out = t.take(pa.array(order, pa.int64()))
+        return out.append_column("sample_key",
+                                 pa.array(key[order], pa.float64()))
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .sort(["sample_key", "doc_id"]).limit(k)
+            .map_batches(_round_cols({"sample_key": 6}),
+                         batch_format="pyarrow"))

@@ -3479,7 +3479,8 @@ class TestSchedulingAndDrift:
 
     @pytest.mark.parametrize("name", ["recrawl_priority",
                                       "source_quality_shrunk",
-                                      "event_type_drift_kl"])
+                                      "event_type_drift_kl",
+                                      "weighted_sample_docs"])
     def test_matches_oracle(self, name):
         import duckdb
         import os
@@ -3533,3 +3534,37 @@ class TestSchedulingAndDrift:
         r = event_type_drift_kl(SF).to_pandas()
         assert r["kl_term"].sum() >= -1e-9
         assert (r["n_early"] + r["n_late"] > 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWeightedSample:
+    def test_equals_reference_aes(self):
+        """The distributed combiner selection equals a single-machine
+        A-ES reference over the whole table (k smallest -ln(u)/w)."""
+        import pyarrow.parquet as pq_
+
+        from spider_ray.pipelines.relational import weighted_sample_docs
+
+        k = 20
+        r = weighted_sample_docs(SF, k=k).to_pandas()
+        t = pq_.read_table(f"{SF}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+        did = np.asarray(t["doc_id"], dtype=np.int64)
+        w = np.asarray(t["n_chars"], dtype=np.float64)
+        u = (1 + (did * 2654435761) % 1000003) / 1000004.0
+        key = -np.log(u) / w
+        ref = set(did[np.lexsort((did, key))[:k]].tolist())
+        assert set(r["doc_id"]) == ref
+        assert len(r) == min(k, len(did))
+
+    def test_weighting_tilts_selection(self):
+        """Selected docs must be longer on average than the corpus —
+        the whole point of weighting by length."""
+        import pyarrow.parquet as pq_
+
+        from spider_ray.pipelines.relational import weighted_sample_docs
+
+        r = weighted_sample_docs(SF, k=20).to_pandas()
+        allc = pq_.read_table(f"{SF}/documents.parquet",
+                              columns=["n_chars"])["n_chars"]
+        assert r["n_chars"].mean() > np.asarray(allc).mean()
