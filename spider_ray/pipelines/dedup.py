@@ -277,30 +277,6 @@ def _jaccard_rows(texts_a, texts_b, shingler_batch,
     return keep_idx, np.asarray(js, dtype=np.float64)
 
 
-def _containment_rows(texts_a, texts_b, shingler_batch,
-                      threshold: float) -> tuple[list, np.ndarray]:
-    """Row-aligned exact set CONTAINMENT |A∩B| / |A| (Broder 1997's
-    asymmetric resemblance): how much of doc_a's shingle set doc_b
-    covers — the near-dup relation Jaccard misses when a small page is
-    quoted inside a much larger one."""
-    n = len(texts_a)
-    sa, pa_ = shingler_batch(texts_a)
-    sb, pb_ = shingler_batch(texts_b)
-    la = split_by_doc(sa, pa_, n)
-    lb = split_by_doc(sb, pb_, n)
-    keep_idx, cs = [], []
-    for i in range(n):
-        x, y = la[i], lb[i]
-        if len(x) == 0 or len(y) == 0:
-            continue
-        inter = len(np.intersect1d(x, y, assume_unique=True))
-        c = inter / len(x)
-        if c >= threshold:
-            keep_idx.append(i)
-            cs.append(c)
-    return keep_idx, np.asarray(cs, dtype=np.float64)
-
-
 def _verify_pairs_driver(sf_dir: str, pairs_df: pd.DataFrame, shingler_batch,
                          metric: str, threshold: float,
                          rows_fn=_jaccard_rows) -> pa.Table:
@@ -764,78 +740,143 @@ def fuzzy_match_customer_names(sf_dir: str,
 
 def dedup_containment(sf_dir: str, threshold: float = 0.9,
                       verify_distributed: bool | None = None,
-                      driver_pair_threshold: int = 200_000):
+                      driver_pair_threshold: int = 200_000,
+                      pair_buckets: int = 64):
     """Ordered near-dup pairs under set CONTAINMENT |A∩B|/|A| >=
     threshold over word-3-gram shingles (Broder 1997's asymmetric
     resemblance) — catches a short page quoted wholesale inside a long
     one, where Jaccard stays low and MinHash-LSH never pairs them.
 
-    Candidate generation is an EXACT prefix filter (the ppjoin family,
-    Xiao et al. 2008), not a probabilistic sketch: under the global
-    total order "shingle hash ascending", if none of A's first
-    (|A| - t + 1) shingles appears anywhere in B (t = min overlap for
-    the threshold), then |A∩B| <= t-1 — so probing only each doc's
-    prefix against the full (shingle, doc) stream has 100% recall by
-    construction, and the driver query can be hash-checked against the
-    exact all-pairs SQL.  Probe volume is ~(1-τ)·shingles; the join is
-    hash-partitioned on the shingle, pairs dedup in the shared
-    pair-bucket groupby, and verification reuses the adaptive
-    driver/distributed exact machinery with the containment kernel."""
+    Computed as ONE count-join — the same plan as the SQL oracle: the
+    (shingle, doc) stream self-joins on the shingle, per-block pair
+    partials pre-aggregate the match counts, one grouped sum yields the
+    EXACT |A∩B| per ordered pair (shingle sets are distinct per doc),
+    and containment = count / |A| under the identical float division.
+    No text enters any shuffle and there is no separate verification
+    pass (round-2's prefix-filter + pairs⋈docs⋈docs text join spent
+    ~20× this plan's wall re-shingling each doc once per candidate
+    pair).  Join volume is Σ_sh df(sh)² — the SAME hot-shingle term the
+    prefix filter's candidate join carried; boilerplate mega-shingles
+    should be fought upstream (paragraph_dedup / repetition filters),
+    not inside an exact operator.
+
+    verify_distributed=False (or ≤ driver_pair_threshold shingle rows,
+    like the other dedups' adaptive dispatch) computes the identical
+    counts driver-side with a vectorized pair-expansion kernel — the
+    cross-check tests pin both tiers equal."""
     import ray
     import ray.data as rd
 
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
 
-    def _doc_rows(t: pa.Table, prefix_only: bool) -> pa.Table:
+    def sh_rows(t: pa.Table) -> pa.Table:
         ids = np.asarray(t["doc_id"])
         sh, par = word_shingle_hashes(t["text"])  # distinct+sorted per doc
         if len(sh) == 0:
-            col = "doc_a" if prefix_only else "doc_b"
             return pa.table({"sh": pa.array([], pa.int64()),
-                             col: pa.array([], pa.int64())})
+                             "doc_a": pa.array([], pa.int64()),
+                             "n_a": pa.array([], pa.int64())})
         n = np.bincount(par, minlength=t.num_rows).astype(np.int64)
-        if prefix_only:
-            # minimal t with t/n >= tau UNDER FLOAT DIVISION (the same
-            # comparison verify and the SQL oracle make), then prefix
-            # length p = n - t + 1 of the per-doc hash-ascending order
-            nn = np.maximum(n, 1)
-            tmin = np.maximum(np.ceil(threshold * nn).astype(np.int64), 1)
-            over = (tmin - 1 >= 1) & ((tmin - 1) / nn >= threshold)
-            tmin = tmin - over
-            tmin = tmin + (tmin / nn < threshold)
-            p = n - tmin + 1
-            starts = np.concatenate(([0], np.cumsum(n)[:-1]))
-            pos = np.arange(len(sh), dtype=np.int64) - starts[par]
-            keep = pos < p[par]
-            sh, par = sh[keep], par[keep]
-        col = "doc_a" if prefix_only else "doc_b"
         return pa.table({"sh": pa.array(sh, pa.int64()),
-                         col: pa.array(ids[par], pa.int64())})
+                         "doc_a": pa.array(ids[par], pa.int64()),
+                         "n_a": pa.array(n[par], pa.int64())})
 
-    probes = ds.map_batches(lambda t: _doc_rows(t, True),
-                            batch_format="pyarrow").materialize()
-    index = ds.map_batches(lambda t: _doc_rows(t, False),
-                           batch_format="pyarrow").materialize()
+    rows = ds.map_batches(sh_rows, batch_format="pyarrow").materialize()
+    n_rows = rows.count()
     empty = pa.table({"doc_a": pa.array([], pa.int64()),
                       "doc_b": pa.array([], pa.int64()),
                       "containment": pa.array([], pa.float64())})
-    n_probe, n_index = probes.count(), index.count()
-    if n_probe == 0 or n_index == 0:
+    if n_rows == 0:
         return rd.from_arrow(empty)
+    if verify_distributed is None:
+        verify_distributed = n_rows > driver_pair_threshold
+    if not verify_distributed:
+        t = rows.to_pandas()  # bounded by driver_pair_threshold
+        out = _containment_counts_driver(
+            t["sh"].to_numpy(np.int64), t["doc_a"].to_numpy(np.int64),
+            t["n_a"].to_numpy(np.int64), threshold)
+        return rd.from_arrow(out).sort(["doc_a", "doc_b"])
+
     # no empty blocks into the hash join (Ray drops them and the join
     # then fails on the key field)
-    probes = probes.repartition(max(1, min(16, n_probe)))
-    index = index.repartition(max(1, min(16, n_index)))
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    cand = probes.join(index, join_type="inner",
-                       num_partitions=max(2, min(16, cpus // 2)),
-                       on=("sh",), right_on=("sh",))
-    cand = cand.map_batches(
-        lambda t: t.filter(pc.not_equal(t["doc_a"], t["doc_b"]))
-                   .select(["doc_a", "doc_b"]),
+    probe = rows.repartition(max(1, min(16, n_rows)))
+    index = (rows.map_batches(
+        lambda t: pa.table({"sh": t["sh"], "doc_b": t["doc_a"]}),
         batch_format="pyarrow")
-    cand = _dedup_pairs_ds(cand)
-    return _verify_dispatch(sf_dir, ds, cand, word_shingle_hashes,
-                            "containment", threshold,
-                            verify_distributed, driver_pair_threshold,
-                            rows_fn=_containment_rows)
+        .repartition(max(1, min(16, n_rows))))
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    matched = probe.join(index, join_type="inner",
+                         num_partitions=max(2, min(16, cpus // 2)),
+                         on=("sh",), right_on=("sh",))
+
+    # per-block pair partials, then the shared pair-bucket pattern:
+    # groupby a LOW-cardinality bucket (pair-hash % B) + one vectorized
+    # pandas aggregate per bucket.  A groupby().aggregate() keyed on the
+    # 10^6-cardinality pair itself costs ~10x this plan's wall (Ray's
+    # per-group finalization dominates); the bucket keeps Ray's shuffle
+    # 64-ary while the real reduce stays a C-speed groupby inside the
+    # group task.  B bounds per-task rows at pairs/B — scale B with the
+    # corpus (kwarg), not with a code change.
+    def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["doc_a"].to_numpy() != df["doc_b"].to_numpy()]
+        g = (df.groupby(["doc_a", "doc_b"], sort=False)
+             .agg(i=("n_a", "size"), n_a=("n_a", "first")).reset_index())
+        key = _splitmix64(g["doc_a"].to_numpy().astype(np.uint64)
+                          ^ _splitmix64(g["doc_b"].to_numpy().astype(np.uint64)))
+        g["pb"] = (key % np.uint64(pair_buckets)).astype(np.int64)
+        return g
+
+    def count_group(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["doc_a", "doc_b"], sort=False)
+             .agg(i=("i", "sum"), n_a=("n_a", "first")).reset_index())
+        c = g["i"].to_numpy(np.int64) / g["n_a"].to_numpy(np.int64)
+        keep = c >= threshold
+        out = g.loc[keep, ["doc_a", "doc_b"]].copy()
+        out["containment"] = _round_half_away(c[keep])
+        return out
+
+    return (matched.map_batches(pair_partials, batch_format="pandas")
+            .groupby("pb").map_groups(count_group, batch_format="pandas")
+            .sort(["doc_a", "doc_b"]))
+
+
+def _containment_counts_driver(sh: np.ndarray, doc: np.ndarray,
+                               n_a: np.ndarray,
+                               threshold: float) -> pa.Table:
+    """Driver-tier exact pair counts: sort by shingle, expand each
+    shingle group's doc list to ordered pairs with repeat/modulo
+    arithmetic (Σ df² rows, fully vectorized), then one np.unique
+    count — the same |A∩B| the distributed groupby computes."""
+    order = np.argsort(sh, kind="mergesort")
+    sh_s, doc_s = sh[order], doc[order]
+    n_by = {}
+    for d, n in zip(doc, n_a):
+        n_by[int(d)] = int(n)
+    starts = np.nonzero(np.r_[True, sh_s[1:] != sh_s[:-1]])[0]
+    counts = np.diff(np.r_[starts, len(sh_s)])
+    multi = counts > 1
+    starts, counts = starts[multi], counts[multi]
+    if not len(counts):
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "containment": pa.array([], pa.float64())})
+    sq = counts.astype(np.int64) ** 2
+    tot = int(sq.sum())
+    grp = np.repeat(np.arange(len(counts)), sq)
+    pos = np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(sq) - sq, sq)
+    c_g = counts[grp]
+    s_g = starts[grp]
+    a = doc_s[s_g + pos // c_g]
+    b = doc_s[s_g + pos % c_g]
+    m = a != b
+    a, b = a[m], b[m]
+    pairs = np.stack([a, b], axis=1)
+    uniq, cnt = np.unique(pairs, axis=0, return_counts=True)
+    na = np.asarray([n_by[int(x)] for x in uniq[:, 0]], dtype=np.int64)
+    c = cnt / na
+    keep = c >= threshold
+    return pa.table({
+        "doc_a": pa.array(uniq[:, 0][keep], pa.int64()),
+        "doc_b": pa.array(uniq[:, 1][keep], pa.int64()),
+        "containment": pa.array(_round_half_away(c[keep]), pa.float64()),
+    })
