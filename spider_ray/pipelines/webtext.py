@@ -910,26 +910,34 @@ def paragraph_dedup_ds(docs, width: int = 80,
         c["ck"] = (ids << np.int64(21)) | idx
         return c
 
-    def meta(df: pd.DataFrame) -> pd.DataFrame:
-        return _with_keys(df)[["h", "ck"]]
+    # per-block (h -> min ck, count) partials, then the shared
+    # pair-bucket reduce (64-ary groupby + one vectorized pandas
+    # aggregate per bucket): a groupby("h").aggregate() keyed on the
+    # distinct-chunk cardinality pays Ray's per-group finalization on
+    # every chunk hash — measured ~4x this plan's wall at sf0.1
+    from ..state.bloom import _splitmix64
 
-    agg = (docs.map_batches(meta, batch_format="pandas")
-           .groupby("h").aggregate(Min("ck", alias_name="keep_ck"),
-                                   Count(alias_name="cnt")))
+    def meta_partials(df: pd.DataFrame) -> pd.DataFrame:
+        c = _with_keys(df)[["h", "ck"]]
+        g = (c.groupby("h", sort=False)
+             .agg(keep_ck=("ck", "min"), cnt=("ck", "size")).reset_index())
+        g["pb"] = (_splitmix64(g["h"].to_numpy().astype(np.uint64))
+                   % np.uint64(64)).astype(np.int64)
+        return g
 
     _DUPS_SCHEMA = pa.schema([("h", pa.int64()), ("keep_ck", pa.int64())])
 
-    def only_dups(t: pa.Table) -> pa.Table:
-        # explicit schema on EVERY output block (incl. empties): grouped
-        # aggregates can emit schema-less empty blocks, and a
-        # schema-less block on Dataset.join's right side is a hard error
-        if "cnt" not in t.column_names or t.num_rows == 0:
-            return _DUPS_SCHEMA.empty_table()
-        t = t.filter(pc.greater(t["cnt"], 1))
-        return pa.table({"h": pc.cast(t["h"], pa.int64()),
-                         "keep_ck": pc.cast(t["keep_ck"], pa.int64())})
+    def reduce_dups(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("h", sort=False)
+             .agg(keep_ck=("keep_ck", "min"), cnt=("cnt", "sum"))
+             .reset_index())
+        g = g[g["cnt"] > 1]
+        return pd.DataFrame({"h": g["h"].to_numpy(np.int64),
+                             "keep_ck": g["keep_ck"].to_numpy(np.int64)})
 
-    dups = agg.map_batches(only_dups, batch_format="pyarrow").materialize()
+    dups = (docs.map_batches(meta_partials, batch_format="pandas")
+            .groupby("pb").map_groups(reduce_dups, batch_format="pandas")
+            .materialize())
     n_dup = dups.count()
 
     def _reconstruct_batch(c: pd.DataFrame) -> pd.DataFrame:
@@ -1247,26 +1255,34 @@ def substring_spans_ds(docs, k: int = _SPAN_K,
         packed = (doc << np.int64(21)) | pos
         return h, doc, pos, packed
 
-    def occ_meta(t: pa.Table) -> pa.Table:
-        h, _doc, _pos, packed = _occurrences(t)
-        return pa.table({"h": h, "pk": packed})
+    # per-block (h -> min pk, count) partials + 64-ary bucket reduce —
+    # the same high-cardinality-groupby replacement as
+    # paragraph_dedup_ds (Ray's per-group finalization on one group per
+    # distinct 8-gram chain dominated this stage)
+    from ..state.bloom import _splitmix64
 
-    agg = (docs.map_batches(occ_meta, batch_format="pyarrow")
-           .groupby("h").aggregate(Min("pk", alias_name="keep_pk"),
-                                   Count(alias_name="cnt")))
+    def occ_partials(t: pa.Table) -> pd.DataFrame:
+        h, _doc, _pos, packed = _occurrences(t)
+        c = pd.DataFrame({"h": h, "pk": packed})
+        g = (c.groupby("h", sort=False)
+             .agg(keep_pk=("pk", "min"), cnt=("pk", "size")).reset_index())
+        g["pb"] = (_splitmix64(g["h"].to_numpy().astype(np.uint64))
+                   % np.uint64(64)).astype(np.int64)
+        return g
 
     _DUPS_SCHEMA = pa.schema([("h", pa.int64()), ("keep_pk", pa.int64())])
 
-    def only_dups(t: pa.Table) -> pa.Table:
-        # explicit schema on EVERY output block (incl. empties) — see
-        # paragraph_dedup_ds.only_dups
-        if "cnt" not in t.column_names or t.num_rows == 0:
-            return _DUPS_SCHEMA.empty_table()
-        t = t.filter(pc.greater(t["cnt"], 1))
-        return pa.table({"h": pc.cast(t["h"], pa.int64()),
-                         "keep_pk": pc.cast(t["keep_pk"], pa.int64())})
+    def reduce_dups(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("h", sort=False)
+             .agg(keep_pk=("keep_pk", "min"), cnt=("cnt", "sum"))
+             .reset_index())
+        g = g[g["cnt"] > 1]
+        return pd.DataFrame({"h": g["h"].to_numpy(np.int64),
+                             "keep_pk": g["keep_pk"].to_numpy(np.int64)})
 
-    dups = agg.map_batches(only_dups, batch_format="pyarrow").materialize()
+    dups = (docs.map_batches(occ_partials, batch_format="pyarrow")
+            .groupby("pb").map_groups(reduce_dups, batch_format="pandas")
+            .materialize())
     n_dup = dups.count()
 
     def _merge_islands(doc: np.ndarray, pos: np.ndarray) -> pa.Table:
@@ -2176,21 +2192,31 @@ def ngram_novelty(sf_dir: str):
             "n_novel": pa.array(np.zeros(int(keep.sum()), np.int64)),
         })
 
-    def shingle_rows(t: pa.Table) -> pa.Table:
+    # per-block (sh -> df, min owner) partials + 64-ary bucket reduce
+    # (the high-cardinality-groupby replacement shared with
+    # paragraph_dedup_ds / dedup_containment — Ray's per-group
+    # finalization on one group per distinct shingle dominated this)
+    from ..state.bloom import _splitmix64
+
+    def sh_partials(t: pa.Table) -> pd.DataFrame:
         sh, par = word_shingle_hashes(t["text"])
         ids = np.asarray(t["doc_id"])
-        return pa.table({"sh": pa.array(sh, pa.int64()),
-                         "doc_id": pa.array(ids[par], pa.int64())})
+        c = pd.DataFrame({"sh": sh, "doc_id": ids[par]})
+        g = (c.groupby("sh", sort=False)
+             .agg(df=("doc_id", "size"), owner=("doc_id", "min"))
+             .reset_index())
+        g["pb"] = (_splitmix64(g["sh"].to_numpy().astype(np.uint64))
+                   % np.uint64(64)).astype(np.int64)
+        return g
 
-    from ray.data.aggregate import Count, Min
+    def reduce_uniq(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("sh", sort=False)
+             .agg(df=("df", "sum"), owner=("owner", "min")).reset_index())
+        g = g[g["df"] == 1]
+        return pd.DataFrame({"owner": g["owner"].to_numpy(np.int64)})
 
-    uniq = (ds.map_batches(shingle_rows, batch_format="pyarrow")
-            .groupby("sh")
-            .aggregate(Count(alias_name="df"),
-                       Min("doc_id", alias_name="owner"))
-            .map_batches(
-                lambda t: t.filter(pc.equal(t["df"], pa.scalar(1))),
-                batch_format="pyarrow"))
+    uniq = (ds.map_batches(sh_partials, batch_format="pyarrow")
+            .groupby("pb").map_groups(reduce_uniq, batch_format="pandas"))
 
     def novel_partials(t: pa.Table) -> pa.Table:
         # pre-aggregate the unique-shingle slice per owner in-batch
