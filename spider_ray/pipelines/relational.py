@@ -330,21 +330,44 @@ def flat_map_top_tokens(sf_dir: str):
 
 
 def window_hourly_user_value(sf_dir: str):
-    """Tumbling event-time window as a derived bucket column + groupby
-    (Ray Data has no watermarks; windows are data, SURVEY.md guide)."""
-    from ray.data.aggregate import Count, Sum
+    """Tumbling event-time window as a derived bucket column + grouped
+    sum (Ray Data has no watermarks; windows are data, SURVEY.md guide).
+    Per-block (user, hour) partials reduce through the 64-ary bucket
+    groupby (one vectorized pandas aggregate per bucket) — the
+    high-cardinality-groupby replacement shared with dedup_containment;
+    a (user × hour)-keyed groupby().aggregate() paid Ray's per-group
+    finalization on every window instance."""
+    from ..state.bloom import _splitmix64
 
     ds = _rp(sf_dir, "events", ["user_id", "ts", "value"])
 
-    def bucket(t: pa.Table) -> pa.Table:
+    def partials(t: pa.Table) -> pd.DataFrame:
         hour = pc.floor_temporal(t["ts"], unit="hour")
-        return pa.table({"user_id": t["user_id"], "hour": hour, "value": t["value"]})
+        df = pd.DataFrame({
+            "user_id": np.asarray(t["user_id"], np.int64),
+            "hour": np.asarray(hour).astype("datetime64[us]"),
+            "value": np.asarray(t["value"], np.float64),
+        })
+        g = (df.groupby(["user_id", "hour"], sort=False)
+             .agg(sum_value=("value", "sum"), n_events=("value", "size"))
+             .reset_index())
+        key = _splitmix64(
+            g["user_id"].to_numpy().astype(np.uint64)
+            ^ _splitmix64(g["hour"].to_numpy().astype(np.int64).astype(np.uint64)))
+        g["pb"] = (key % np.uint64(64)).astype(np.int64)
+        return g
 
-    out = (ds.map_batches(bucket, batch_format="pyarrow")
-             .groupby(["user_id", "hour"])
-             .aggregate(Sum("value", alias_name="sum_value"),
-                        Count(alias_name="n_events")))
-    return out.map_batches(_round_cols({"sum_value": 2}), batch_format="pyarrow")
+    def reduce_windows(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["user_id", "hour"], sort=False)
+             .agg(sum_value=("sum_value", "sum"),
+                  n_events=("n_events", "sum")).reset_index())
+        s = g["sum_value"].to_numpy(np.float64)
+        g["sum_value"] = np.sign(s) * np.floor(np.abs(s) * 100 + 0.5) / 100
+        g["n_events"] = g["n_events"].astype(np.int64)
+        return g
+
+    return (ds.map_batches(partials, batch_format="pyarrow")
+            .groupby("pb").map_groups(reduce_windows, batch_format="pandas"))
 
 
 def asof_join_purchase_click(sf_dir: str):
