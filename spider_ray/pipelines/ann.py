@@ -430,9 +430,16 @@ def build_ivf_index(sf_dir: str, n_cells: int = 16,
                 .to_arrow_refs())
     import ray
     parts = [t for t in ray.get(sample_t) if t.num_rows]
-    sample = _normalize(np.concatenate(
+    # to_arrow_refs block ORDER is not deterministic across executions —
+    # sort by vec_id before the train_cap slice or the k-means init (and
+    # everything downstream) varies run to run
+    ids = np.concatenate([np.asarray(t["vec_id"], dtype=np.int64)
+                          for t in parts])
+    mat = np.concatenate(
         [np.stack(t["embedding"].to_numpy(zero_copy_only=False))
-         for t in parts]).astype(np.float64))[:train_cap]
+         for t in parts])
+    sample = _normalize(
+        mat[np.argsort(ids, kind="mergesort")].astype(np.float64))[:train_cap]
     if train_distributed is None:
         train_distributed = n_total > 200_000
     if train_distributed:
@@ -716,9 +723,16 @@ def embedding_kmeans_clusters(sf_dir: str, k: int = 8,
         rd.read_parquet(path, columns=["vec_id", "embedding"])
         .map_batches(sample_rows, batch_format="pyarrow")
         .to_arrow_refs()) if t.num_rows]
-    sample = _normalize(np.concatenate(
+    # to_arrow_refs block ORDER is not deterministic across executions —
+    # sort by vec_id before the train_cap slice (bit-reproducibility is
+    # this operator's pytest contract)
+    _ids = np.concatenate([np.asarray(t["vec_id"], dtype=np.int64)
+                           for t in parts])
+    _mat = np.concatenate(
         [np.stack(t["embedding"].to_numpy(zero_copy_only=False))
-         for t in parts]).astype(np.float64))[:train_cap]
+         for t in parts])
+    sample = _normalize(
+        _mat[np.argsort(_ids, kind="mergesort")].astype(np.float64))[:train_cap]
     cent = _kmeans(sample, k, iters=3)
     cent = _kmeans_distributed(path, k, cent, iters=lloyd_iters)
     cent_ref = ray.put(cent)
