@@ -2078,7 +2078,6 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
         top-k combiner + one tiny final sort (ties broken on the
         ROUNDED revenue + date + orderkey, rule shared with the SQL)."""
     import ray
-    from ray.data.aggregate import Sum
 
     cut = pd.Timestamp(cutoff)
     cust = _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
@@ -2099,20 +2098,34 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
                   "o_orderpriority"]).map_batches(
         orders_filter, batch_format="pyarrow")
 
-    def li_partials(t: pa.Table) -> pa.Table:
+    # per-block (orderkey -> rev) partials + the 64-ary bucket reduce
+    # (shared with dedup_containment): a groupby keyed on every orderkey
+    # pays Ray's per-group finalization order-count times
+    from ..state.bloom import _splitmix64
+
+    def li_partials(t: pa.Table) -> pd.DataFrame:
         t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cut)))
         rev = pc.multiply(t["l_extendedprice"],
                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        sub = pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
-        return pa.TableGroupBy(sub, ["l_orderkey"]).aggregate(
-            [("rev", "sum")]).rename_columns(["l_orderkey", "rev"])
+        g = (pd.DataFrame({"l_orderkey": np.asarray(t["l_orderkey"],
+                                                    np.int64),
+                           "rev": np.asarray(rev, np.float64)})
+             .groupby("l_orderkey", sort=False)
+             .agg(rev=("rev", "sum")).reset_index())
+        g["pb"] = (_splitmix64(g["l_orderkey"].to_numpy().astype(np.uint64))
+                   % np.uint64(64)).astype(np.int64)
+        return g
+
+    def li_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("l_orderkey", sort=False)
+                .agg(revenue=("rev", "sum")).reset_index())
 
     rev_per_order = (_rp(sf_dir, "lineitem",
                          ["l_orderkey", "l_extendedprice", "l_discount",
                           "l_shipdate"])
                      .map_batches(li_partials, batch_format="pyarrow")
-                     .groupby("l_orderkey")
-                     .aggregate(Sum("rev", alias_name="revenue")))
+                     .groupby("pb")
+                     .map_groups(li_reduce, batch_format="pandas"))
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
     joined = rev_per_order.join(orders, join_type="inner",
