@@ -1934,8 +1934,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id ORDER BY doc_id
         """,
         # Asymmetric containment |A∩B|/|A| over word-3-grams — ORDERED
-        # pairs (a contained-in b).  Certifies the exact prefix-filter
-        # candidate generation end-to-end: any missed candidate would
+        # pairs (a contained-in b).  Certifies the count-join plan's
+        # exact |A∩B| counts end-to-end: any miscounted pair would
         # hash-mismatch this all-pairs SQL.
         "dedup_containment": """
             WITH toks AS (

@@ -114,12 +114,14 @@ def main() -> int:
 
     residents = ray.get([s.resident_exact.remote() for s in shards])
     sizes = ray.get([s.size.remote() for s in shards])
-    run_files = sum(len(fs) for _, _, fs in os.walk(args.spill_root))
+    # count only completed spill runs (run-*.parquet) — a leftover
+    # *.parquet.tmp from an interrupted spill is not a resident run
+    run_files = sum(1 for _, _, fs in os.walk(args.spill_root) for f in fs
+                    if f.startswith("run-") and f.endswith(".parquet"))
     rss_kib = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
-    # exactness oracle: fresh keys are sequential, so distinct == hi_key
-    # (modulo int64 hash collisions between distinct keys, which the
-    # url-collision layer resolves only when urls are supplied; at 1e7
-    # keys P(any 64-bit collision) < 3e-6 — report, don't assert)
+    # exactness oracle: fresh keys are sequential and splitmix64 is a
+    # 64-bit BIJECTION, so distinct keys can NEVER collide — the
+    # admitted == distinct gate is strictly sound, no probability hedge
     report = {
         "urls_streamed": streamed,
         "admitted": admitted,

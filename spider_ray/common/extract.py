@@ -73,17 +73,24 @@ def extract_text_batch(htmls) -> list[str]:
     alternation) → unescape HTML entities → collapse whitespace → strip.
     Null rows yield "".  Processed in bounded row slices (see
     _CHUNK_ROWS)."""
+    return extract_text_batch_arrow(htmls).to_pylist()
+
+
+def extract_text_batch_arrow(htmls) -> pa.Array:
+    """Arrow-native variant of extract_text_batch: the SAME kernel and
+    the same bytes per row, but the result stays an Arrow string array
+    (null rows -> "").  The crawl fetch path scatters it straight into
+    its output table — skipping the tens of MB of Python-string
+    round-trip per actor batch that the list API pays."""
     arr = _decode_column(htmls)
     if len(arr) <= _CHUNK_ROWS:
         return _extract_text_chunk(arr)
-    out: list[str] = []
-    for start in range(0, len(arr), _CHUNK_ROWS):
-        out.extend(_extract_text_chunk(
-            arr.slice(start, _CHUNK_ROWS)))
-    return out
+    return pa.concat_arrays(
+        [_extract_text_chunk(arr.slice(start, _CHUNK_ROWS))
+         for start in range(0, len(arr), _CHUNK_ROWS)])
 
 
-def _extract_text_chunk(arr: pa.Array) -> list[str]:
+def _extract_text_chunk(arr: pa.Array) -> pa.Array:
     import os as _os
     import time as _time
 
@@ -91,7 +98,7 @@ def _extract_text_chunk(arr: pa.Array) -> list[str]:
     _dbg = bool(_os.environ.get("SPIDER_RAY_EXTRACT_DEBUG"))
     _t0 = _time.time()
     if len(arr) == 0:
-        return []
+        return pa.array([], pa.string())
     _t1 = _time.time()
     arr = pc.replace_substring_regex(arr, pattern=_MARKUP_PASS,
                                      replacement=" ")
@@ -129,17 +136,15 @@ def _extract_text_chunk(arr: pa.Array) -> list[str]:
     # Unicode whitespace class (runs collapse, matching str.split()) ->
     # join (the old per-row " ".join(s.split()) Python loop was ~half
     # the kernel's wall time on a 25 KB/page corpus)
-    collapsed = pc.binary_join(
-        pc.utf8_split_whitespace(pc.utf8_trim_whitespace(arr)), " ")
-    out = collapsed.to_pylist()
-    for i, s in enumerate(out):
-        if s is None:
-            out[i] = ""
+    collapsed = pc.fill_null(pc.binary_join(
+        pc.utf8_split_whitespace(pc.utf8_trim_whitespace(arr)), " "), "")
+    if isinstance(collapsed, pa.ChunkedArray):
+        collapsed = collapsed.combine_chunks()
     if _dbg:
         _t4 = _time.time()
-        print(f"[extract] n={len(out)} decode={_t1-_t0:.2f} "
+        print(f"[extract] n={len(collapsed)} decode={_t1-_t0:.2f} "
               f"markup={_t2-_t1:.2f} tail={_t4-_t3:.2f}", flush=True)
-    return out
+    return collapsed
 
 
 def extract_text(html: bytes | str) -> str:

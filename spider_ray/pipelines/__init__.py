@@ -14,6 +14,15 @@ def read_table(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def table_num_rows(sf_dir: str, table: str) -> int:
+    """Row count of one testdata table from parquet FOOTER metadata —
+    no Dataset execution, no data read (sizing hints, pruned-fraction
+    reports)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(f"{sf_dir}/{table}.parquet").num_rows
+
+
 def sf_of(sf_dir: str, default: float = 0.001) -> float:
     """Parse the scale factor from an sfN path token; callers supply
     their own default for token-less paths (one regex, one place)."""

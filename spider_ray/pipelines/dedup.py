@@ -740,7 +740,8 @@ def fuzzy_match_customer_names(sf_dir: str,
 
 def dedup_containment(sf_dir: str, threshold: float = 0.9,
                       verify_distributed: bool | None = None,
-                      driver_pair_threshold: int = 200_000,
+                      driver_row_threshold: int = 200_000,
+                      driver_pair_budget: int = 50_000_000,
                       pair_buckets: int = 64):
     """Ordered near-dup pairs under set CONTAINMENT |A∩B|/|A| >=
     threshold over word-3-gram shingles (Broder 1997's asymmetric
@@ -760,9 +761,13 @@ def dedup_containment(sf_dir: str, threshold: float = 0.9,
     should be fought upstream (paragraph_dedup / repetition filters),
     not inside an exact operator.
 
-    verify_distributed=False (or ≤ driver_pair_threshold shingle rows,
-    like the other dedups' adaptive dispatch) computes the identical
-    counts driver-side with a vectorized pair-expansion kernel — the
+    Adaptive dispatch: the driver tier is taken when BOTH the
+    (shingle, doc) row count ≤ driver_row_threshold (bounds the pull)
+    AND the exact Σ df² ≤ driver_pair_budget (bounds the expansion
+    work — the true driver cost, computed from the pulled rows for
+    free); otherwise the distributed count-join runs.  The driver
+    kernel itself chunks its expansion, so even a forced driver run
+    (verify_distributed=False in tests) stays memory-bounded.  The
     cross-check tests pin both tiers equal."""
     import ray
     import ray.data as rd
@@ -788,10 +793,20 @@ def dedup_containment(sf_dir: str, threshold: float = 0.9,
                       "containment": pa.array([], pa.float64())})
     if n_rows == 0:
         return rd.from_arrow(empty)
-    if verify_distributed is None:
-        verify_distributed = n_rows > driver_pair_threshold
-    if not verify_distributed:
-        t = rows.to_pandas()  # bounded by driver_pair_threshold
+    if verify_distributed is None and n_rows <= driver_row_threshold:
+        t = rows.to_pandas()  # bounded by driver_row_threshold
+        sh_np = t["sh"].to_numpy(np.int64)
+        # the true driver cost is Σ df², not the row count: one hot
+        # boilerplate shingle can make a small row set explode — route
+        # oversized expansions to the distributed count-join
+        _, df_cnt = np.unique(sh_np, return_counts=True)
+        if int((df_cnt.astype(np.int64) ** 2).sum()) <= driver_pair_budget:
+            out = _containment_counts_driver(
+                sh_np, t["doc_a"].to_numpy(np.int64),
+                t["n_a"].to_numpy(np.int64), threshold)
+            return rd.from_arrow(out).sort(["doc_a", "doc_b"])
+    elif verify_distributed is False:
+        t = rows.to_pandas()  # caller forced the driver tier (tests)
         out = _containment_counts_driver(
             t["sh"].to_numpy(np.int64), t["doc_a"].to_numpy(np.int64),
             t["n_a"].to_numpy(np.int64), threshold)
@@ -841,12 +856,16 @@ def dedup_containment(sf_dir: str, threshold: float = 0.9,
 
 
 def _containment_counts_driver(sh: np.ndarray, doc: np.ndarray,
-                               n_a: np.ndarray,
-                               threshold: float) -> pa.Table:
+                               n_a: np.ndarray, threshold: float,
+                               chunk_rows: int = 4_000_000) -> pa.Table:
     """Driver-tier exact pair counts: sort by shingle, expand each
     shingle group's doc list to ordered pairs with repeat/modulo
-    arithmetic (Σ df² rows, fully vectorized), then one np.unique
-    count — the same |A∩B| the distributed groupby computes."""
+    arithmetic, then np.unique counts — the same |A∩B| the distributed
+    groupby computes.  The Σ df² expansion is CHUNKED (≤ chunk_rows
+    expanded pairs per slice, pre-reduced with np.unique per chunk)
+    so driver memory is O(chunk_rows + distinct pairs), never the full
+    Σ df² — one hot boilerplate shingle with df≈20k would otherwise
+    materialize ~4e8 rows in a single allocation."""
     order = np.argsort(sh, kind="mergesort")
     sh_s, doc_s = sh[order], doc[order]
     n_by = {}
@@ -856,22 +875,47 @@ def _containment_counts_driver(sh: np.ndarray, doc: np.ndarray,
     counts = np.diff(np.r_[starts, len(sh_s)])
     multi = counts > 1
     starts, counts = starts[multi], counts[multi]
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "containment": pa.array([], pa.float64())})
     if not len(counts):
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64()),
-                         "containment": pa.array([], pa.float64())})
+        return empty
     sq = counts.astype(np.int64) ** 2
-    tot = int(sq.sum())
-    grp = np.repeat(np.arange(len(counts)), sq)
-    pos = np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(sq) - sq, sq)
-    c_g = counts[grp]
-    s_g = starts[grp]
-    a = doc_s[s_g + pos // c_g]
-    b = doc_s[s_g + pos % c_g]
-    m = a != b
-    a, b = a[m], b[m]
-    pairs = np.stack([a, b], axis=1)
-    uniq, cnt = np.unique(pairs, axis=0, return_counts=True)
+    # slice shingle groups into chunks of ≤ chunk_rows expanded pairs
+    # (a single group larger than the budget becomes its own chunk —
+    # its expansion is df², the irreducible unit of this exact plan)
+    bounds = [0]
+    acc = 0
+    for i, s in enumerate(sq):
+        if acc and acc + s > chunk_rows:
+            bounds.append(i)
+            acc = 0
+        acc += int(s)
+    bounds.append(len(sq))
+    part_pairs, part_cnts = [], []
+    for lo, hi in zip(bounds, bounds[1:]):
+        sq_c, starts_c, counts_c = sq[lo:hi], starts[lo:hi], counts[lo:hi]
+        tot = int(sq_c.sum())
+        grp = np.repeat(np.arange(hi - lo), sq_c)
+        pos = (np.arange(tot, dtype=np.int64)
+               - np.repeat(np.cumsum(sq_c) - sq_c, sq_c))
+        c_g = counts_c[grp]
+        s_g = starts_c[grp]
+        a = doc_s[s_g + pos // c_g]
+        b = doc_s[s_g + pos % c_g]
+        m = a != b
+        pairs = np.stack([a[m], b[m]], axis=1)
+        if len(pairs):
+            uniq, cnt = np.unique(pairs, axis=0, return_counts=True)
+            part_pairs.append(uniq)
+            part_cnts.append(cnt.astype(np.int64))
+    if not part_pairs:
+        return empty
+    allp = np.concatenate(part_pairs)
+    allc = np.concatenate(part_cnts)
+    uniq, inv = np.unique(allp, axis=0, return_inverse=True)
+    cnt = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(cnt, inv.ravel(), allc)
     na = np.asarray([n_by[int(x)] for x in uniq[:, 0]], dtype=np.int64)
     c = cnt / na
     keep = c >= threshold

@@ -1742,6 +1742,116 @@ def dedup_events_window(sf_dir: str, window_minutes: int = 30):
 # the cold remainder)
 # ---------------------------------------------------------------------------
 
+def _rollup_partials_driver(ds, partial_fn, group_keys: list[str],
+                            sum_cols: list[str]) -> pa.Table:
+    """Low-cardinality grouped rollup WITHOUT a groupby execution:
+    per-block Arrow partials (ONE row per group per block, produced by
+    partial_fn) are gathered as refs and summed on the driver.  Driver
+    volume = |groups| × num_blocks rows — bounded at any corpus size
+    when the key is a genuine rollup dimension (nation, priority,
+    flag+status), the only regime callers use it in.  Replaces
+    ~1.5-2 s of Ray shuffle constant per query at sf0.1."""
+    import ray
+
+    refs = ds.map_batches(partial_fn,
+                          batch_format="pyarrow").to_arrow_refs()
+    tabs = [t for t in ray.get(list(refs)) if t.num_rows]
+    if not tabs:
+        return None
+    t = pa.concat_tables(tabs)
+    g = pa.TableGroupBy(t, group_keys).aggregate(
+        [(c, "sum") for c in sum_cols])
+    return g.rename_columns(group_keys + sum_cols)
+
+
+def _broadcast_inner_join(left_ds, rt: pa.Table, left_key: str,
+                          right_key: str):
+    """Map-side inner join against a driver-collected right table with
+    UNIQUE keys, shipped once via ray.put — the shared small-dim fast
+    path (index_in + take per batch; no shuffle).  Callers gate on the
+    right side's size and verify key uniqueness first."""
+    import ray
+
+    rt_ref = ray.put(rt)
+    left_cols = left_ds.schema().names
+    right_cols = [c for c in rt.column_names if c != right_key]
+    out_cols = left_cols + right_cols
+
+    def bcast(t: pa.Table, _r=rt_ref) -> pa.Table:
+        rtt = ray.get(_r)
+        idx = pc.index_in(t[left_key], value_set=rtt[right_key])
+        t = t.filter(pc.is_valid(idx))  # inner: drop unmatched
+        idx = idx.filter(pc.is_valid(idx))
+        cols = {c: t[c] for c in left_cols}
+        for c in right_cols:
+            cols[c] = pc.take(rtt[c], idx)
+        return pa.table(cols).select(out_cols)
+
+    return left_ds.map_batches(bcast, batch_format="pyarrow")
+
+
+def _mg_cap(t: pa.Table, key: str, k: int) -> pa.Table:
+    """Misra-Gries decrement: keep at most k (key, n) entries by
+    subtracting the (k+1)-th largest count from every counter and
+    dropping the non-positive ones."""
+    if t.num_rows <= k:
+        return t
+    n = np.asarray(t["n"], dtype=np.int64)
+    kth = np.partition(n, len(n) - k - 1)[len(n) - k - 1]
+    keep = n > kth
+    return pa.table({key: t[key].filter(pa.array(keep)),
+                     "n": pa.array(n[keep] - kth, pa.int64())})
+
+
+def _hot_keys(left_m, key: str, threshold: int) -> np.ndarray:
+    """Heavy-hitter routing set WITHOUT a shuffle: per-block exact
+    (key, n) partials capped to k entries by the Misra-Gries decrement,
+    tree-merged in ray tasks — the driver receives ONE k-sized summary
+    instead of running a groupby execution over the fact side (measured
+    ~2.3 s of pure shuffle constant per query at sf0.1).
+
+    Mergeable-summaries bound (Agarwal et al., PODS 2012): undercount
+    ≤ n/(k+1) over ANY merge tree; with k = 2·ceil(n/threshold) that is
+    ≤ threshold/2, so keeping est > threshold/2 yields a SUPERSET of
+    the true hot set, still ≤ k entries.  A superset is free here: the
+    hot/cold split is a ROUTING decision — both branches compute the
+    same exact join, so membership changes nothing about the row set
+    (the forced-path conformance tests pin that)."""
+    import ray
+
+    n_rows = left_m.count()  # block metadata — input is materialized
+    if n_rows == 0:
+        return np.empty(0, np.int64)
+    k = 2 * max(1, -(-n_rows // max(threshold, 1)))
+
+    def block_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select([key]), [key]).aggregate(
+            [([], "count_all")])
+        return _mg_cap(pa.table({key: g[key],
+                                 "n": pc.cast(g["count_all"], pa.int64())}),
+                       key, k)
+
+    refs = list(left_m.map_batches(
+        block_partial, batch_format="pyarrow").to_arrow_refs())
+
+    @ray.remote
+    def merge(a: pa.Table, b: pa.Table) -> pa.Table:
+        t = pa.concat_tables([a, b])
+        g = pa.TableGroupBy(t, [key]).aggregate([("n", "sum")])
+        return _mg_cap(pa.table({key: g[key], "n": g["n_sum"]}), key, k)
+
+    while len(refs) > 1:  # tree reduce: log2(blocks) rounds
+        nxt = [merge.remote(refs[i], refs[i + 1])
+               for i in range(0, len(refs) - 1, 2)]
+        if len(refs) % 2:
+            nxt.append(refs[-1])
+        refs = nxt
+    root = ray.get(refs[0])
+    n = np.asarray(root["n"], dtype=np.int64)
+    keys = np.asarray(root[key], dtype=np.int64)
+    return np.sort(keys[n > threshold - n_rows / (k + 1)])
+
+
 def skew_join(left_ds, right_ds, left_key: str, right_key: str,
               hot_threshold: int, num_partitions: int | None = None,
               force: str | None = None):
@@ -1750,12 +1860,18 @@ def skew_join(left_ds, right_ds, left_key: str, right_key: str,
     a single shuffle partition — a 20%-hot key serializes 20% of a
     100 TB join into one aggregator).  Split-by-frequency:
 
-      1. ONE pre-aggregated frequency pass over the left (fact) side:
-         per-block (key, n) Arrow partials -> grouped sum -> keys with
-         n > hot_threshold.  The hot set is bounded by construction
-         (|hot| <= total_rows / hot_threshold), so collecting it to the
-         driver is safe at any corpus size when the threshold is a
-         meaningful skew bar.
+      1. ONE heavy-hitter pass over the left (fact) side: per-block
+         exact (key, n) partials capped by the Misra-Gries decrement,
+         tree-merged in ray tasks (see _hot_keys) — no shuffle, and the
+         driver sees one bounded summary (|hot| ≤ 2·rows/threshold by
+         construction), safe at any corpus size when the threshold is
+         a meaningful skew bar.  Both inputs are STAGED ONCE
+         (materialize) before the frequency pass: the fact side's
+         read+projection would otherwise re-execute three times (freq,
+         hot branch, cold branch) — a skew-aware join inherently needs
+         two passes over the fact side, and staging blocks in the
+         object store (spillable) is how Ray Data amortizes the second
+         one.
       2. HOT rows join via broadcast: the right side's hot rows ship
          once (ray.put) and each left batch gathers them with Arrow
          index_in + take — hot keys never enter a shuffle, so the
@@ -1770,26 +1886,37 @@ def skew_join(left_ds, right_ds, left_key: str, right_key: str,
     "join_only", None}: test hook pinning everything hot / everything
     cold."""
     import ray
-    from ray.data.aggregate import Sum
 
-    def freq(t: pa.Table) -> pa.Table:
-        g = pa.TableGroupBy(t.select([left_key]), [left_key]).aggregate(
-            [([], "count_all")])
-        return pa.table({left_key: g[left_key],
-                         "n": pc.cast(g["count_all"], pa.int64())})
+    # stage both sides once: every later pass (freq, hot/cold filters,
+    # the shuffle join) re-reads object-store blocks zero-copy instead
+    # of re-running the parquet read + projection per branch
+    left_ds = left_ds.materialize()
+    right_ds = right_ds.materialize()
+
+    # size-adaptive dispatch (same pattern as the suite's semi/anti
+    # joins): a dim side small enough to broadcast makes the hot/cold
+    # split moot — EVERY key rides the map-side join, no frequency pass
+    # and no shuffle at all.  The split machinery below is the scale
+    # path (dim > gate) and stays pinned by the forced-path tests.
+    if force is None and right_ds.count() <= 2_000_000:
+        rt = pa.concat_tables(
+            [t for t in ray.get(list(right_ds.to_arrow_refs()))
+             if t.num_rows]).combine_chunks()
+        rk = np.asarray(rt[right_key], dtype=np.int64)
+        if len(np.unique(rk)) != len(rk):
+            raise ValueError(
+                f"skew_join: right side is not unique on {right_key} "
+                "— N:M hot joins are not supported (pre-aggregate the "
+                "right side first)")
+        return _broadcast_inner_join(left_ds, rt, left_key, right_key)
 
     if force == "join_only":
         hot = np.empty(0, np.int64)
     else:
-        counts = (left_ds.map_batches(freq, batch_format="pyarrow")
-                  .groupby(left_key).aggregate(Sum("n", alias_name="n")))
-        hot_t = counts.map_batches(
-            lambda t: t.filter(pc.greater(t["n"],
-                                          pa.scalar(hot_threshold))),
-            batch_format="pyarrow").to_pandas()
-        # a zero-row Dataset drops its columns at to_pandas()
-        hot = (np.sort(np.asarray(hot_t[left_key], dtype=np.int64))
-               if len(hot_t) else np.empty(0, np.int64))
+        # tree-merged Misra-Gries heavy hitters — no groupby execution;
+        # may include near-hot keys (> threshold/2), which only widens
+        # the broadcast branch, never changes the join's row set
+        hot = _hot_keys(left_ds, left_key, hot_threshold)
     if force == "broadcast_only":
         # pin EVERY key hot: the broadcast branch must reproduce the
         # whole join on its own (right side must fit a worker — tests)
@@ -1868,18 +1995,31 @@ def skew_join_nation_order_stats(sf_dir: str, hot_threshold: int = 15,
     At sf0.01 ~70 of 1500 customers exceed the threshold, so BOTH
     branches carry rows in the driver run (forced single-branch runs in
     pytest must each match the oracle too)."""
-    from ray.data.aggregate import Count, Sum
+    import ray.data as rd
 
     joined = skew_join(
         _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
         _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
         "o_custkey", "c_custkey", hot_threshold=hot_threshold, force=force)
-    out = joined.groupby("c_nationkey").aggregate(
-        Sum("o_totalprice", alias_name="revenue"),
-        Count(alias_name="n_orders"))
-    return (out.map_batches(_round_cols({"revenue": 2}),
-                            batch_format="pyarrow")
-            .sort("c_nationkey"))
+
+    # 25-nation rollup: per-block partials + driver combine instead of
+    # a whole groupby execution over the joined rows
+    def nation_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["c_nationkey", "o_totalprice"]),
+                            ["c_nationkey"]).aggregate(
+            [("o_totalprice", "sum"), ([], "count_all")])
+        return pa.table({"c_nationkey": g["c_nationkey"],
+                         "revenue": g["o_totalprice_sum"],
+                         "n_orders": pc.cast(g["count_all"], pa.int64())})
+
+    out = _rollup_partials_driver(joined, nation_partial,
+                                  ["c_nationkey"], ["revenue", "n_orders"])
+    if out is None:
+        out = pa.table({"c_nationkey": pa.array([], pa.int64()),
+                        "revenue": pa.array([], pa.float64()),
+                        "n_orders": pa.array([], pa.int64())})
+    out = _round_cols({"revenue": 2})(out).sort_by("c_nationkey")
+    return rd.from_arrow(out)
 
 
 # ---------------------------------------------------------------------------
@@ -1888,7 +2028,8 @@ def skew_join_nation_order_stats(sf_dir: str, hot_threshold: int = 15,
 
 def bloom_filtered_join(left_ds, right_ds, left_key: str, right_key: str,
                         fp_rate: float = 0.01,
-                        num_partitions: int | None = None):
+                        num_partitions: int | None = None,
+                        n_left_hint: int | None = None):
     """Inner join with a Bloom pre-filter on the probe side — the
     classic shuffle-volume reduction (Spark's runtime bloom join, and
     the same bloom kernel the URL-seen shards run): when the build side
@@ -1907,12 +2048,24 @@ def bloom_filtered_join(left_ds, right_ds, left_key: str, right_key: str,
          positives — the result is EXACTLY the plain inner join.
 
     Prints the measured pruned fraction (suite convention: every
-    approximate/pruning stage reports what it actually did)."""
+    approximate/pruning stage reports what it actually did;
+    `n_left_hint` supplies the probe-side input count for the print —
+    e.g. from parquet metadata — so the left pipeline is never
+    re-executed just to count it).
+
+    The build side is STAGED ONCE (materialize): it previously
+    re-executed three times — a standalone .count() to size the
+    filter, the bitmap pass, and the final join.  After staging, the
+    count is block metadata and both later passes read object-store
+    blocks zero-copy.  The build side is the selective/small side by
+    contract, and a plain hash join would ship all of it through the
+    exchange anyway."""
     import ray
 
     from ..state.bloom import BloomFilter
 
-    n_keys = right_ds.count()
+    right_ds = right_ds.materialize()
+    n_keys = right_ds.count()  # metadata after materialize — free
     proto = BloomFilter(capacity=max(n_keys, 1), fp_rate=fp_rate)
     m, k = int(proto.m), int(proto.k)
 
@@ -1955,11 +2108,13 @@ def bloom_filtered_join(left_ds, right_ds, left_key: str, right_key: str,
 
     survivors = left_ds.map_batches(probe,
                                     batch_format="pyarrow").materialize()
-    n_left = left_ds.count()
     n_surv = survivors.count()
-    if n_left:
+    if n_left_hint:
         print(f"[bloom_filtered_join] pruned "
-              f"{1.0 - n_surv / n_left:.3f} of {n_left} probe rows "
+              f"{1.0 - n_surv / n_left_hint:.3f} of {n_left_hint} probe "
+              f"rows (bloom {m} bits, k={k}, build {n_keys} keys)")
+    else:
+        print(f"[bloom_filtered_join] {n_surv} probe rows survived "
               f"(bloom {m} bits, k={k}, build {n_keys} keys)")
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
@@ -1974,6 +2129,20 @@ def bloom_filtered_join(left_ds, right_ds, left_key: str, right_key: str,
             (n, right_schema.types[right_schema.names.index(n)])
             for n in right_names]
         return rd.from_arrow(pa.schema(fields).empty_table())
+    # final join: when the (already-materialized) build side is small
+    # enough to broadcast AND unique on its key, a map-side index_in +
+    # take replaces the hash join's sort/shuffle execution — the same
+    # size gate every broadcast stage in this suite uses.  Dup keys or
+    # a big build side fall back to the partitioned Dataset.join.
+    if n_keys <= 2_000_000:
+        rt = pa.concat_tables(
+            [t for t in ray.get(list(right_ds.to_arrow_refs()))
+             if t.num_rows]).combine_chunks()
+        rk = np.asarray(rt[right_key], dtype=np.int64)
+        if len(np.unique(rk)) == len(rk):
+            # map-side join drops the bloom false positives too
+            return _broadcast_inner_join(survivors, rt,
+                                         left_key, right_key)
     survivors = survivors.repartition(max(1, min(16, n_surv)))
     return survivors.join(right_ds, join_type="inner",
                           num_partitions=num_partitions,
@@ -2002,13 +2171,32 @@ def bloom_join_big_order_items(sf_dir: str, min_price: float = 450_000.0):
                                                t["l_discount"]))}),
         batch_format="pyarrow")
 
-    joined = bloom_filtered_join(li, big, "l_orderkey", "o_orderkey")
-    out = joined.groupby("o_orderpriority").aggregate(
-        Sum("revenue", alias_name="revenue"),
-        Count(alias_name="n_items"))
-    return (out.map_batches(_round_cols({"revenue": 2}),
-                            batch_format="pyarrow")
-            .sort("o_orderpriority"))
+    from . import table_num_rows
+
+    joined = bloom_filtered_join(
+        li, big, "l_orderkey", "o_orderkey",
+        n_left_hint=table_num_rows(sf_dir, "lineitem"))
+
+    # 5-priority rollup: per-block partials + driver combine instead of
+    # a whole groupby execution over the joined rows
+    def prio_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["o_orderpriority", "revenue"]),
+                            ["o_orderpriority"]).aggregate(
+            [("revenue", "sum"), ([], "count_all")])
+        return pa.table({"o_orderpriority": g["o_orderpriority"],
+                         "revenue": g["revenue_sum"],
+                         "n_items": pc.cast(g["count_all"], pa.int64())})
+
+    import ray.data as rd
+    out = _rollup_partials_driver(joined, prio_partial,
+                                  ["o_orderpriority"],
+                                  ["revenue", "n_items"])
+    if out is None:
+        out = pa.table({"o_orderpriority": pa.array([], pa.string()),
+                        "revenue": pa.array([], pa.float64()),
+                        "n_items": pa.array([], pa.int64())})
+    out = _round_cols({"revenue": 2})(out).sort_by("o_orderpriority")
+    return rd.from_arrow(out)
 
 
 def cohort_retention(sf_dir: str):
@@ -2481,7 +2669,16 @@ def weighted_sample_docs(sf_dir: str, k: int = 20):
     def partial(t: pa.Table) -> pa.Table:
         did = np.asarray(t["doc_id"], dtype=np.int64)
         w = np.asarray(t["n_chars"], dtype=np.float64)
-        # identical integer expression as the SQL oracle
+        # identical integer expression as the SQL oracle — valid only
+        # while did * 2654435761 fits int64: beyond doc_id ≥ 2^31 numpy
+        # would wrap silently while DuckDB raises, and numpy's floored
+        # % differs from SQL's truncated % on negative products.  Guard
+        # the domain instead of relying on a docstring caveat.
+        if len(did) and (did.min() < 0 or did.max() >= 2**31):
+            raise ValueError(
+                "weighted_sample_docs: doc_id outside [0, 2^31) — the "
+                "hash expression would overflow int64 (numpy wraps, "
+                "the SQL oracle errors); re-key or switch to hash64")
         u = (1 + (did * 2654435761) % 1000003) / 1000004.0
         key = -np.log(u) / w
         order = np.lexsort((did, key))[:k]

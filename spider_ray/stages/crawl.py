@@ -25,7 +25,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..common.extract import (_decode_column, extract_hrefs_batch,
-                              extract_text_batch)
+                              extract_text_batch, extract_text_batch_arrow)
 from ..common.hashing import hash64_many
 from ..common.urlnorm import (
     canonicalize,
@@ -407,7 +407,8 @@ class FetchWorker:
         # batch kernel call (Arrow RE2 passes over the whole column —
         # extraction is the dominant crawl cost, see common/extract)
         have_html = np.asarray(pc.is_valid(html_col))
-        out_outcome, out_text, out_links = [], [], []
+        n = len(urls)
+        out_outcome = []
         ok_rows = []
         for i, (u, h) in enumerate(zip(urls, hosts)):
             if self._denied(h, path_of(u)):
@@ -417,44 +418,57 @@ class FetchWorker:
             else:
                 out_outcome.append("ok")
                 ok_rows.append(i)
-            out_text.append(None)
-            out_links.append([])
         _t2 = _time.time()
         if ok_rows:
+            ok_arr = np.asarray(ok_rows, dtype=np.int64)
             # decode ONCE (Arrow cast), reuse for text extraction and
             # the href scan — both fully vectorized RE2 batch kernels
-            ok_html = _decode_column(
-                html_col.take(pa.array(ok_rows, pa.int64())))
-            for i, text in zip(ok_rows, extract_text_batch(ok_html)):
-                out_text[i] = text
+            ok_html = _decode_column(html_col.take(pa.array(ok_arr)))
+            # text stays an Arrow array end to end: scatter the ok-row
+            # texts into the n-row column via take with null indices
+            # (miss/robots rows -> null) — no Python-string round-trip
+            texts_ok = extract_text_batch_arrow(ok_html)
+            scat = np.full(n, -1, dtype=np.int64)
+            scat[ok_arr] = np.arange(len(ok_arr), dtype=np.int64)
+            text_col = texts_ok.take(pa.array(scat, pa.int64(),
+                                              mask=scat < 0))
             _t3 = _time.time()
             # hrefs flattened with parent rows by the batch kernel (no
             # per-page Python scan), resolved in ONE vectorized call
-            # (RE2 fast paths + exact slow rows), grouped back by row
+            # (RE2 fast paths + exact slow rows), regrouped into the
+            # list column by offsets (parent is non-decreasing: ok_arr
+            # ascending, fragment order within each row preserved)
             all_hrefs, par = extract_hrefs_batch(ok_html)
-            ok_arr = np.asarray(ok_rows, dtype=np.int64)
             parent = ok_arr[par]
             resolved = resolve_batch(
                 all_hrefs, [urls[i] for i in parent])
-            for i, child in zip(parent, resolved):
-                if child is not None:
-                    out_links[i].append(child)
+            res_arr = pa.array(resolved, pa.string())
+            valid = np.asarray(pc.is_valid(res_arr)) if len(res_arr) \
+                else np.zeros(0, dtype=bool)
+            counts = np.bincount(parent[valid], minlength=n)
+            offsets = np.zeros(n + 1, dtype=np.int32)
+            np.cumsum(counts, out=offsets[1:])
+            links_col = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), res_arr.drop_null())
         else:
             _t3 = _time.time()
+            text_col = pa.nulls(n, pa.string())
+            links_col = pa.ListArray.from_arrays(
+                pa.array(np.zeros(n + 1, dtype=np.int32), pa.int32()),
+                pa.array([], pa.string()))
         if _dbg:
             print(f"[fetch] rows={batch.num_rows} gather={_t1-_t0:.2f} "
                   f"route={_t2-_t1:.2f} text={_t3-_t2:.2f} "
                   f"links={_time.time()-_t3:.2f} "
                   f"t_start={_t0:.2f} t_end={_time.time():.2f}", flush=True)
-        out_url, out_host, out_prio = urls, hosts, prios
         return pa.table(
             {
-                "canonical_url": pa.array(out_url, pa.string()),
-                "host": pa.array(out_host, pa.string()),
-                "priority": pa.array(out_prio, pa.float64()),
+                "canonical_url": pa.array(urls, pa.string()),
+                "host": pa.array(hosts, pa.string()),
+                "priority": pa.array(prios, pa.float64()),
                 "outcome": pa.array(out_outcome, pa.string()),
-                "text": pa.array(out_text, pa.string()),
-                "links": pa.array(out_links, pa.list_(pa.string())),
+                "text": text_col,
+                "links": links_col,
             }
         )
 
