@@ -47,7 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from spider_ray.pipelines import urls as ur
     from spider_ray.pipelines import webtext as wt
 
-    return {
+    out = {
         # -- crawl engine (rows-only; pytest oracle is the hard gate) -----
         "crawl_seen": cq.crawl_seen,
         "crawl_order": cq.crawl_order,
@@ -254,6 +254,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # against DuckDB over the engine's oracle-gated text table
         "crawl_then_prep": prep.crawl_then_prep,
     }
+    # ---- driver-window rotation (round-3 verdict item 2) -------------
+    # The correctness driver checks only the FIRST 50 entries in dict
+    # order (r1: 36, r2: 41, r3: 50 of 149).  Rounds 1-3 certified 69
+    # entries, so the oracle-backed entries the driver has NEVER
+    # reported go first — each round's 50-slot window then certifies
+    # new ones — with rows-only and already-certified entries after.
+    # The grouped literal above stays the readable source of truth;
+    # this list only reorders it.
+    first = [
+        "mode_event_type_per_user", "funnel_view_click_purchase",
+        "rolling_median_user_value", "winsorize_event_value",
+        "trending_event_types_hourly", "cumsum_value_by_user",
+        "rollup_orders_status_priority", "cube_orders_status_priority",
+        "intersect_click_purchase_users",
+        "except_click_not_purchase_users", "latest_event_per_user",
+        "ntile_docs_by_length", "stats_quantity_price_by_flag",
+        "range_join_clicks_before_purchase", "sources_per_lang",
+        "histogram_event_value", "recrawl_priority",
+        "weighted_sample_docs", "source_quality_shrunk",
+        "event_type_drift_kl", "heavy_hitter_tokens",
+        "quality_quantile_gate", "pii_scrub_props",
+        "json_extract_props_stats", "tfidf_top_terms_per_lang",
+        "pmi_adjacent_tokens", "repeated_shingles_topk",
+        "lexical_diversity", "token_entropy_by_lang",
+        "chunk_documents", "decontaminate_docs",
+        "unigram_logprob_score", "dedup_cluster_keep_best",
+        "ngram_novelty", "bm25_search_topk", "keyword_search_topk",
+        "bigram_logprob_score", "domain_mix_sample",
+        "dedup_incremental", "dedup_incremental_indexed",
+        "train_val_test_split", "dedup_substring_spans",
+        "dedup_substring_apply", "webtext_prep_v2", "webtext_prep_v3",
+        "global_shuffle_rank", "ppr_user_item", "hits_user_item",
+        "graph_components", "graph_triangles",
+        "graph_degree_histogram", "fuzzy_match_customer_names",
+        "embedding_centroids_by_label", "csv_source_doc_stats",
+        "jsonl_source_token_stats", "parquet_partition_pruned_stats",
+        "training_data_prep_fuzzy", "paragraph_dedup",
+        "c4_style_filter", "url_canonicalize", "pagerank_user_item",
+        "graph_bfs_depth", "dedup_containment", "repetition_stats",
+        "dedup_minhash_clusters", "pack_documents",
+        "ann_topk_quantized", "index_boolean_search",
+    ]
+    ordered = {k: out[k] for k in first}
+    ordered.update(out)
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:
