@@ -216,6 +216,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
         "dedup_simhash": dedup.dedup_simhash,
+        # SimHash over the SQL-replicable tok8 token hash: signature
+        # bits + pair popcounts are DuckDB-hash-matched (the full-byte
+        # variant above stays rows-only by hash necessity)
+        "dedup_simhash_tok8": dedup.dedup_simhash_tok8,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_containment": dedup.dedup_containment,
         "dedup_embedding": dedup.dedup_embedding,
@@ -226,6 +230,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_bruteforce": ann.ann_topk_bruteforce,
         "ann_topk_quantized": ann.ann_topk_quantized,
         "ann_lsh_topk": ann.ann_lsh_topk,
+        # LSH with integer hyperplanes + int8 vectors: the bucketing
+        # itself is SQL-replicable, so the approximation is
+        # hash-matched, not just row-counted
+        "ann_lsh_topk_quantized": ann.ann_lsh_topk_quantized,
         "ann_ivf_topk": ann.ann_ivf_topk,
         "dedup_embedding_ivf": ann.dedup_embedding_ivf,
         "embedding_kmeans_clusters": ann.embedding_kmeans_clusters,
@@ -302,6 +310,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from spider_ray.pipelines import ann as _ann
+    from spider_ray.pipelines import dedup as _dedup
     from spider_ray.pipelines.graph import (bfs_oracle_sql,
                                             hits_oracle_sql,
                                             pagerank_oracle_sql,
@@ -2138,4 +2148,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, score_q FROM r WHERE rn <= 5
             ORDER BY query_id, neighbor_id
         """,
+        # generated replica of the integer-LSH probe: inlined integer
+        # hyperplane literals, exact signature bits and integer scores
+        # (see ann.lsh_quantized_oracle_sql) — certifies the LSH
+        # candidate generation itself, not just the final rows
+        "ann_lsh_topk_quantized": _ann.lsh_quantized_oracle_sql(),
+        # generated replica of the tok8 SimHash: splitmix64 rebuilt in
+        # HUGEINT wrap arithmetic, per-bit ±1 votes, all-pairs popcount
+        # (see dedup.simhash_tok8_oracle_sql)
+        "dedup_simhash_tok8": _dedup.simhash_tok8_oracle_sql(),
     }

@@ -130,6 +130,37 @@ def token_hashes(col, lower: bool = True) -> tuple[np.ndarray, np.ndarray]:
     return hash_string_array(flat), parent
 
 
+def tok8_hashes(col, lower: bool = True) -> tuple[np.ndarray, np.ndarray]:
+    """(uint64 token hashes, parent doc index) where the hash is
+    splitmix64 over the token's FIRST 8 BYTES packed little-endian — a
+    deliberately SQL-replicable variant (DuckDB reproduces the packing
+    with ascii()/substr() and the mix with HUGEINT wrap arithmetic; see
+    dedup.simhash_tok8_oracle_sql).  Tokens from the suite's word class
+    are ASCII, so byte == codepoint; tokens sharing an 8-byte prefix
+    collide by design — acceptable for SimHash voting, NOT a general
+    replacement for hash_string_array."""
+    flat, parent = split_tokens(col, lower=lower)
+    flat = _as_array(flat)
+    n = len(flat)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64), parent
+    offs = _string_offsets(flat)
+    data = np.frombuffer(flat.buffers()[2], dtype=np.uint8)
+    lengths = offs[1:] - offs[:-1]
+    starts = offs[:-1]
+    L = np.minimum(lengths, 8)
+    colidx = np.arange(8, dtype=np.int64)
+    mat = np.zeros((n, 8), dtype=np.uint8)
+    mask = colidx[None, :] < L[:, None]
+    gather = starts[:, None] + colidx[None, :]
+    mat[mask] = data[gather[mask]]
+    with np.errstate(over="ignore"):
+        packed = (mat.astype(np.uint64)
+                  << (np.uint64(8) * np.arange(8, dtype=np.uint64))[None, :]
+                  ).sum(axis=1, dtype=np.uint64)
+        return _splitmix64(packed), parent
+
+
 def _unique_per_doc(h: np.ndarray, parent: np.ndarray,
                     n_docs: int) -> tuple[np.ndarray, np.ndarray]:
     """Distinct (parent, hash) pairs, sorted by (parent, hash)."""
@@ -231,8 +262,21 @@ def simhash_batch(col, lower: bool = True) -> np.ndarray:
     """64-bit SimHash per doc over a whole column: per-token hash bits
     vote ±1, summed per doc with one reduceat — no per-doc Python."""
     col = _as_array(col)
-    n_docs = len(col)
     th, parent = token_hashes(col, lower=lower)
+    return _simhash_from_hashes(th, parent, len(col))
+
+
+def simhash_batch_tok8(col, lower: bool = True) -> np.ndarray:
+    """SimHash variant over the SQL-replicable tok8 hash (see
+    tok8_hashes) — identical voting machinery, different token hash, so
+    a DuckDB oracle can recompute every signature bit."""
+    col = _as_array(col)
+    th, parent = tok8_hashes(col, lower=lower)
+    return _simhash_from_hashes(th, parent, len(col))
+
+
+def _simhash_from_hashes(th: np.ndarray, parent: np.ndarray,
+                         n_docs: int) -> np.ndarray:
     sigs = np.zeros(n_docs, dtype=np.uint64)
     if len(th) == 0:
         return (sigs & _MASK63).astype(np.int64)

@@ -186,6 +186,157 @@ def ann_topk_quantized(sf_dir: str, n_queries: int = 10, k: int = 5):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def _int_hyperplanes(n_tables: int, n_bits: int, dim: int) -> np.ndarray:
+    """Deterministic INTEGER hyperplanes in [-63, 63] from splitmix64
+    streams — (T, B, dim) int64.  Integer coefficients make the bucket
+    assignment exact arithmetic (dot ≤ dim·127·63 ≈ 5e5 fits a double
+    exactly), so an SQL oracle can reproduce every signature bit."""
+    raw = _splitmix64(np.arange(n_tables * n_bits * dim, dtype=np.uint64)
+                      + np.uint64(424_243))
+    return ((raw % np.uint64(127)).astype(np.int64) - 63).reshape(
+        n_tables, n_bits, dim)
+
+
+def _int_signatures(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Packed per-table signatures (T, n) of an int matrix (n, dim):
+    bit b of table t = (mat @ planes[t, b]) > 0."""
+    n_tables, n_bits, _ = planes.shape
+    sigs = np.zeros((n_tables, len(mat)), dtype=np.int64)
+    for t in range(n_tables):
+        bits = (mat @ planes[t].T) > 0            # (n, B)
+        sigs[t] = (bits.astype(np.int64)
+                   << np.arange(n_bits, dtype=np.int64)).sum(axis=1)
+    return sigs
+
+
+def ann_lsh_topk_quantized(sf_dir: str, n_queries: int = 10, k: int = 5,
+                           n_bits: int = 6, n_tables: int = 8,
+                           log_stats: bool = True):
+    """LSH-bucketed approximate top-k, DuckDB-HASH-MATCHED end to end:
+    vectors are int8 fixed-point (_quantize_i8, same trick as
+    ann_topk_quantized) and the hyperplanes are INTEGER
+    (_int_hyperplanes), so bucket membership AND scores are exact
+    integer arithmetic an SQL oracle reproduces bit-for-bit — the
+    approximation (which pairs become candidates) is itself certified,
+    not just row counts.  Same probe shape as ann_lsh_topk: candidates
+    = per-query bucket-union across tables, integer matmul over the
+    candidate union only, per-block top-k combiner + tiny reduce."""
+    import ray
+    import ray.data as rd
+
+    q_ids, q_mat = _load_queries(sf_dir, n_queries, normalize=False)
+    qq = _quantize_i8(q_mat).astype(np.int64)
+    planes = _int_hyperplanes(n_tables, n_bits, q_mat.shape[1])
+    q_sigs = _int_signatures(qq, planes)
+    q_ref = ray.put((q_ids, qq, q_sigs))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def probe(t: pa.Table) -> pa.Table:
+        qids, qm, qsigs = ray.get(q_ref)
+        cids = _assert_nonneg(np.asarray(t["vec_id"], dtype=np.int64))
+        cm = _quantize_i8(np.stack(
+            t["embedding"].to_numpy(zero_copy_only=False))).astype(np.int64)
+        csigs = _int_signatures(cm, planes)
+        cand = np.zeros((len(qids), len(cids)), dtype=bool)
+        for ti in range(n_tables):
+            cand |= qsigs[ti][:, None] == csigs[ti][None, :]
+        cand &= cids[None, :] != qids[:, None]
+        union = np.nonzero(cand.any(axis=0))[0]
+        out_q, out_n, out_s = [], [], []
+        if len(union):
+            sims_u = qm @ cm[union].T              # exact int64
+            cand_u = cand[:, union]
+            for qi in range(len(qids)):
+                idx = np.nonzero(cand_u[qi])[0]
+                if len(idx) == 0:
+                    continue
+                s = sims_u[qi][idx]
+                ordr = np.lexsort((cids[union][idx], -s))[:k]
+                out_q += [qids[qi]] * len(ordr)
+                out_n += cids[union][idx][ordr].tolist()
+                out_s += s[ordr].tolist()
+        # stats sentinel (query_id = -1), dropped before returning
+        out_q.append(-1)
+        out_n.append(len(cids) * len(qids))
+        out_s.append(int(cand.sum()))
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "score_q": pa.array(out_s, pa.int64())})
+
+    partials = ds.map_batches(probe, batch_format="pyarrow").to_pandas()
+    stats = partials[partials["query_id"] == -1]
+    scanned = int(stats["neighbor_id"].sum())
+    candidates = int(stats["score_q"].sum())
+    if log_stats and scanned:
+        print(f"[ann_lsh_topk_quantized] candidate fraction: "
+              f"{candidates}/{scanned} = {candidates / scanned:.4f}")
+    partials = partials[partials["query_id"] >= 0]
+    out = (partials.sort_values(["query_id", "score_q", "neighbor_id"],
+                                ascending=[True, False, True],
+                                kind="mergesort")
+           .groupby("query_id", sort=True).head(k)
+           .sort_values(["query_id", "neighbor_id"], ignore_index=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def lsh_quantized_oracle_sql(n_queries: int = 10, k: int = 5,
+                             n_bits: int = 6, n_tables: int = 8,
+                             dim: int = 64) -> str:
+    """Generated DuckDB replica of ann_lsh_topk_quantized: quantize with
+    the exact floor(x·128) expression, compute every signature bit as
+    an integer-hyperplane dot-product sign (the plane coefficients are
+    inlined literals from the SAME _int_hyperplanes call), bucket-match
+    across tables, and rank candidates by the identical integer score.
+    All arithmetic is exactly representable in doubles, so plan and
+    oracle agree bit-for-bit."""
+    planes = _int_hyperplanes(n_tables, n_bits, dim)
+
+    def sig_expr(side: str, t: int) -> str:
+        bits = []
+        for b in range(n_bits):
+            lit = "[" + ",".join(str(int(x)) for x in planes[t, b]) + "]"
+            bits.append(f"(CASE WHEN list_dot_product({side}.v, "
+                        f"{lit}::BIGINT[]) > 0 THEN {1 << b} ELSE 0 END)")
+        return " + ".join(bits)
+
+    q_sigs = ",\n               ".join(
+        f"{sig_expr('qz', t)} AS s{t}" for t in range(n_tables))
+    match = " OR ".join(f"q.s{t} = c.s{t}" for t in range(n_tables))
+    return f"""
+        WITH qz AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                     x -> LEAST(CAST(floor(CAST(x AS DOUBLE) * 128)
+                                AS BIGINT), 127)) AS v
+          FROM embeddings
+        ),
+        sigs AS (
+          SELECT qz.vec_id, qz.v,
+               {q_sigs}
+          FROM qz
+        ),
+        q AS (SELECT * FROM sigs WHERE vec_id IN
+               (SELECT vec_id FROM embeddings
+                ORDER BY vec_id LIMIT {n_queries})),
+        cand AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 CAST(list_dot_product(q.v, c.v) AS BIGINT) AS score_q
+          FROM q JOIN sigs c
+            ON q.vec_id <> c.vec_id AND ({match})
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY score_q DESC, neighbor_id) AS rn
+          FROM cand
+        )
+        SELECT query_id, neighbor_id, score_q
+        FROM ranked WHERE rn <= {k}
+        ORDER BY query_id, neighbor_id
+    """
+
+
 class _Hyperplanes:
     """Deterministic random hyperplanes from splitmix64 streams."""
 

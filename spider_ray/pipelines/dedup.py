@@ -420,18 +420,21 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.8,
 # SimHash near-dup
 # ---------------------------------------------------------------------------
 
-def dedup_simhash(sf_dir: str, max_hamming: int = 3):
+def dedup_simhash(sf_dir: str, max_hamming: int = 3,
+                  sig_fn=None):
     """SimHash near-dups: 64-bit signature, candidates bucketed by 4
     16-bit bands (any pair within hamming<=3 shares >=1 exact band),
     verified by exact hamming distance.  Fully distributed: the pair
     stream is deduped by a pair-bucket groupby, never on the driver
     (hamming is a pure function of the two signatures, so duplicate
-    emissions agree and any one row can be kept)."""
+    emissions agree and any one row can be kept).  `sig_fn` swaps the
+    signature kernel (dedup_simhash_tok8's SQL-replicable variant)."""
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    sig_fn = sig_fn or simhash_batch
 
     def sketch(t: pa.Table) -> pa.Table:
         ids = np.asarray(t["doc_id"])
-        sigs = simhash_batch(t["text"])
+        sigs = sig_fn(t["text"])
         bands = []
         for b in range(4):
             bands.append(pa.table({
@@ -477,6 +480,87 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3):
              .groupby("bucket")
              .map_groups(pairs_in_bucket, batch_format="pandas"))
     return _dedup_pairs_ds(pairs).sort(["doc_a", "doc_b"])
+
+
+def dedup_simhash_tok8(sf_dir: str, max_hamming: int = 3):
+    """dedup_simhash over the SQL-replicable tok8 signature (splitmix64
+    of each token's first 8 bytes; common/tokens.tok8_hashes): same
+    banding, verification and pair dedup, but a DuckDB oracle can
+    recompute every signature bit and popcount the pair distances —
+    moving SimHash from a rows-only check to a hash-matched one."""
+    from ..common.tokens import simhash_batch_tok8
+
+    return dedup_simhash(sf_dir, max_hamming=max_hamming,
+                         sig_fn=simhash_batch_tok8)
+
+
+def _sql_splitmix64(x_expr: str) -> str:
+    """DuckDB expression for splitmix64(x_expr) — HUGEINT arithmetic
+    with an explicit 32-bit-split wrapping multiply (BIGINT would raise
+    on overflow where numpy wraps).  Verified bit-exact against
+    state/bloom._splitmix64 across the uint64 domain."""
+    M = 1 << 64
+
+    def mul(a: str, b: int) -> str:
+        return (f"(((({a}) % 4294967296) * {b}::HUGEINT + "
+                f"(((({a}) // 4294967296) * {b}::HUGEINT) % 4294967296)"
+                f" * 4294967296) % {M})")
+
+    def xshift(a: str, s: int) -> str:
+        return (f"CAST(xor(CAST(({a}) AS UBIGINT), "
+                f"CAST(({a}) AS UBIGINT) >> {s}) AS HUGEINT)")
+
+    e = f"((({x_expr}) + 11400714819323198485::HUGEINT) % {M})"
+    e = xshift(e, 30)
+    e = mul(e, 13787848793156543929)
+    e = xshift(e, 27)
+    e = mul(e, 10723151780598845931)
+    e = xshift(e, 31)
+    return f"CAST(({e}) % {M} AS UBIGINT)"
+
+
+def simhash_tok8_oracle_sql(max_hamming: int = 3) -> str:
+    """Generated DuckDB replica of dedup_simhash_tok8: pack each
+    token's first 8 ASCII bytes little-endian, splitmix64 them with
+    wrap-exact HUGEINT arithmetic (_sql_splitmix64), vote ±1 per bit
+    per occurrence, rebuild the 63-bit signature, and popcount ALL
+    ordered pairs — any signature-bit or banding-recall divergence in
+    the pipeline hash-mismatches this oracle."""
+    packed = " + ".join(
+        f"(CASE WHEN length(t) >= {i} THEN "
+        f"ascii(substr(t, {i}, 1))::HUGEINT * {1 << (8 * (i - 1))} "
+        f"ELSE 0 END)" for i in range(1, 9))
+    votes = ",\n                 ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(63))
+    sig = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(63))
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t
+          FROM documents
+        ),
+        th AS (
+          SELECT doc_id, {_sql_splitmix64(f'({packed})')} AS h FROM toks
+        ),
+        votes AS (
+          SELECT doc_id,
+                 {votes}
+          FROM th GROUP BY doc_id
+        ),
+        sigs AS (
+          SELECT d.doc_id,
+                 COALESCE({sig}, 0)::BIGINT AS sig
+          FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+        ORDER BY doc_a, doc_b
+    """
 
 
 # ---------------------------------------------------------------------------

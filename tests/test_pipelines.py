@@ -707,6 +707,8 @@ class TestRound3LateOperators:
         ("rolling_active_users", ["window_hour"]),
         ("train_val_test_split", ["doc_id"]),
         ("global_shuffle_rank", ["position"]),
+        ("dedup_simhash_tok8", ["doc_a", "doc_b"]),
+        ("ann_lsh_topk_quantized", ["query_id", "neighbor_id"]),
     ])
     def test_matches_oracle(self, name, keys):
         import duckdb
@@ -717,7 +719,8 @@ class TestRound3LateOperators:
         import __ray_entry__ as E
 
         con = duckdb.connect()
-        for t in ("orders", "lineitem", "events", "documents", "customer"):
+        for t in ("orders", "lineitem", "events", "documents", "customer",
+                  "embeddings"):
             con.execute(f"create view {t} as select * from "
                         f"read_parquet('{SF}/{t}.parquet')")
         r = E.queries()[name](SF).to_pandas()
