@@ -259,7 +259,12 @@ class CrawlEngine:
                  driver_threshold: int = 2_000_000,
                  index_dir: str | None = None,
                  politeness_path: str | None = None,
-                 emit_edges: bool = False):
+                 emit_edges: bool = False,
+                 fetcher_factory=None):
+        # fetcher_factory: zero-arg callable returning a Fetcher for each
+        # FetchWorker actor (e.g. lambda: HttpFetcher(proxy=...)); None
+        # -> the default IndexFetcher over the local pages index
+        self.fetcher_factory = fetcher_factory
         # optional per-epoch href-edge artifact (edges/ beside texts/),
         # written actor-side like the texts shards — graph analytics
         # read it instead of re-parsing html (see edges_table())
@@ -330,7 +335,9 @@ class CrawlEngine:
         cls = ray.remote(num_cpus=0.5)(FetchWorker)
         self._fetch_pool = [
             cls.remote(self.index_dir, self.robots,
-                       emit_edges=self.emit_edges)
+                       emit_edges=self.emit_edges,
+                       fetcher=(self.fetcher_factory()
+                                if self.fetcher_factory else None))
             for _ in range(pool_size)
         ]
 

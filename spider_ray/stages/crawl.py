@@ -301,28 +301,74 @@ class IndexFetcher:
 
 
 class HttpFetcher:
-    """SEAM for live HTTP fetching (cf. reference crawling over real
-    sites).  This container has no network, so — exactly like
-    multimodal.decode_image_real — the transport is a single marked
-    NotImplementedError while every surrounding contract (row-aligned
-    payloads, partition batching, robots applied by the CALLER so the
-    politeness layer is transport-independent) is real and exercised via
-    IndexFetcher / the FakeFetcher test double."""
+    """Live HTTP transport for the fetch stage (cf. the reference's
+    remote side-effect workers, `cmd/slack-worker/main.go:31-84`):
+    stdlib http.client GETs with per-(scheme, host, port) connection
+    reuse, one stale-connection retry, and every failure mode —
+    timeout, refused, non-200, bad keep-alive — mapped to None so the
+    CALLER routes it to the `miss` outcome port.  Robots/politeness are
+    applied upstream by FetchWorker, keeping the politeness layer
+    transport-independent.
+
+    `proxy=(host, port)` sends absolute-URI requests through a forward
+    proxy — how a production crawl egress usually runs, and how the
+    loopback conformance test serves a many-host corpus from one local
+    socket without DNS.  This sandbox has no external network, so the
+    pytest loopback server is the full in-sandbox exercise of this
+    class; IndexFetcher remains the default fetcher."""
 
     def __init__(self, user_agent: str = "spider-ray/1.0",
-                 timeout_s: float = 10.0):
+                 timeout_s: float = 10.0,
+                 proxy: tuple[str, int] | None = None):
         self.user_agent = user_agent
         self.timeout_s = timeout_s
+        self.proxy = tuple(proxy) if proxy else None
+        self._conns: dict = {}
 
     def warm(self, part: int) -> int:
         return 0  # nothing to preload; connection pools fill lazily
 
+    def _get(self, url: str):
+        import http.client
+        import urllib.parse
+
+        p = urllib.parse.urlsplit(url)
+        if self.proxy:
+            key = self.proxy
+            target = url  # absolute-URI request line (proxy semantics)
+        else:
+            key = (p.scheme, p.hostname, p.port)
+            target = (p.path or "/") + (f"?{p.query}" if p.query else "")
+        conn = self._conns.pop(key, None)
+        for _attempt in range(2):  # retry once on a stale kept-alive conn
+            if conn is None:
+                host, port = (self.proxy if self.proxy
+                              else (p.hostname, p.port))
+                cls = (http.client.HTTPSConnection if p.scheme == "https"
+                       and not self.proxy else http.client.HTTPConnection)
+                conn = cls(host, port, timeout=self.timeout_s)
+            try:
+                conn.request("GET", target,
+                             headers={"User-Agent": self.user_agent,
+                                      "Host": p.netloc})
+                r = conn.getresponse()
+                body = r.read()
+                self._conns[key] = conn  # keep-alive for the next row
+                return body if r.status == 200 else None
+            except Exception:
+                try:
+                    conn.close()
+                except Exception:
+                    pass
+                conn = None
+        return None  # both attempts failed -> miss outcome upstream
+
     def fetch_part(self, part: int, url_hashes: np.ndarray,
                    urls: list[str]) -> list:
-        raise NotImplementedError(
-            "live HTTP fetch: issue GETs for `urls` (politeness/robots are "
-            "already applied upstream), return one bytes|None per row — "
-            "plug in an HTTP client here in a networked deployment")
+        """Row-aligned html payloads (None = miss) — sequential GETs
+        with connection reuse; parallelism comes from the actor POOL
+        (one HttpFetcher per FetchWorker), not from per-row threads."""
+        return [self._get(u) for u in urls]
 
 
 class FetchWorker:
