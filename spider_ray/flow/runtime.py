@@ -194,11 +194,20 @@ class FlowRuntime:
             # compiled expression closures don't pickle -> compile inside
             # the task, once per batch (reference recompiles per RECORD)
             compiled = spec.compiled_mappers()
+            # column-wise boundary: one to_pylist per COLUMN instead of a
+            # per-row dict for the whole table; a row dict materializes
+            # only for input rows that actually dispatch a worker (the
+            # per-row UDF dispatch itself is the reference contract)
+            names = batch.column_names
+            col = {f: batch[f].to_pylist() for f in names}
+            kinds, keys = col["kind"], col["key"]
             out_rows: list[dict] = []
-            for row in batch.to_pylist():
-                if row["kind"] != "input":
-                    out_rows.append(row)
+            pass_through: list[int] = []
+            for i in range(batch.num_rows):
+                if kinds[i] != "input":
+                    pass_through.append(i)
                     continue
+                row = {f: col[f][i] for f in names}
                 action = spec.actions.get(row["key"])
                 # disabled-node filter: the node's worker may run in the
                 # reference, but every event it emits is dropped by the
@@ -236,11 +245,19 @@ class FlowRuntime:
                     if not nxt:
                         out_rows.append({**log_row, "kind": "leaf"})
                     out_rows += nxt
-            if not out_rows:
+            if not out_rows and not pass_through:
                 return pa.Table.from_pylist([], schema=_ROW_SCHEMA)
-            return pa.Table.from_pylist(
-                [{f: r.get(f) for f in _ROW_FIELDS} for r in out_rows],
-                schema=_ROW_SCHEMA)
+            # build output COLUMNS: pass-through rows copy straight from
+            # the input column lists, worker outputs append from their
+            # dicts — no per-row dict scan over the whole result
+            out_cols = {f: [col[f][i] for i in pass_through]
+                        if f in col else [None] * len(pass_through)
+                        for f in _ROW_FIELDS}
+            for r in out_rows:
+                for f in _ROW_FIELDS:
+                    out_cols[f].append(r.get(f))
+            return pa.table({f: pa.array(out_cols[f], pa.string())
+                             for f in _ROW_FIELDS})
 
         return hop
 
