@@ -290,6 +290,7 @@ class CrawlEngine:
         self._checker: SeenChecker | None = None
         self._fetch_pool: list | None = None
         self._seq = 0
+        self._cluster_cpus: int | None = None  # cached by _effective_threshold
 
     # ------------------------------------------------------------------ io
     def _epoch_dir(self, e: int) -> str:
@@ -531,6 +532,32 @@ class CrawlEngine:
         files = self._parquet_files(os.path.join(self._epoch_dir(e), "frontier"))
         return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
+    def _effective_threshold(self) -> int:
+        """CPU-adaptive driver/distributed dispatch point (frontier rows).
+
+        Measured on the bench fixtures (BENCH/BASELINE.md): on ~120k-row
+        frontiers the driver path wins at BOTH 8 and 32 CPUs (7.6k vs
+        6.7k urls/s at 8; the gap is the ~0.5 s/epoch streaming-executor
+        constant), while on ~500k-row frontiers the distributed path
+        wins 2.3x at 8 CPUs and 1.3x at 32 — the driver path's serial
+        select/links/frontier stages bind harder the fewer cores the
+        node has to overlap them with.  So: a floor keeps control-sized
+        frontiers on the driver kernels at any CPU count, a per-CPU term
+        raises the switch point on bigger nodes (where the distributed
+        path's gain is smaller), and the constructor's driver_threshold
+        stays the absolute cap — the 10^10-frontier driver-memory bound.
+        """
+        import ray
+
+        ncpu = self._cluster_cpus
+        if ncpu is None:
+            try:
+                ncpu = int(ray.cluster_resources().get("CPU", 8) or 8)
+            except Exception:
+                ncpu = 8
+            self._cluster_cpus = ncpu
+        return min(self.driver_threshold, max(150_000, 8_000 * ncpu))
+
     def _run_epoch(self, e: int, n_frontier: int) -> dict:
         """One crawl epoch.
 
@@ -574,7 +601,8 @@ class CrawlEngine:
                 pass
         os.makedirs(edir, exist_ok=True)
         ffiles = self._parquet_files(os.path.join(self._epoch_dir(e - 1), "frontier"))
-        small = (not self.force_distributed) and n_frontier <= self.driver_threshold
+        small = (not self.force_distributed) and \
+            n_frontier <= self._effective_threshold()
         if small:
             stats = self._epoch_small(e, ffiles, _mark)
         else:

@@ -118,3 +118,28 @@ def test_seen_spill_conformance(smoke_fixture, tmp_path):
     finally:
         eng.close()
     _assert_matches_oracle(eng, oracle_res)
+
+
+def test_effective_threshold_cpu_adaptive(tmp_path):
+    """Round-4 adaptive dispatch: the driver/distributed switch point
+    floors at 150k rows (control-sized frontiers stay on the driver
+    kernels at any CPU count — measured faster at both 8 and 32 CPUs),
+    rises 8k rows/CPU on bigger nodes, and is always capped by the
+    constructor's driver_threshold (the driver-memory bound; 0 still
+    forces every epoch distributed)."""
+    from spider_ray.engine import CrawlEngine
+
+    def eng(**kw):
+        e = CrawlEngine("unused.parquet", {"max_per_host_per_epoch": 1,
+                                           "max_epochs": 1},
+                        str(tmp_path / "c"), **kw)
+        return e
+
+    e = eng()
+    for ncpu, want in [(2, 150_000), (8, 150_000), (16, 150_000),
+                       (32, 256_000), (64, 512_000), (1024, 2_000_000)]:
+        e._cluster_cpus = ncpu
+        assert e._effective_threshold() == want, ncpu
+    e0 = eng(driver_threshold=0)
+    e0._cluster_cpus = 32
+    assert e0._effective_threshold() == 0  # tests' force-distributed knob
