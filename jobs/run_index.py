@@ -38,7 +38,12 @@ import json
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+# Ray worker processes don't inherit the driver's sys.path mutation; export
+# it so a launch from any cwd (ray job submit working-dir, /tmp scripts)
+# still lets workers deserialize spider_ray closures.
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 
 def main() -> int:

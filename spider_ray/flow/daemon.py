@@ -1,0 +1,202 @@
+"""Continuous daemon mode: the long-lived orchestrator loop.
+
+The reference runs its orchestrator as long-lived NATS queue listeners
+(`pkg/spider/workflow.go:62-81`: subscribe once, then every received
+TriggerMessage drives one dispatch) beside a cron-trigger service that
+scans schedule-type flows on a fixed ticker and fires their trigger
+node (`cmd/cron-trigger/main.go:38-66`, 10 s reconcile re-read).  The
+rebuild's control plane so far was request/response only: POST /trigger
+queued a message and a later POST .../run drained it.  FlowDaemon is
+the missing consumer: it owns the HTTP control plane (make_server) plus
+one background consumer thread, so a webhook POST alone makes the flow
+run — no explicit /run call — and schedule-type active flows fire once
+per reconcile tick.
+
+Semantics, matched to the reference:
+
+- **Config reconcile per dispatch**: the spec is re-read from the store
+  at every dispatch (the reference resolves the workflow document per
+  message, workflow.go:83-99), so action disables / mapper edits /
+  status flips apply to the NEXT message with no restart.
+- **Draft gating keeps messages**: triggers for a draft (or missing)
+  flow stay queued — the broker analogue of no consumer bound yet.
+- **At-most-once on poison messages**: a trigger batch whose run raises
+  is dropped and recorded under `errors` — the reference acks before
+  processing (`pkg/spider/messenger_worker_nats.go:108`), so a failing
+  message never wedges the queue.  (The synchronous /run endpoint keeps
+  its stricter ack-after-process contract for interactive use.)
+- **Cron ticks are counted, not wall-clock**: `tick_scheduled()` fires
+  every schedule-type active flow's root node(s) once; the daemon's
+  ticker calls it every `reconcile_interval` seconds, and tests call it
+  directly for determinism (same rule as FlowRuntime.run_scheduled).
+
+Scale note: this is control-plane code — message-shaped rows, one
+consumer thread.  Each dispatch still executes as Ray Data hops, so a
+single POST carrying 10^5 triggers parallelizes across the cluster;
+the daemon thread only moves queue references and settled-row counts.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from collections import deque
+
+from .http_api import make_server
+from .runtime import FlowRuntime
+from .spec import FlowStore
+
+
+def _as_json_str(v) -> str:
+    return v if isinstance(v, str) else json.dumps(v or {})
+
+
+class FlowDaemon:
+    """HTTP control plane + continuous trigger consumer + cron ticker.
+
+    Usage::
+
+        d = FlowDaemon(port=0)          # ephemeral port
+        d.start()
+        ... POST flows / POST /trigger against d.address ...
+        d.stop()                        # graceful: drains in-flight run
+
+    `results[workflow_id]` holds the most recent settled leaf rows
+    (bounded deque), `counts` the cumulative kind totals, `errors` the
+    dropped poison batches — the observable surface tests assert on.
+    """
+
+    def __init__(self, store: FlowStore | None = None,
+                 host: str = "127.0.0.1", port: int = 0,
+                 poll_interval: float = 0.05,
+                 reconcile_interval: float = 10.0,
+                 results_cap: int = 1000, max_hops: int = 32):
+        self.srv = make_server(store, host, port)
+        self.state = self.srv.api_state  # type: ignore[attr-defined]
+        self.store: FlowStore = self.state.store
+        self.poll_interval = poll_interval
+        self.reconcile_interval = reconcile_interval
+        self.results: dict[str, deque] = {}
+        self.results_cap = results_cap
+        self.max_hops = max_hops
+        self.counts: dict[str, int] = {"output": 0, "leaf": 0, "error": 0,
+                                       "dispatches": 0, "scheduled_runs": 0}
+        self.errors: list[dict] = []
+        self._stop = threading.Event()
+        self._threads: list[threading.Thread] = []
+        self._dispatch_lock = threading.Lock()  # one run at a time
+
+    # ------------------------------------------------------------- control
+    @property
+    def address(self) -> tuple[str, int]:
+        return self.srv.server_address  # (host, port)
+
+    def start(self) -> "FlowDaemon":
+        t_http = threading.Thread(target=self.srv.serve_forever,
+                                  name="flowd-http", daemon=True)
+        t_consume = threading.Thread(target=self._consume_loop,
+                                     name="flowd-consume", daemon=True)
+        t_cron = threading.Thread(target=self._cron_loop,
+                                  name="flowd-cron", daemon=True)
+        self._threads = [t_http, t_consume, t_cron]
+        for t in self._threads:
+            t.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        self.srv.shutdown()
+        for t in self._threads[1:]:  # http thread exits with shutdown()
+            t.join(timeout=30)
+        self.srv.server_close()
+
+    # ------------------------------------------------------------ consumer
+    def _consume_loop(self) -> None:
+        while not self._stop.is_set():
+            if not self.drain_once():
+                self._stop.wait(self.poll_interval)
+
+    def drain_once(self) -> int:
+        """Dispatch every workflow that has queued triggers; returns the
+        number of dispatches (0 = queue empty / nothing runnable)."""
+        with self.state.lock:
+            snapshot = {wf: list(q) for wf, q in self.state.pending.items()
+                        if q}
+        dispatched = 0
+        for wf_id, queued in snapshot.items():
+            spec = self.store.find(wf_id)  # reconcile: re-read per message
+            if spec is None or spec.status != "active":
+                continue  # draft/unknown: leave queued (no consumer bound)
+            triggers = [{"key": m["key"], "meta_output": m["meta_output"],
+                         "values": _as_json_str(m["values"])}
+                        for m in queued]
+            # ack BEFORE process (at-most-once, the reference's delivery
+            # contract) — but only the messages this dispatch took;
+            # concurrently queued ones stay
+            with self.state.lock:
+                rest = self.state.pending.get(wf_id, [])
+                self.state.pending[wf_id] = rest[len(queued):]
+                if not self.state.pending[wf_id]:
+                    self.state.pending.pop(wf_id, None)
+            self._dispatch(spec, wf_id, triggers)
+            dispatched += 1
+        return dispatched
+
+    def _dispatch(self, spec, wf_id: str, triggers: list[dict]) -> None:
+        with self._dispatch_lock:  # one run at a time; guards bookkeeping
+            try:
+                result = FlowRuntime(spec, max_hops=self.max_hops).run(triggers)
+            except Exception as ex:  # poison batch: record + drop
+                self.errors.append({"workflow_id": wf_id,
+                                    "n_triggers": len(triggers),
+                                    "error": str(ex)})
+                return
+            sink = self.results.setdefault(wf_id,
+                                           deque(maxlen=self.results_cap))
+            sink.extend(result["leaves"])
+            self.counts["dispatches"] += 1
+            for kind, plural in (("output", "outputs"), ("leaf", "leaves"),
+                                 ("error", "errors")):
+                self.counts[kind] += len(result[plural])
+
+    # ---------------------------------------------------------------- cron
+    def _cron_loop(self) -> None:
+        while not self._stop.is_set():
+            if self._stop.wait(self.reconcile_interval):
+                return
+            self.tick_scheduled()
+
+    def tick_scheduled(self) -> int:
+        """One cron tick: fire every schedule-type ACTIVE flow's root
+        node(s) once (cmd/cron-trigger/main.go:60-65 — TriggerMessage
+        {MetaOutput:"triggered", Values:"{}"}).  Roots = action keys
+        that are never a peer's child.  Returns flows fired."""
+        with self.state.lock:
+            specs = [s for s in self.store.all()
+                     if s.trigger_type == "schedule" and s.status == "active"]
+        fired = 0
+        for spec in specs:
+            children = {p.child_key for p in spec.peers}
+            roots = [k for k in spec.actions if k not in children]
+            triggers = [{"key": k, "meta_output": "triggered",
+                         "values": "{}"} for k in roots]
+            if not triggers:
+                continue
+            self._dispatch(spec, spec.workflow_id, triggers)
+            self.counts["scheduled_runs"] += 1
+            fired += 1
+        return fired
+
+
+def serve_daemon(store: FlowStore | None = None, host: str = "127.0.0.1",
+                 port: int = 8080, **kw) -> None:
+    """Blocking daemon entry point (the `cmd/workflow` + cron-trigger
+    pair as one process).  Ray must already be initialised by the
+    caller — this module never calls ray.init()."""
+    d = FlowDaemon(store, host, port, **kw).start()
+    try:
+        d._stop.wait()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        d.stop()

@@ -204,6 +204,23 @@ class FlowStore:
         del self._flows[k]
         self._order.remove(k)
 
+    def find(self, workflow_id: str) -> FlowSpec | None:
+        """Lookup by workflow id alone — the broker consumer's view: a
+        TriggerMessage carries only {workflow_id, key, values}
+        (`pkg/spider/workflow.go:83-99` resolves the flow from the
+        message), so the daemon needs the id→spec resolution the
+        reference does storage-side (GetWorkflowByID)."""
+        for (_, wf), spec in self._flows.items():
+            if wf == workflow_id:
+                return spec
+        return None
+
+    def all(self) -> list[FlowSpec]:
+        """Every flow across tenants, creation order — the cron
+        trigger's scan surface (cmd/cron-trigger/main.go:38-47 lists
+        schedule-type flows across the deployment)."""
+        return [self._flows[k] for k in self._order]
+
     def list(self, tenant_id: str, page: int = 1, page_size: int = 20) -> list[FlowSpec]:
         page = max(1, page)                      # pages are 1-based
         page_size = min(max(1, page_size), 100)  # apis/flow.go:113-116

@@ -1,0 +1,177 @@
+"""Continuous daemon mode (flow/daemon.py): the reference's long-lived
+broker-consumer orchestrator (`pkg/spider/workflow.go:62-81`) + cron
+trigger service (`cmd/cron-trigger/main.go:38-66`) as one process — a
+webhook POST alone must make the flow run, schedule flows fire per
+tick, config edits apply to the next message, and poison batches drop
+(at-most-once) without wedging the queue."""
+
+import json
+import threading
+import time
+import urllib.request
+
+import pytest
+
+from spider_ray.flow import FlowDaemon
+
+from test_http_api import BASIC_FLOW, _req
+
+
+def _wait(pred, timeout=30.0, step=0.02):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if pred():
+            return True
+        time.sleep(step)
+    return False
+
+
+@pytest.fixture()
+def daemon():
+    d = FlowDaemon(port=0, poll_interval=0.02,
+                   reconcile_interval=9999).start()  # cron via tick_scheduled
+    yield d
+    d.stop()
+
+
+def _base(d):
+    return f"http://127.0.0.1:{d.address[1]}"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDaemonConsumer:
+    def test_webhook_post_alone_runs_the_flow(self, daemon):
+        base = _base(daemon)
+        code, _ = _req(base, "POST", "/tenants/t1/flows", BASIC_FLOW)
+        assert code == 200
+        for i in range(3):
+            code, r = _req(base, "POST", "/trigger",
+                           {"workflow_id": "wa", "key": "a1",
+                            "value": f"ev-{i}"})
+            assert code == 200 and r["status"] == "sent"
+        assert _wait(lambda: len(daemon.results.get("wa", [])) == 3)
+        leaves = list(daemon.results["wa"])
+        got = sorted(json.loads(r["values"])["value"] for r in leaves)
+        # a1 passes through, a2 appends _updatedx1, a3 appends _updatedx2
+        assert got == [f"ev-{i}_updatedx1_updatedx2" for i in range(3)]
+        assert daemon.counts["leaf"] == 3 and daemon.counts["error"] == 0
+        with daemon.state.lock:  # queue fully acked
+            assert not daemon.state.pending
+
+    def test_config_reconcile_applies_to_next_message(self, daemon):
+        """Disable a node over HTTP between messages: the NEXT dispatch
+        must see it (per-message spec re-read, workflow.go:83-99)."""
+        base = _base(daemon)
+        _req(base, "POST", "/tenants/t1/flows", BASIC_FLOW)
+        _req(base, "POST", "/trigger",
+             {"workflow_id": "wa", "key": "a1", "value": "before"})
+        assert _wait(lambda: len(daemon.results.get("wa", [])) == 1)
+        code, _ = _req(base, "POST",
+                       "/tenants/t1/workflows/wa/actions/a2/disable")
+        assert code == 200
+        _req(base, "POST", "/trigger",
+             {"workflow_id": "wa", "key": "a1", "value": "after"})
+        assert _wait(lambda: daemon.counts["dispatches"] == 2)
+        # post-disable the event dies at a2's own input (workflow.go:
+        # 222-224 drop semantics) -> the second dispatch settles NO leaf
+        vals = [json.loads(r["values"])["value"]
+                for r in daemon.results["wa"]]
+        assert vals == ["before_updatedx1_updatedx2"]
+        assert daemon.counts["leaf"] == 1
+
+    def test_draft_flow_keeps_triggers_until_activated(self, daemon):
+        base = _base(daemon)
+        _req(base, "POST", "/tenants/t1/flows",
+             {**BASIC_FLOW, "status": "draft"})
+        _req(base, "POST", "/trigger",
+             {"workflow_id": "wa", "key": "a1", "value": "queued"})
+        time.sleep(0.3)  # several poll cycles
+        with daemon.state.lock:  # not consumed, not dropped
+            assert len(daemon.state.pending.get("wa", [])) == 1
+        assert daemon.counts["dispatches"] == 0
+        code, _ = _req(base, "PUT", "/tenants/t1/flows/wa",
+                       {"name": "basic", "status": "active"})
+        assert code == 200
+        assert _wait(lambda: len(daemon.results.get("wa", [])) == 1)
+        assert json.loads(daemon.results["wa"][0]["values"])["value"] \
+            == "queued_updatedx1_updatedx2"
+
+    def test_poison_batch_drops_without_wedging(self):
+        """A cyclic flow exceeds max_hops and raises: the batch must be
+        recorded under errors and DROPPED (ack-before-process,
+        messenger_worker_nats.go:108) so later messages still flow."""
+        daemon = FlowDaemon(port=0, poll_interval=0.02,
+                            reconcile_interval=9999, max_hops=4).start()
+        try:
+            self._poison_body(daemon)
+        finally:
+            daemon.stop()
+
+    def _poison_body(self, daemon):
+        base = _base(daemon)
+        cyclic = {
+            "name": "cycle", "id": "wc", "trigger_type": "event",
+            "actions": [{"key": "a1", "action_id": "test-action-a"}],
+            "peers": [{"parent_key": "a1", "meta_output": "triggered",
+                       "child_key": "a1"}],
+        }
+        _req(base, "POST", "/tenants/t1/flows", cyclic)
+        _req(base, "POST", "/trigger",
+             {"workflow_id": "wc", "key": "a1", "value": "poison"})
+        assert _wait(lambda: daemon.errors)
+        assert daemon.errors[0]["workflow_id"] == "wc"
+        with daemon.state.lock:
+            assert not daemon.state.pending.get("wc")
+        # the daemon still serves healthy flows afterwards
+        _req(base, "POST", "/tenants/t1/flows", BASIC_FLOW)
+        _req(base, "POST", "/trigger",
+             {"workflow_id": "wa", "key": "a1", "value": "alive"})
+        assert _wait(lambda: daemon.results.get("wa"))
+
+
+# a schedule flow with FIXED mappers: the cron tick fires the root with
+# empty values "{}" (cron-trigger/main.go:60-65), so expression mappers
+# over trigger fields would $error — the run_scheduled test's shape
+SCHED_FLOW = {
+    "name": "sched", "id": "ws", "trigger_type": "schedule",
+    "actions": [
+        {"key": "cron", "action_id": "test-action-a"},
+        {"key": "b", "action_id": "test-action-b",
+         "mapper": {"value": {"mode": "fixed", "value": "tick"}}},
+    ],
+    "peers": [{"parent_key": "cron", "meta_output": "triggered",
+               "child_key": "b"}],
+}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDaemonCron:
+    def test_tick_fires_schedule_flows_only(self, daemon):
+        base = _base(daemon)
+        _req(base, "POST", "/tenants/t1/flows", SCHED_FLOW)       # fires
+        _req(base, "POST", "/tenants/t1/flows", BASIC_FLOW)       # event: no
+        _req(base, "POST", "/tenants/t1/flows",
+             {**SCHED_FLOW, "id": "wd", "status": "draft"})       # draft: no
+        assert daemon.tick_scheduled() == 1
+        assert daemon.counts["scheduled_runs"] == 1
+        assert len(daemon.results.get("ws", [])) == 1
+        assert json.loads(daemon.results["ws"][0]["values"]) \
+            == {"value": "tick"}
+        assert "wa" not in daemon.results and "wd" not in daemon.results
+        # two ticks = two runs (the 10s ticker re-fires each reconcile)
+        assert daemon.tick_scheduled() == 1
+        assert len(daemon.results["ws"]) == 2
+
+    def test_http_and_scheduled_coexist(self, daemon):
+        """A schedule flow still accepts webhook triggers through the
+        same consumer (the reference runs both trigger services against
+        one orchestrator)."""
+        base = _base(daemon)
+        _req(base, "POST", "/tenants/t1/flows", SCHED_FLOW)
+        daemon.tick_scheduled()
+        _req(base, "POST", "/trigger",
+             {"workflow_id": "ws", "key": "cron", "value": "web"})
+        assert _wait(lambda: len(daemon.results.get("ws", [])) == 2)
+        vals = sorted(json.loads(r["values"])["value"]
+                      for r in daemon.results["ws"])
+        assert vals == ["tick", "tick"]  # b's fixed mapper wins both paths
