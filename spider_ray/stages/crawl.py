@@ -580,6 +580,28 @@ class FetchWorker:
         outcomes = fetched.select(
             ["canonical_url", "host", "priority", "outcome"])
         if not stash_order:
+            # driver epoch: pre-reduce THIS actor's links (max priority
+            # per url — the combiner for the driver's global max) and
+            # hash them here, so the per-actor duplicate mass never
+            # crosses the object store and the driver's serial
+            # links_seen_admit stage keys Arrow int64/string aggregates
+            # over pre-shrunk input instead of re-hashing every row
+            if links.num_rows:
+                agg = pa.TableGroupBy(links, "canonical_url").aggregate(
+                    [("priority", "max")])
+                links = pa.table({
+                    "canonical_url": agg["canonical_url"],
+                    "priority": agg["priority_max"],
+                    "url_hash": pa.array(
+                        hash64_many(agg["canonical_url"].to_pylist()),
+                        pa.int64()),
+                })
+            else:
+                links = pa.table({
+                    "canonical_url": pa.array([], pa.string()),
+                    "priority": pa.array([], pa.float64()),
+                    "url_hash": pa.array([], pa.int64()),
+                })
             return outcomes, links
         # distributed path: hash links actor-side (parallel, overlapped
         # with fetch) so the link-dedup groupby keys on int64 first —
