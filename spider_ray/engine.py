@@ -714,8 +714,14 @@ class CrawlEngine:
             # order is part of the resume/conformance surface
             uniq = uniq.take(pc.sort_indices(uniq["canonical_url"]))
             uniq_tbl = finalize_links(uniq, self.num_parts)
-            mask = checker.check(np.asarray(uniq_tbl["url_hash"]),
-                                 uniq_tbl["canonical_url"])
+            # fused two-phase admission: verdict + insert in one RPC
+            # round to the owning shards (driver path only — the
+            # distributed tail keeps split phases for its crash-replay
+            # protocol).  Resume safety: an epoch that dies after this
+            # call rebuilds shard state from COMMITTED admitted deltas,
+            # so the live actors' extra adds are discarded with them.
+            mask = checker.check_add(np.asarray(uniq_tbl["url_hash"]),
+                                     uniq_tbl["canonical_url"])
             admitted_tbl = uniq_tbl.filter(pa.array(mask))
             n_unique_links = uniq_tbl.num_rows
         else:
@@ -723,8 +729,6 @@ class CrawlEngine:
             n_unique_links = 0
         n_admitted = admitted_tbl.num_rows if admitted_tbl is not None else 0
         if n_admitted:
-            checker.add(np.asarray(admitted_tbl["url_hash"]),
-                        admitted_tbl["canonical_url"])
             pq.write_table(
                 admitted_tbl.append_column(
                     "first_epoch", pa.array([e + 1] * n_admitted, pa.int32())),

@@ -340,6 +340,13 @@ class SeenShardState:
         arr = uh[fresh]
         if not len(arr):
             return 0
+        self._insert(arr, uu[fresh] if uu is not None else None)
+        return len(arr)
+
+    def _insert(self, arr: np.ndarray, uu) -> None:
+        """Unconditional insert of hashes KNOWN to be absent (callers
+        verified via bloom/exact first) — the shared tail of add() and
+        check_add()."""
         self.bloom.add_many(arr)
         failed = self.cuckoo.add_many(arr)
         if failed:
@@ -349,7 +356,7 @@ class SeenShardState:
             if (~tail).any():
                 self.overflow = np.unique(
                     np.concatenate([self.overflow, arr[~tail]]))
-        self.pending.append((arr, uu[fresh] if uu is not None else None))
+        self.pending.append((arr, uu))
         self.pending_count += len(arr)
         self._pending_cat = None
         if (self.pending_count >= self.pending_cap
@@ -359,7 +366,31 @@ class SeenShardState:
             self._merge_pending()
             if self.spill_dir and len(self.mem) > self.mem_capacity:
                 self._spill()
-        return len(arr)
+
+    def check_add(self, hashes: np.ndarray, urls=None) -> np.ndarray:
+        """Fused two-phase admission: the phase-1 verdict (True = new)
+        and the phase-2 insert of exactly the new rows in ONE actor
+        call — one RPC round instead of two per epoch, and the insert
+        skips add()'s redundant re-verification (check just computed
+        it).  Caller contract: rows are unique per (hash, url) within a
+        call (the engine dedups links before admission); a same-url
+        duplicate inside one call would double-insert.  NOT used by the
+        distributed epoch tail, whose crash-replay protocol needs the
+        admitted checkpoint written BETWEEN check and add
+        (engine._admit_frontier_part docstring)."""
+        hashes = np.asarray(hashes, dtype=np.int64)
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        urls_a = _as_url_array(urls, len(hashes))
+        new = self.check(hashes, urls_a)
+        if new.any():
+            arr = hashes[new]
+            uu = urls_a[new] if urls_a is not None else None
+            # sort by hash (add()'s pair-dedup ordering) so pending runs
+            # stay mergesort-friendly and collision pairs stay aligned
+            order = np.argsort(arr, kind="mergesort")
+            self._insert(arr[order], uu[order] if uu is not None else None)
+        return new
 
     def size(self) -> int:
         return (self.pending_count + len(self.mem)
@@ -437,6 +468,21 @@ class SeenChecker:
         futs = [self.shards[j].add.remote(h, u)
                 for j, _, h, u in self._route(hashes, urls)]
         return sum(ray.get(futs))
+
+    def check_add(self, hashes: np.ndarray, urls=None) -> np.ndarray:
+        """Fused admission (see SeenShardState.check_add): one RPC round
+        to the owning shards; returns the row-aligned new mask."""
+        import ray
+
+        hashes = np.asarray(hashes, dtype=np.int64)
+        urls = _as_url_array(urls, len(hashes))
+        out = np.zeros(len(hashes), dtype=bool)
+        parts = list(self._route(hashes, urls))
+        futs = [self.shards[j].check_add.remote(h, u)
+                for j, _, h, u in parts]
+        for (j, idx, _, _), res in zip(parts, ray.get(futs)):
+            out[idx] = res
+        return out
 
     def total(self) -> int:
         import ray
