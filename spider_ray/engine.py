@@ -664,28 +664,32 @@ class CrawlEngine:
         # order (host, -priority, url); seq is a running global counter.
         # Driver-side is fine here: rows are budget-bounded AND below
         # driver_threshold by construction of this path.
-        outcome_map: dict[str, str] = {}
-        for t in ray.get(outcome_refs):
-            outcome_map.update(zip(t["canonical_url"].to_pylist(),
-                                   t["outcome"].to_pylist()))
+        oc = pa.concat_tables(ray.get(outcome_refs)).combine_chunks()
         _mark("fetch_wait_outcomes")
+        # align outcomes to the selected order with one C++ hash lookup
+        # (index_in) — the dict/zip/list-comprehension this replaces was
+        # ~150 ms of serial Python per epoch at a 52k-row budget
+        sel_urls = pa.array(selected["canonical_url"], pa.string())
+        pos = pc.index_in(sel_urls, value_set=oc["canonical_url"])
+        if pos.null_count:
+            raise RuntimeError("fetch actors returned no outcome for "
+                               f"{pos.null_count} selected urls")
+        outcome_col = pc.take(oc["outcome"], pos)
         order = pa.table(
             {
                 "epoch": pa.array(np.full(n_sel, e, np.int32)),
                 "seq": pa.array(self._seq + np.arange(n_sel, dtype=np.int64)),
-                "canonical_url": pa.array(selected["canonical_url"], pa.string()),
+                "canonical_url": sel_urls,
                 "host": pa.array(selected["host"], pa.string()),
                 "priority": pa.array(selected["priority"], pa.float64()),
-                "outcome": pa.array(
-                    [outcome_map[u] for u in selected["canonical_url"]], pa.string()
-                ),
+                "outcome": outcome_col,
             }
         ).cast(_ORDER_SCHEMA)
         self._seq += n_sel
         pq.write_table(order, os.path.join(edir, "order.parquet"))
         counts = {"ok": 0, "miss": 0, "robots": 0}
-        for o in order["outcome"].to_pylist():
-            counts[o] += 1
+        for k, v in zip(*pc.value_counts(order["outcome"]).flatten()):
+            counts[k.as_py()] = int(v.as_py())
 
         _mark("order_write")
 
