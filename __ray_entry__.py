@@ -269,7 +269,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # reported go first — each round's 50-slot window then certifies
     # new ones — with rows-only and already-certified entries after.
     # The grouped literal above stays the readable source of truth;
-    # this list only reorders it.
+    # the ordering below only reorders it.
+    #
+    # The rotation is DYNAMIC from round 4 on: the committed
+    # CORRECTNESS_r*.json reports say which entries the driver has
+    # already certified, so each new round's window picks up exactly
+    # where the last one stopped with no manual re-rotation (the static
+    # list below remains the deterministic fallback order and the
+    # within-group tiebreak).
     first = [
         "mode_event_type_per_user", "funnel_view_click_purchase",
         "rolling_median_user_value", "winsorize_event_value",
@@ -304,9 +311,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_clusters", "pack_documents",
         "ann_topk_quantized", "index_boolean_search",
     ]
-    ordered = {k: out[k] for k in first}
-    ordered.update(out)
-    return ordered
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    reported: set[str] = set()
+    here = _os.path.dirname(_os.path.abspath(__file__))
+    for path in sorted(_glob.glob(_os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                reported |= set(_json.load(f))
+        except Exception:
+            pass  # a malformed report must never break the driver import
+    # deterministic full order: static rotation list first, then the
+    # grouped literal order for everything else
+    base = list(dict.fromkeys(first + list(out)))
+    oracle_backed = set(oracle_sql())
+    fresh = [k for k in base if k in oracle_backed and k not in reported]
+    rest = [k for k in base if k not in fresh]
+    return {k: out[k] for k in fresh + rest}
 
 
 def oracle_sql() -> dict[str, str]:

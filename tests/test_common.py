@@ -175,15 +175,20 @@ class TestFetcherSeam:
                                   out["outcome"].to_pylist()]))
         assert ok["links"][0].as_py() == ["http://a.test/child"]
 
-    def test_http_fetcher_is_a_marked_seam(self):
+    def test_http_fetcher_maps_failures_to_miss(self):
+        """HttpFetcher is a real transport since round 4 (loopback
+        conformance crawl in test_http_fetcher.py); its contract here
+        is the FAILURE mapping — unreachable/refused/unresolvable all
+        yield None so FetchWorker routes them to the `miss` port, never
+        an exception into the epoch loop."""
         import numpy as np
-        import pytest
         from spider_ray.stages.crawl import HttpFetcher
 
-        f = HttpFetcher()
-        assert f.warm(0) == 0
-        with pytest.raises(NotImplementedError):
-            f.fetch_part(0, np.array([1], dtype=np.int64), ["http://x/"])
+        f = HttpFetcher(timeout_s=2.0)
+        assert f.warm(0) == 0  # nothing to preload; pools fill lazily
+        h = np.array([1], dtype=np.int64)
+        assert f.fetch_part(0, h, ["http://127.0.0.1:1/"]) == [None]
+        assert f.fetch_part(0, h, ["http://x.invalid/"]) == [None]
 
 
 class TestTokenHash:
