@@ -65,6 +65,10 @@ def main() -> int:
                     help="per-shard bloom/cuckoo capacity")
     ap.add_argument("--dup-frac", type=float, default=0.3,
                     help="fraction of each batch re-drawn from already-seen keys")
+    ap.add_argument("--fused", action="store_true",
+                    help="use the fused check_add admission (the driver "
+                         "epoch path's protocol) instead of split "
+                         "check/add rounds")
     ap.add_argument("--spill-root", default="/tmp/spider_ray_seenstress")
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
@@ -107,12 +111,20 @@ def main() -> int:
         x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
         x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
         hashes = (x ^ (x >> np.uint64(31))).astype(np.int64)
-        t = time.time()
-        new = checker.check(hashes)
-        t_check += time.time() - t
-        t = time.time()
-        admitted += checker.add(hashes[new])
-        t_add += time.time() - t
+        if args.fused:
+            # the driver epoch path's protocol since round 4: verdict +
+            # insert in ONE RPC round per shard (seen.check_add)
+            t = time.time()
+            new = checker.check_add(hashes)
+            t_check += time.time() - t
+            admitted += int(new.sum())
+        else:
+            t = time.time()
+            new = checker.check(hashes)
+            t_check += time.time() - t
+            t = time.time()
+            admitted += checker.add(hashes[new])
+            t_add += time.time() - t
         streamed += n
         hi_key = next_key
     wall = time.time() - t0
@@ -132,6 +144,7 @@ def main() -> int:
         "admitted": admitted,
         "oracle_distinct": hi_key,
         "exact": bool(admitted == hi_key),
+        "protocol": "fused" if args.fused else "two-phase",
         "urls_per_sec_total": round(streamed / wall, 1),
         "urls_per_sec_check": round(streamed / t_check, 1) if t_check else None,
         "urls_per_sec_add": round(streamed / t_add, 1) if t_add else None,

@@ -372,17 +372,32 @@ class SeenShardState:
         and the phase-2 insert of exactly the new rows in ONE actor
         call — one RPC round instead of two per epoch, and the insert
         skips add()'s redundant re-verification (check just computed
-        it).  Caller contract: rows are unique per (hash, url) within a
-        call (the engine dedups links before admission); a same-url
-        duplicate inside one call would double-insert.  NOT used by the
-        distributed epoch tail, whose crash-replay protocol needs the
-        admitted checkpoint written BETWEEN check and add
+        it).  A (hash, url) duplicated WITHIN one call admits and
+        reports True exactly once — the first occurrence — matching the
+        split protocol's add()-side dedup (the engine passes uniques;
+        stress batches with in-batch recrawl duplicates exposed the
+        earlier report-both behavior as an over-count).  Distinct urls
+        colliding in hash64 both admit (collision support).  NOT used
+        by the distributed epoch tail, whose crash-replay protocol
+        needs the admitted checkpoint written BETWEEN check and add
         (engine._admit_frontier_part docstring)."""
         hashes = np.asarray(hashes, dtype=np.int64)
         if len(hashes) == 0:
             return np.zeros(0, dtype=bool)
         urls_a = _as_url_array(urls, len(hashes))
         new = self.check(hashes, urls_a)
+        if not new.any():
+            return new
+        if urls_a is None:
+            _, first = np.unique(hashes, return_index=True)
+        else:
+            import pandas as pd
+
+            first = np.nonzero(~pd.DataFrame(
+                {"h": hashes, "u": urls_a}).duplicated().to_numpy())[0]
+        keep = np.zeros(len(hashes), dtype=bool)
+        keep[first] = True
+        new &= keep
         if new.any():
             arr = hashes[new]
             uu = urls_a[new] if urls_a is not None else None

@@ -88,6 +88,40 @@ class TestSeenShard:
         other = np.setdiff1d(np.unique(_keys(4_000, seed=10)), keys)
         assert s.check(other).all()       # exact layer resolves fps
 
+    def test_fused_check_add_matches_two_phase(self):
+        """check_add == (check; add of the new subset), including the
+        in-batch duplicate case the 10M-url stress exposed: a hash
+        repeated WITHIN one call admits and reports True exactly once
+        (first occurrence), so sum(mask) == actually-admitted — the
+        split protocol's add()-side dedup semantics."""
+        rng = np.random.default_rng(11)
+        fused = SeenShardState(capacity=4096)
+        split = SeenShardState(capacity=4096)
+        total_f = total_s = 0
+        for _ in range(15):
+            batch = rng.integers(0, 3_000, size=400).astype(np.int64)
+            # in-batch duplicates are frequent at this key range
+            mask = fused.check_add(batch)
+            total_f += int(mask.sum())
+            new = split.check(batch)
+            total_s += split.add(batch[new])
+            # the sets stay identical after every call
+            probe = np.arange(0, 3_000, dtype=np.int64)
+            assert (fused.check(probe) == split.check(probe)).all()
+        assert total_f == total_s == fused.size() == split.size()
+
+    def test_fused_check_add_collision_support(self):
+        """Two distinct urls sharing a hash64 in ONE fused call must
+        BOTH admit (collision layer), while a true (hash, url)
+        duplicate admits once."""
+        s = SeenShardState(capacity=256)
+        h = np.array([42, 42, 42], dtype=np.int64)
+        u = np.array(["http://a/", "http://b/", "http://a/"], dtype=object)
+        mask = s.check_add(h, u)
+        assert mask.tolist() == [True, True, False]
+        # all three rows are now seen
+        assert (~s.check(h, u)).all()
+
     @given(st.lists(st.integers(0, 2**61), max_size=300))
     @settings(max_examples=30, deadline=None)
     def test_property_matches_set(self, xs):
