@@ -332,7 +332,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {k: out[k] for k in fresh + rest}
 
 
+_ORACLE_CACHE: dict[str, str] | None = None
+
+
 def oracle_sql() -> dict[str, str]:
+    # memoized: queries() consults the key set on every call for the
+    # driver-window rotation, and several oracles are GENERATED SQL
+    # (LSH hyperplane / splitmix64 unrolls — thousands of literals)
+    # that would otherwise be rebuilt each time
+    global _ORACLE_CACHE
+    if _ORACLE_CACHE is not None:
+        return dict(_ORACLE_CACHE)
+    _ORACLE_CACHE = _oracle_sql_build()
+    return dict(_ORACLE_CACHE)
+
+
+def _oracle_sql_build() -> dict[str, str]:
     from spider_ray.pipelines import ann as _ann
     from spider_ray.pipelines import dedup as _dedup
     from spider_ray.pipelines.graph import (bfs_oracle_sql,

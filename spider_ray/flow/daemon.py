@@ -38,17 +38,12 @@ the daemon thread only moves queue references and settled-row counts.
 
 from __future__ import annotations
 
-import json
 import threading
 from collections import deque
 
 from .http_api import make_server
 from .runtime import FlowRuntime
-from .spec import FlowStore
-
-
-def _as_json_str(v) -> str:
-    return v if isinstance(v, str) else json.dumps(v or {})
+from .spec import FlowStore, triggers_from_messages
 
 
 class FlowDaemon:
@@ -81,7 +76,9 @@ class FlowDaemon:
         self.max_hops = max_hops
         self.counts: dict[str, int] = {"output": 0, "leaf": 0, "error": 0,
                                        "dispatches": 0, "scheduled_runs": 0}
-        self.errors: list[dict] = []
+        # bounded like results: a continuous poison stream in a process
+        # designed to run until SIGTERM must not leak memory
+        self.errors: deque = deque(maxlen=results_cap)
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
         self._dispatch_lock = threading.Lock()  # one run at a time
@@ -113,30 +110,45 @@ class FlowDaemon:
     # ------------------------------------------------------------ consumer
     def _consume_loop(self) -> None:
         while not self._stop.is_set():
-            if not self.drain_once():
+            try:
+                busy = self.drain_once()
+            except Exception as ex:  # the consumer thread must survive
+                self.errors.append({"workflow_id": None,
+                                    "n_triggers": 0,
+                                    "error": f"consumer: {ex}"})
+                busy = 0
+            if not busy:
                 self._stop.wait(self.poll_interval)
 
     def drain_once(self) -> int:
         """Dispatch every workflow that has queued triggers; returns the
         number of dispatches (0 = queue empty / nothing runnable)."""
         with self.state.lock:
+            # snapshot queues AND resolve specs under the same lock the
+            # HTTP handlers mutate the store with — FlowStore.find
+            # iterates _flows, and an unlocked iteration races a
+            # concurrent flow POST ("dict changed size during
+            # iteration" would kill this consumer thread)
             snapshot = {wf: list(q) for wf, q in self.state.pending.items()
                         if q}
+            specs = {wf: self.store.find(wf) for wf in snapshot}
         dispatched = 0
         for wf_id, queued in snapshot.items():
-            spec = self.store.find(wf_id)  # reconcile: re-read per message
+            spec = specs[wf_id]  # reconcile: re-read per drain
             if spec is None or spec.status != "active":
                 continue  # draft/unknown: leave queued (no consumer bound)
-            triggers = [{"key": m["key"], "meta_output": m["meta_output"],
-                         "values": _as_json_str(m["values"])}
-                        for m in queued]
+            triggers = triggers_from_messages(queued)
             # ack BEFORE process (at-most-once, the reference's delivery
-            # contract) — but only the messages this dispatch took;
-            # concurrently queued ones stay
+            # contract) — by message IDENTITY, so only the exact
+            # messages this dispatch took are dropped even if another
+            # consumer (the synchronous /run endpoint) raced this drain
+            taken = {id(m) for m in queued}
             with self.state.lock:
-                rest = self.state.pending.get(wf_id, [])
-                self.state.pending[wf_id] = rest[len(queued):]
-                if not self.state.pending[wf_id]:
+                rest = [m for m in self.state.pending.get(wf_id, [])
+                        if id(m) not in taken]
+                if rest:
+                    self.state.pending[wf_id] = rest
+                else:
                     self.state.pending.pop(wf_id, None)
             self._dispatch(spec, wf_id, triggers)
             dispatched += 1

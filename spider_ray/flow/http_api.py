@@ -39,7 +39,8 @@ import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlsplit
 
-from .spec import Action, FlowSpec, FlowStore, Mapper, Peer
+from .spec import (Action, FlowSpec, FlowStore, Mapper, Peer,
+                   triggers_from_messages)
 
 
 def spec_to_json(spec: FlowSpec) -> dict:
@@ -296,15 +297,8 @@ class _Handler(BaseHTTPRequestHandler):
             spec = self.state.store.get(tenant_id, flow_id)
             queued = list(self.state.pending.get(flow_id, []))
 
-        def as_json_str(v) -> str:
-            return v if isinstance(v, str) else json.dumps(v or {})
-
-        triggers = [{"key": m["key"], "meta_output": m["meta_output"],
-                     "values": as_json_str(m["values"])} for m in queued]
-        triggers += [{"key": t["key"],
-                      "meta_output": t.get("meta_output", "triggered"),
-                      "values": as_json_str(t.get("values"))}
-                     for t in p.get("triggers", [])]
+        triggers = triggers_from_messages(queued)
+        triggers += triggers_from_messages(p.get("triggers", []))
         if not triggers:
             self._json(400, {"error": "no triggers queued or provided"})
             return
@@ -314,11 +308,17 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(400, {"error": str(ex)})  # queued triggers kept
             return
         with self.state.lock:
-            # ack: drop exactly what this run consumed (new triggers may
-            # have been queued concurrently — keep those)
-            rest = self.state.pending.get(flow_id, [])
-            self.state.pending[flow_id] = rest[len(queued):]
-            if not self.state.pending[flow_id]:
+            # ack by IDENTITY: drop exactly the messages this run
+            # consumed.  A positional pop (rest[len(queued):]) is wrong
+            # when another consumer exists — the FlowDaemon may have
+            # drained some of `queued` concurrently, and a front-slice
+            # would then discard later messages that were never run.
+            taken = {id(m) for m in queued}
+            rest = [m for m in self.state.pending.get(flow_id, [])
+                    if id(m) not in taken]
+            if rest:
+                self.state.pending[flow_id] = rest
+            else:
                 self.state.pending.pop(flow_id, None)
         self._json(200, {"counts": {k: len(v) for k, v in result.items()},
                          "leaves": result["leaves"],

@@ -34,6 +34,22 @@ class Mapper:
             raise ValueError(f"bad mapper mode {self.mode!r}")
 
 
+def triggers_from_messages(msgs) -> list[dict]:
+    """Queued TriggerMessage dicts -> FlowRuntime trigger rows.
+
+    ONE home for the values-encoding rule (non-str payloads are JSON-
+    encoded, empty -> "{}"), shared by the synchronous /run endpoint and
+    the daemon's continuous consumer so the two delivery paths can never
+    diverge on trigger shape (`pkg/spider/workflow.go:83-99` builds the
+    same struct from the broker message)."""
+    def _s(v):
+        return v if isinstance(v, str) else json.dumps(v or {})
+
+    return [{"key": m["key"],
+             "meta_output": m.get("meta_output", "triggered"),
+             "values": _s(m.get("values"))} for m in msgs]
+
+
 def parse_bang_mapper(mapping: dict[str, str]) -> dict[str, "Mapper"]:
     """The '!'-prefix mapper convention from the reference's standalone
     expression demo (`examples/expression/main.go:102-119` ex()): empty

@@ -1898,10 +1898,20 @@ def skew_join(left_ds, right_ds, left_key: str, right_key: str,
     # split moot — EVERY key rides the map-side join, no frequency pass
     # and no shuffle at all.  The split machinery below is the scale
     # path (dim > gate) and stays pinned by the forced-path tests.
-    if force is None and right_ds.count() <= 2_000_000:
-        rt = pa.concat_tables(
-            [t for t in ray.get(list(right_ds.to_arrow_refs()))
-             if t.num_rows]).combine_chunks()
+    right_bytes = right_ds.size_bytes() or 0
+    if (force is None and right_ds.count() <= 2_000_000
+            and right_bytes <= 256 * 1024 * 1024):
+        # the row gate alone would let a 2M-row WIDE dim table onto the
+        # driver; the byte gate (Ray's block-size estimate) keeps the
+        # pull bounded — anything bigger takes the hot/cold split below
+        all_tbls = ray.get(list(right_ds.to_arrow_refs()))
+        tbls = [t for t in all_tbls if t.num_rows] or all_tbls[:1]
+        if tbls:
+            rt = pa.concat_tables(tbls).combine_chunks()
+        else:  # dataset with zero blocks: rebuild schema-only table
+            sch = right_ds.schema()
+            rt = pa.table({n: pa.array([], t)
+                           for n, t in zip(sch.names, sch.types)})
         rk = np.asarray(rt[right_key], dtype=np.int64)
         if len(np.unique(rk)) != len(rk):
             raise ValueError(

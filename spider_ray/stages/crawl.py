@@ -332,8 +332,21 @@ class HttpFetcher:
         import http.client
         import urllib.parse
 
-        p = urllib.parse.urlsplit(url)
-        if self.proxy:
+        try:
+            p = urllib.parse.urlsplit(url)
+            https = p.scheme == "https"
+            if not p.hostname:  # malformed/relative url -> per-row miss
+                return None
+        except ValueError:
+            return None
+        if self.proxy and https:
+            # https through a forward proxy = CONNECT tunnel (a
+            # plaintext absolute-URI GET would be rejected by any
+            # standards-compliant proxy); pool per target host so
+            # tunnels aren't cross-wired between hosts
+            key = (self.proxy, p.hostname, p.port)
+            target = (p.path or "/") + (f"?{p.query}" if p.query else "")
+        elif self.proxy:
             key = self.proxy
             target = url  # absolute-URI request line (proxy semantics)
         else:
@@ -341,13 +354,15 @@ class HttpFetcher:
             target = (p.path or "/") + (f"?{p.query}" if p.query else "")
         conn = self._conns.pop(key, None)
         for _attempt in range(2):  # retry once on a stale kept-alive conn
-            if conn is None:
-                host, port = (self.proxy if self.proxy
-                              else (p.hostname, p.port))
-                cls = (http.client.HTTPSConnection if p.scheme == "https"
-                       and not self.proxy else http.client.HTTPConnection)
-                conn = cls(host, port, timeout=self.timeout_s)
             try:
+                if conn is None:
+                    host, port = (self.proxy if self.proxy
+                                  else (p.hostname, p.port))
+                    cls = (http.client.HTTPSConnection if https
+                           else http.client.HTTPConnection)
+                    conn = cls(host, port, timeout=self.timeout_s)
+                    if self.proxy and https:
+                        conn.set_tunnel(p.hostname, p.port or 443)
                 conn.request("GET", target,
                              headers={"User-Agent": self.user_agent,
                                       "Host": p.netloc})
@@ -357,7 +372,8 @@ class HttpFetcher:
                 return body if r.status == 200 else None
             except Exception:
                 try:
-                    conn.close()
+                    if conn is not None:
+                        conn.close()
                 except Exception:
                     pass
                 conn = None

@@ -2,6 +2,7 @@
 
 import json
 import os
+import time
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -163,3 +164,127 @@ def test_flowstore_page_clamp():
         store.create(FlowSpec(tenant_id="t", workflow_id=f"w{i}"))
     assert store.list("t", page=0) == store.list("t", page=1)
     assert store.list("t", page=-3) == store.list("t", page=1)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_skew_join_empty_right_side():
+    """Round-4 review: the small-dim broadcast fast path crashed on a
+    fully-empty right side (pa.concat_tables([]) raises); it must
+    produce the correct EMPTY inner join instead, like the shuffle
+    branch always did."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from spider_ray.pipelines.relational import skew_join
+
+    left = rd.from_arrow(pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                                   "v": [1.0, 2.0, 3.0]}))
+    right = rd.from_arrow(pa.table({"k": pa.array([], pa.int64()),
+                                    "w": pa.array([], pa.string())}))
+    assert skew_join(left, right, "k", "k", 2).count() == 0
+
+
+def test_http_fetcher_https_proxy_uses_connect_tunnel(monkeypatch):
+    """Round-4 review: https through a forward proxy must CONNECT-
+    tunnel (plaintext absolute-URI GETs are rejected by compliant
+    proxies).  Pin the construction: HTTPSConnection to the PROXY with
+    set_tunnel(target-host, 443)."""
+    import http.client
+
+    from spider_ray.stages import crawl as crawl_mod
+
+    calls = {}
+
+    class FakeHTTPS:
+        def __init__(self, host, port, timeout=None):
+            calls["conn"] = (host, port)
+
+        def set_tunnel(self, host, port):
+            calls["tunnel"] = (host, port)
+
+        def request(self, *a, **k):
+            raise OSError("stop here")  # end the attempt after setup
+
+        def close(self):
+            pass
+
+    monkeypatch.setattr(http.client, "HTTPSConnection", FakeHTTPS)
+    f = crawl_mod.HttpFetcher(proxy=("proxy.local", 3128), timeout_s=1.0)
+    assert f._get("https://example.test/page") is None  # both attempts miss
+    assert calls["conn"] == ("proxy.local", 3128)
+    assert calls["tunnel"] == ("example.test", 443)
+
+
+def test_http_fetcher_malformed_url_is_a_row_miss():
+    """Round-4 review: a hostname-less url (mailto:, scheme garbage)
+    must map to None, not raise out of fetch_part and kill the
+    partition task."""
+    import numpy as np
+
+    from spider_ray.stages.crawl import HttpFetcher
+
+    f = HttpFetcher(timeout_s=1.0)
+    h = np.array([1, 2, 3], dtype=np.int64)
+    out = f.fetch_part(0, h, ["mailto:x@y", "nonsense", "http:///nohost"])
+    assert out == [None, None, None]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_daemon_survives_concurrent_flow_creation():
+    """Round-4 review: FlowStore.find must run under the api lock — an
+    unlocked iteration while HTTP handlers insert flows raced with
+    'dict changed size during iteration' and silently killed the
+    consumer thread.  Hammer creation while triggers drain."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    from spider_ray.flow import FlowDaemon
+
+    d = FlowDaemon(port=0, poll_interval=0.001,
+                   reconcile_interval=9999).start()
+    try:
+        base = f"http://127.0.0.1:{d.address[1]}"
+
+        def req(method, path, body):
+            r = urllib.request.Request(
+                base + path, data=_json.dumps(body).encode(), method=method)
+            urllib.request.urlopen(r, timeout=30).read()
+
+        # two nodes: the trigger node dispatches to children, so a
+        # single-node flow settles nothing — the leaf comes from a2
+        flow = {"name": "b", "id": "wa", "trigger_type": "event",
+                "actions": [{"key": "a1", "action_id": "test-action-a"},
+                            {"key": "a2", "action_id": "test-action-b"}],
+                "peers": [{"parent_key": "a1", "meta_output": "triggered",
+                           "child_key": "a2"}]}
+        req("POST", "/tenants/t1/flows", flow)
+
+        stop = threading.Event()
+
+        def churn():
+            i = 0
+            while not stop.is_set():
+                req("POST", "/tenants/t1/flows",
+                    {**flow, "id": f"w{i}", "name": f"f{i}"})
+                i += 1
+
+        t = threading.Thread(target=churn, daemon=True)
+        t.start()
+        try:
+            for i in range(8):
+                req("POST", "/trigger",
+                    {"workflow_id": "wa", "key": "a1", "value": f"e{i}"})
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                if len(d.results.get("wa", [])) == 8:
+                    break
+                time.sleep(0.02)
+        finally:
+            stop.set()
+            t.join(timeout=10)
+        assert len(d.results.get("wa", [])) == 8
+        assert not any(e.get("workflow_id") is None for e in d.errors), \
+            list(d.errors)
+    finally:
+        d.stop()
