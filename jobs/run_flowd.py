@@ -43,6 +43,11 @@ def main() -> int:
     ap.add_argument("--reconcile-interval", type=float, default=10.0,
                     help="cron tick / schedule-flow reconcile period (s) "
                          "— the reference's 10 s ticker")
+    ap.add_argument("--state-dir", default=None,
+                    help="durable state: flows snapshot + trigger journal "
+                         "+ ack journal; a restart with the same dir keeps "
+                         "every flow and replays unconsumed triggers (the "
+                         "reference's Mongo + JetStream durability)")
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
                     help="local mode only; ignored on a cluster")
@@ -63,7 +68,8 @@ def main() -> int:
 
     d = FlowDaemon(host=args.host, port=args.port,
                    poll_interval=args.poll_interval,
-                   reconcile_interval=args.reconcile_interval).start()
+                   reconcile_interval=args.reconcile_interval,
+                   state_dir=args.state_dir).start()
     host, port = d.address
     print(json.dumps({"status": "serving", "host": host, "port": port}),
           flush=True)

@@ -38,6 +38,8 @@ the daemon thread only moves queue references and settled-row counts.
 
 from __future__ import annotations
 
+import json
+import os
 import threading
 from collections import deque
 
@@ -65,7 +67,8 @@ class FlowDaemon:
                  host: str = "127.0.0.1", port: int = 0,
                  poll_interval: float = 0.05,
                  reconcile_interval: float = 10.0,
-                 results_cap: int = 1000, max_hops: int = 32):
+                 results_cap: int = 1000, max_hops: int = 32,
+                 state_dir: str | None = None):
         self.srv = make_server(store, host, port)
         self.state = self.srv.api_state  # type: ignore[attr-defined]
         self.store: FlowStore = self.state.store
@@ -82,6 +85,20 @@ class FlowDaemon:
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
         self._dispatch_lock = threading.Lock()  # one run at a time
+        # ---- durability (the reference persists flows in Mongo and
+        # trigger messages in JetStream; state_dir is that surface) ----
+        self.state_dir = state_dir
+        self._trig_f = self._ack_f = None
+        if state_dir:
+            os.makedirs(state_dir, exist_ok=True)
+            self._load_state()
+            self._trig_f = open(os.path.join(state_dir, "triggers.jsonl"),
+                                "a", buffering=1)
+            self._ack_f = open(os.path.join(state_dir, "acks.jsonl"),
+                               "a", buffering=1)
+            self.state.on_store_change = self._snapshot_flows
+            self.state.on_trigger = self._journal_trigger
+            self.state.on_consume = self._journal_ack
 
     # ------------------------------------------------------------- control
     @property
@@ -106,6 +123,73 @@ class FlowDaemon:
         for t in self._threads[1:]:  # http thread exits with shutdown()
             t.join(timeout=30)
         self.srv.server_close()
+        for f in (self._trig_f, self._ack_f):
+            if f is not None:
+                f.close()
+
+    # ---------------------------------------------------------- durability
+    def _snapshot_flows(self) -> None:
+        """Atomic full snapshot of every flow (F4 doc format, the same
+        shape FlowSpec.from_json parses).  Flows are tiny control-plane
+        data — snapshot-per-mutation like the reference's Mongo save."""
+        from .http_api import spec_to_json
+
+        with self.state.lock:
+            docs = []
+            for spec in self.store.all():
+                j = spec_to_json(spec)
+                docs.append({"tenant_id": spec.tenant_id,
+                             "flow": {k: j[k] for k in
+                                      ("id", "name", "trigger_type",
+                                       "status", "version")},
+                             "actions": j["actions"], "peers": j["peers"]})
+        path = os.path.join(self.state_dir, "flows.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(docs, f)
+        os.replace(tmp, path)
+
+    def _journal_trigger(self, msg: dict) -> None:
+        self._trig_f.write(json.dumps(msg) + "\n")
+
+    def _journal_ack(self, msgs: list[dict]) -> None:
+        ids = [m["msg_id"] for m in msgs if m.get("msg_id") is not None]
+        if ids:
+            self._ack_f.write(json.dumps(ids) + "\n")
+
+    def _load_state(self) -> None:
+        """Rebuild flows + unconsumed trigger queue from state_dir: the
+        broker-durability contract — a daemon restart keeps every flow
+        and replays exactly the messages no consumer acked (ack records
+        are written at take time, so at-most-once is preserved across
+        the restart boundary too)."""
+        from .spec import FlowSpec
+
+        fpath = os.path.join(self.state_dir, "flows.json")
+        if os.path.exists(fpath):
+            with open(fpath) as f:
+                for doc in json.load(f):
+                    self.store.create(FlowSpec.from_json(doc))
+        acked: set[int] = set()
+        apath = os.path.join(self.state_dir, "acks.jsonl")
+        if os.path.exists(apath):
+            with open(apath) as f:
+                for line in f:
+                    if line.strip():
+                        acked.update(json.loads(line))
+        tpath = os.path.join(self.state_dir, "triggers.jsonl")
+        hi = 0
+        if os.path.exists(tpath):
+            with open(tpath) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    msg = json.loads(line)
+                    hi = max(hi, int(msg.get("msg_id") or 0))
+                    if msg.get("msg_id") not in acked:
+                        self.state.pending.setdefault(
+                            msg["workflow_id"], []).append(msg)
+        self.state.msg_seq = hi  # new messages keep globally unique ids
 
     # ------------------------------------------------------------ consumer
     def _consume_loop(self) -> None:
@@ -150,6 +234,8 @@ class FlowDaemon:
                     self.state.pending[wf_id] = rest
                 else:
                     self.state.pending.pop(wf_id, None)
+                if self.state.on_consume:  # durable ack at take time
+                    self.state.on_consume(queued)
             self._dispatch(spec, wf_id, triggers)
             dispatched += 1
         return dispatched

@@ -98,6 +98,16 @@ class _ApiState:
         # webhook publishes TriggerMessage{WorkflowID, Key, Values,
         # MetaOutput:"triggered"} to the broker)
         self.pending: dict[str, list[dict]] = {}
+        # durability hooks (set by FlowDaemon when state_dir is on —
+        # the reference persists flows in Mongo and messages in
+        # JetStream; these are that surface):
+        #   on_store_change()        after any flow/action mutation
+        #   on_trigger(msg)          after a trigger message enqueues
+        #   on_consume(msgs)         after a consumer takes messages
+        self.on_store_change = None
+        self.on_trigger = None
+        self.on_consume = None
+        self.msg_seq = 0  # stamped into messages as msg_id (ack identity)
 
 
 _ROUTES = [
@@ -158,6 +168,12 @@ class _Handler(BaseHTTPRequestHandler):
                     self._json(404, {"error": "not found"})
                 except (ValueError, json.JSONDecodeError) as ex:
                     self._json(400, {"error": str(ex)})
+                if (verb != "GET" and self.state.on_store_change
+                        and name not in ("webhook_trigger", "run_flow")):
+                    # flow/action mutation -> durable snapshot (tiny
+                    # control-plane data; snapshot-per-change, atomic
+                    # rename — the reference saves per mutation too)
+                    self.state.on_store_change()
                 return
         self._json(404, {"error": "no route"})
 
@@ -279,7 +295,11 @@ class _Handler(BaseHTTPRequestHandler):
             "values": {"value": p.get("value")},
         }
         with self.state.lock:
+            self.state.msg_seq += 1
+            msg["msg_id"] = self.state.msg_seq
             self.state.pending.setdefault(msg["workflow_id"], []).append(msg)
+            if self.state.on_trigger:  # journal inside the lock: the
+                self.state.on_trigger(msg)  # log order IS queue order
         self._json(200, {"status": "sent"})
 
     def run_flow(self, tenant_id: str, flow_id: str, query=None):
@@ -320,6 +340,8 @@ class _Handler(BaseHTTPRequestHandler):
                 self.state.pending[flow_id] = rest
             else:
                 self.state.pending.pop(flow_id, None)
+            if self.state.on_consume:  # durable ack (journal replay skip)
+                self.state.on_consume(queued)
         self._json(200, {"counts": {k: len(v) for k, v in result.items()},
                          "leaves": result["leaves"],
                          "errors": result["errors"]})

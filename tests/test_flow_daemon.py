@@ -175,3 +175,85 @@ class TestDaemonCron:
         vals = sorted(json.loads(r["values"])["value"]
                       for r in daemon.results["ws"])
         assert vals == ["tick", "tick"]  # b's fixed mapper wins both paths
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDaemonDurability:
+    """state_dir: flows snapshot + trigger journal + ack journal — the
+    reference's Mongo-flows + JetStream-messages durability.  A daemon
+    restart on the same dir keeps every flow and replays exactly the
+    unconsumed messages (ack-at-take, so at-most-once holds across the
+    restart boundary)."""
+
+    def test_restart_keeps_flows_and_replays_unconsumed(self, tmp_path):
+        sd = str(tmp_path / "flowd-state")
+        # phase 1: queue triggers with the consumer effectively OFF
+        # (huge poll interval), so nothing is acked before the "crash"
+        d1 = FlowDaemon(port=0, poll_interval=9999,
+                        reconcile_interval=9999, state_dir=sd).start()
+        try:
+            base = _base(d1)
+            code, _ = _req(base, "POST", "/tenants/t1/flows", BASIC_FLOW)
+            assert code == 200
+            for i in range(3):
+                _req(base, "POST", "/trigger",
+                     {"workflow_id": "wa", "key": "a1", "value": f"r-{i}"})
+        finally:
+            d1.stop()  # hard stop with 3 unconsumed messages journaled
+
+        # phase 2: a NEW daemon on the same dir — flow present, the 3
+        # messages replay, and the flow runs to its leaves
+        d2 = FlowDaemon(port=0, poll_interval=0.02,
+                        reconcile_interval=9999, state_dir=sd).start()
+        try:
+            base = _base(d2)
+            code, listing = _req(base, "GET", "/tenants/t1/flows")
+            assert code == 200
+            assert [f["id"] for f in listing["flows"]] == ["wa"]
+            assert _wait(lambda: len(d2.results.get("wa", [])) == 3)
+            got = sorted(json.loads(r["values"])["value"]
+                         for r in d2.results["wa"])
+            assert got == [f"r-{i}_updatedx1_updatedx2" for i in range(3)]
+        finally:
+            d2.stop()
+
+        # phase 3: consumed messages were acked — a third daemon must
+        # NOT replay them (at-most-once across restarts)
+        d3 = FlowDaemon(port=0, poll_interval=0.02,
+                        reconcile_interval=9999, state_dir=sd).start()
+        try:
+            time.sleep(0.3)
+            with d3.state.lock:
+                assert not d3.state.pending
+            assert d3.counts["dispatches"] == 0
+        finally:
+            d3.stop()
+
+    def test_mutations_survive_restart(self, tmp_path):
+        sd = str(tmp_path / "flowd-state2")
+        d1 = FlowDaemon(port=0, poll_interval=9999,
+                        reconcile_interval=9999, state_dir=sd).start()
+        try:
+            base = _base(d1)
+            _req(base, "POST", "/tenants/t1/flows", BASIC_FLOW)
+            code, _ = _req(base, "POST",
+                           "/tenants/t1/workflows/wa/actions/a2/disable")
+            assert code == 200
+        finally:
+            d1.stop()
+        d2 = FlowDaemon(port=0, poll_interval=0.02,
+                        reconcile_interval=9999, state_dir=sd).start()
+        try:
+            base = _base(d2)
+            code, flow = _req(base, "GET", "/tenants/t1/flows/wa")
+            assert code == 200
+            a2 = next(a for a in flow["actions"] if a["key"] == "a2")
+            assert a2["disabled"] is True
+            assert flow["version"] >= 2  # the bump persisted too
+            # and the disabled node still drops events post-restart
+            _req(base, "POST", "/trigger",
+                 {"workflow_id": "wa", "key": "a1", "value": "x"})
+            assert _wait(lambda: d2.counts["dispatches"] == 1)
+            assert len(d2.results.get("wa", [])) == 0  # died at a2
+        finally:
+            d2.stop()
