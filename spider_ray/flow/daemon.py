@@ -123,6 +123,13 @@ class FlowDaemon:
         for t in self._threads[1:]:  # http thread exits with shutdown()
             t.join(timeout=30)
         self.srv.server_close()
+        if self.state_dir:
+            # final snapshot: the per-mutation snapshot hook runs AFTER
+            # the HTTP response is sent, so a stop() racing the last
+            # mutation's handler thread could otherwise persist a stale
+            # store (journals don't race — they write under the lock
+            # before the response)
+            self._snapshot_flows()
         for f in (self._trig_f, self._ack_f):
             if f is not None:
                 f.close()

@@ -319,10 +319,18 @@ class HttpFetcher:
 
     def __init__(self, user_agent: str = "spider-ray/1.0",
                  timeout_s: float = 10.0,
-                 proxy: tuple[str, int] | None = None):
+                 proxy: tuple[str, int] | None = None,
+                 tunnel_https: bool = True):
         self.user_agent = user_agent
         self.timeout_s = timeout_s
         self.proxy = tuple(proxy) if proxy else None
+        # tunnel_https=True (default): https through the proxy uses a
+        # CONNECT tunnel — what every standards-compliant forward proxy
+        # requires.  False = send https as plaintext absolute-URI GETs,
+        # the TLS-terminating lab-proxy mode the loopback conformance
+        # server speaks (a plain HTTP server can then serve a
+        # mixed-scheme corpus from one socket without certificates).
+        self.tunnel_https = tunnel_https
         self._conns: dict = {}
 
     def warm(self, part: int) -> int:
@@ -339,7 +347,8 @@ class HttpFetcher:
                 return None
         except ValueError:
             return None
-        if self.proxy and https:
+        tunnel = self.proxy is not None and https and self.tunnel_https
+        if tunnel:
             # https through a forward proxy = CONNECT tunnel (a
             # plaintext absolute-URI GET would be rejected by any
             # standards-compliant proxy); pool per target host so
@@ -358,10 +367,13 @@ class HttpFetcher:
                 if conn is None:
                     host, port = (self.proxy if self.proxy
                                   else (p.hostname, p.port))
-                    cls = (http.client.HTTPSConnection if https
+                    # TLS only end-to-end (direct https) or through a
+                    # CONNECT tunnel; proxied-plaintext mode stays HTTP
+                    cls = (http.client.HTTPSConnection
+                           if https and (tunnel or not self.proxy)
                            else http.client.HTTPConnection)
                     conn = cls(host, port, timeout=self.timeout_s)
-                    if self.proxy and https:
+                    if tunnel:
                         conn.set_tunnel(p.hostname, p.port or 443)
                 conn.request("GET", target,
                              headers={"User-Agent": self.user_agent,

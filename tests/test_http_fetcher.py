@@ -88,8 +88,13 @@ def test_engine_over_http_matches_oracle(smoke_fixture, tmp_path):
         eng = CrawlEngine(
             smoke_fixture["pages"], pol, str(tmp_path / "ckpt_http"),
             num_parts=8, seen_shards=4, fetch_concurrency=2,
+            # tunnel_https=False: the loopback server is a
+            # TLS-terminating lab proxy — it serves the corpus's https
+            # urls as plaintext absolute-URI GETs (no certificates in
+            # the sandbox); real proxies get the default CONNECT tunnel
             fetcher_factory=partial(HttpFetcher, timeout_s=10.0,
-                                    proxy=("127.0.0.1", port)))
+                                    proxy=("127.0.0.1", port),
+                                    tunnel_https=False))
         manifest = eng.run(seeds=seeds)
         assert manifest["done"]
         assert eng.seen_table().equals(oracle_res.seen_table())
