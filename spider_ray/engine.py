@@ -465,15 +465,21 @@ class CrawlEngine:
             build_pages_index(self.pages_path, self.index_dir, self.num_parts)
             self._init_shards()
             self._init_fetch_pool()
-            # rebuild seen shards from admitted deltas (epoch-atomic)
+            # rebuild seen shards from admitted deltas (epoch-atomic),
+            # SHARD-SIDE: each shard actor reads the delta files itself
+            # and keeps its hash-residue class, so the rebuild is S-way
+            # parallel and no url row ever crosses the driver (the old
+            # driver-routed add loop was ~300k urls/s total — hours at
+            # the 10^10-URL frontier this engine is sized for)
+            import ray
+
+            files: list[str] = []
             for e in range(-1, manifest["next_epoch"]):
-                files = self._parquet_files(os.path.join(self._epoch_dir(e), "admitted"))
-                if files:
-                    t = pq.read_table(files,
-                                      columns=["url_hash", "canonical_url"])
-                    if t.num_rows:
-                        self._checker.add(np.asarray(t["url_hash"]),
-                                          t["canonical_url"])
+                files += self._parquet_files(
+                    os.path.join(self._epoch_dir(e), "admitted"))
+            if files:
+                ray.get([s.ingest_files.remote(files, i, self.num_shards)
+                         for i, s in enumerate(self._checker.shards)])
         self._seq = manifest["next_seq"]
         return manifest
 
