@@ -428,9 +428,15 @@ class SeenShardState:
             h = np.asarray(t["url_hash"], dtype=np.int64)
             m = (h % num_shards) == shard_id
             if m.any():
-                urls = np.asarray(t["canonical_url"].to_pylist(),
-                                  dtype=object)[m]
-                total += self.add(h[m], urls)
+                # Arrow-filter BEFORE touching Python objects: only this
+                # shard's 1/S of the rows become url strings (the full
+                # to_pylist cost across S shards would re-materialize
+                # the whole delta set S times)
+                sub = t.filter(pa.array(m))
+                urls = np.asarray(sub["canonical_url"].to_pylist(),
+                                  dtype=object)
+                total += self.add(np.asarray(sub["url_hash"],
+                                             dtype=np.int64), urls)
         return total
 
     def size(self) -> int:
