@@ -85,6 +85,12 @@ class FlowDaemon:
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
         self._dispatch_lock = threading.Lock()  # one run at a time
+        # serializes snapshot writers: the per-mutation hook fires on
+        # the HTTP handler thread AFTER the response is sent, so a
+        # stop() (or a second mutation) can call _snapshot_flows
+        # concurrently — both write the same flows.json.tmp and an
+        # interleaved write corrupts the snapshot a restart then loads
+        self._snap_lock = threading.Lock()
         # ---- durability (the reference persists flows in Mongo and
         # trigger messages in JetStream; state_dir is that surface) ----
         self.state_dir = state_dir
@@ -130,9 +136,13 @@ class FlowDaemon:
             # store (journals don't race — they write under the lock
             # before the response)
             self._snapshot_flows()
-        for f in (self._trig_f, self._ack_f):
-            if f is not None:
-                f.close()
+        # journal writes happen under state.lock (before the response);
+        # closing under the same lock means a late in-flight handler
+        # can't hit a closed file
+        with self.state.lock:
+            for f in (self._trig_f, self._ack_f):
+                if f is not None:
+                    f.close()
 
     # ---------------------------------------------------------- durability
     def _snapshot_flows(self) -> None:
@@ -141,27 +151,37 @@ class FlowDaemon:
         data — snapshot-per-mutation like the reference's Mongo save."""
         from .http_api import spec_to_json
 
-        with self.state.lock:
-            docs = []
-            for spec in self.store.all():
-                j = spec_to_json(spec)
-                docs.append({"tenant_id": spec.tenant_id,
-                             "flow": {k: j[k] for k in
-                                      ("id", "name", "trigger_type",
-                                       "status", "version")},
-                             "actions": j["actions"], "peers": j["peers"]})
-        path = os.path.join(self.state_dir, "flows.json")
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(docs, f)
-        os.replace(tmp, path)
+        # _snap_lock covers read AND write: serializing only the file
+        # write would let a writer holding a stale store read overwrite
+        # a newer snapshot (lock order: _snap_lock -> state.lock; no
+        # path takes them in the other order)
+        with self._snap_lock:
+            with self.state.lock:
+                docs = []
+                for spec in self.store.all():
+                    j = spec_to_json(spec)
+                    docs.append({"tenant_id": spec.tenant_id,
+                                 "flow": {k: j[k] for k in
+                                          ("id", "name", "trigger_type",
+                                           "status", "version")},
+                                 "actions": j["actions"], "peers": j["peers"]})
+            path = os.path.join(self.state_dir, "flows.json")
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(docs, f)
+            os.replace(tmp, path)
 
     def _journal_trigger(self, msg: dict) -> None:
-        self._trig_f.write(json.dumps(msg) + "\n")
+        # closed-file guard: shutdown() does not join in-flight handler
+        # threads, so a request racing stop() may journal after close —
+        # dropping its record is fine (the daemon is stopping; the
+        # message won't be consumed either, so at-most-once holds)
+        if self._trig_f is not None and not self._trig_f.closed:
+            self._trig_f.write(json.dumps(msg) + "\n")
 
     def _journal_ack(self, msgs: list[dict]) -> None:
         ids = [m["msg_id"] for m in msgs if m.get("msg_id") is not None]
-        if ids:
+        if ids and self._ack_f is not None and not self._ack_f.closed:
             self._ack_f.write(json.dumps(ids) + "\n")
 
     def _load_state(self) -> None:

@@ -257,3 +257,64 @@ class TestDaemonDurability:
             assert len(d2.results.get("wa", [])) == 0  # died at a2
         finally:
             d2.stop()
+
+    def test_snapshot_survives_concurrent_mutations_and_stop(self, tmp_path):
+        """Regression: the per-mutation snapshot hook fires on the HTTP
+        handler thread AFTER the response is sent, so mutations racing
+        each other — and stop()'s final snapshot racing the last
+        mutation's hook — used to interleave writes into the same
+        flows.json.tmp and could corrupt the snapshot a restart loads.
+        Hammer concurrent mutations, stop mid-flight, and require the
+        reloaded state to be valid and final."""
+        sd = str(tmp_path / "flowd-state3")
+        d1 = FlowDaemon(port=0, poll_interval=9999,
+                        reconcile_interval=9999, state_dir=sd).start()
+        base = _base(d1)
+        _req(base, "POST", "/tenants/t1/flows", BASIC_FLOW)
+
+        stop_err = []
+
+        def flip(i):
+            try:
+                for k in range(8):
+                    if (i + k) % 2 == 0:
+                        code, _ = _req(
+                            base, "POST",
+                            "/tenants/t1/workflows/wa/actions/a2/disable")
+                    else:  # re-enable = PUT {"disabled": false}
+                        code, _ = _req(
+                            base, "PUT",
+                            "/tenants/t1/workflows/wa/actions/a2",
+                            {"disabled": False})
+                    assert code == 200, code
+            except Exception as ex:  # server may be stopping under us
+                stop_err.append(ex)
+
+        threads = [threading.Thread(target=flip, args=(i,))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        # ground truth = the live store right before stop (no-op
+        # enable/enable mutations don't bump the version, so the final
+        # count depends on interleaving — compare state, not arithmetic)
+        code, truth = _req(base, "GET", "/tenants/t1/flows/wa")
+        assert code == 200
+        d1.stop()  # final snapshot races nothing now, but hooks may lag
+
+        # the snapshot must ALWAYS be parseable and reflect the final
+        # store exactly
+        with open(f"{sd}/flows.json") as f:
+            docs = json.load(f)
+        assert [d["flow"]["id"] for d in docs] == ["wa"]
+        d2 = FlowDaemon(port=0, poll_interval=0.02,
+                        reconcile_interval=9999, state_dir=sd).start()
+        try:
+            code, flow = _req(_base(d2), "GET", "/tenants/t1/flows/wa")
+            assert code == 200
+            assert flow["version"] == truth["version"]
+            assert ({a["key"]: a["disabled"] for a in flow["actions"]} ==
+                    {a["key"]: a["disabled"] for a in truth["actions"]})
+        finally:
+            d2.stop()
