@@ -975,9 +975,15 @@ def bfs_depth_edges(edges, seeds: list[str] | None = None,
     empty = pa.table({"node": pa.array([], pa.string()),
                       "depth": pa.array([], pa.int64())})
 
-    def _seed_arr() -> np.ndarray:
+    def _seed_arr(local_nodes: np.ndarray | None = None) -> np.ndarray:
+        """`local_nodes` = a sorted-unique node universe a tier already
+        holds (driver pulls the edges, broadcast pulls the node set) —
+        the default smallest-n rule reads it directly instead of paying
+        a whole extra Ray execution for the distributed head."""
         if seeds is not None:
             return np.unique(np.asarray(list(seeds), dtype=object))
+        if local_nodes is not None:
+            return local_nodes[:n_seeds]
         # default rule (shared with the SQL): n smallest node ids —
         # a node-sized distinct + tiny head, never edge-sized driver pull
         def node_partials(t: pa.Table) -> pa.Table:
@@ -999,7 +1005,6 @@ def bfs_depth_edges(edges, seeds: list[str] | None = None,
             "node": pa.array(sa.tolist(), pa.string()),
             "depth": pa.array(np.zeros(len(sa), np.int64), pa.int64())}))
 
-    seed_arr = _seed_arr()
     use_driver = (tier == "driver" or
                   (tier is None and n_edges <= _DRIVER_MAX_EDGES
                    and not force_distributed))
@@ -1007,6 +1012,7 @@ def bfs_depth_edges(edges, seeds: list[str] | None = None,
         df = edges.to_pandas()
         src = df["src"].to_numpy()
         dst = df["dst"].to_numpy()
+        seed_arr = _seed_arr(np.unique(np.concatenate([src, dst])))
         nodes = np.unique(np.concatenate([src, dst, seed_arr]))
         si = np.searchsorted(nodes, src)
         di = np.searchsorted(nodes, dst)
@@ -1037,8 +1043,9 @@ def bfs_depth_edges(edges, seeds: list[str] | None = None,
     if tier == "broadcast" or (tier is None and n_nodes <= _BCAST_MAX_NODES):
         import ray
 
-        nodes_arr = np.unique(np.concatenate(
-            [np.sort(node_ds.to_pandas()["node"].to_numpy()), seed_arr]))
+        edge_nodes = np.unique(node_ds.to_pandas()["node"].to_numpy())
+        seed_arr = _seed_arr(edge_nodes)
+        nodes_arr = np.unique(np.concatenate([edge_nodes, seed_arr]))
         int_edges = _int_index_edges(edges, nodes_arr)
         dist = np.full(len(nodes_arr), _UNREACHED, np.int64)
         dist[np.searchsorted(nodes_arr, seed_arr)] = 0
@@ -1072,6 +1079,8 @@ def bfs_depth_edges(edges, seeds: list[str] | None = None,
             "depth": pa.array(dist[keep], pa.int64())}))
 
     # msgpass tier: min-depth propagation, exactly max_depth rounds
+    seed_arr = _seed_arr()  # nodes unbounded: the distributed head rule
+
     def to_edge_rows(t: pa.Table) -> pa.Table:
         return pa.table({
             "node": t["src"],

@@ -185,25 +185,35 @@ def broadcast_join_segment_revenue(sf_dir: str):
 
 def hash_join_priority_revenue(sf_dir: str):
     """Large-large hash join (lineitem ⋈ orders on orderkey) using
-    Dataset.join (hash-partitioned on the key), then aggregate."""
-    from ray.data.aggregate import Count, Sum
+    Dataset.join (hash-partitioned on the key), then aggregate.
+
+    Scale shape: revenue is additive per orderkey, so each lineitem
+    block pre-reduces to (orderkey, partial revenue, partial item
+    count) IN-BATCH before the shuffle — ~4× fewer rows enter the hash
+    join (TPC-H has ~4 items/order and items of an order are adjacent
+    in the file), and the final per-priority aggregate sums partials
+    (Count becomes Sum of the carried counts; same result set)."""
+    from ray.data.aggregate import Sum
 
     li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def rev(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "l_orderkey": t["l_orderkey"],
-            "revenue": pc.multiply(t["l_extendedprice"],
-                                   pc.subtract(pa.scalar(1.0), t["l_discount"])),
-        })
+    def rev_partials(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        g = (pd.DataFrame({"l_orderkey": np.asarray(t["l_orderkey"], np.int64),
+                           "revenue": np.asarray(rev, np.float64)})
+             .groupby("l_orderkey", sort=False)
+             .agg(revenue=("revenue", "sum"),
+                  n_items=("revenue", "size")).reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    li = li.map_batches(rev, batch_format="pyarrow")
+    li = li.map_batches(rev_partials, batch_format="pyarrow")
     orders = _rp(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     joined = li.join(orders, join_type="inner", num_partitions=16,
                      on=("l_orderkey",), right_on=("o_orderkey",))
     out = joined.groupby("o_orderpriority").aggregate(
         Sum("revenue", alias_name="revenue"),
-        Count(alias_name="n_items"),
+        Sum("n_items", alias_name="n_items"),
     )
     return out.map_batches(_round_cols({"revenue": 2}), batch_format="pyarrow")
 
