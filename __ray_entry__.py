@@ -238,6 +238,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_ivf": ann.dedup_embedding_ivf,
         "embedding_kmeans_clusters": ann.embedding_kmeans_clusters,
         "embedding_centroids_by_label": ann.embedding_centroids_by_label,
+        # rows-only: SemDeDup (Abbas 2023) — kmeans clusters + within-
+        # cluster cosine dup groups, keep the least-centroid-similar
+        # member; iterative centroid training isn't one SQL statement.
+        # pytest pins exact equality to an independent numpy reference
+        "semdedup_prune": ann.semdedup_prune,
         # -- alternative source/sink formats (roundtrip-certified) ---------
         "csv_source_doc_stats": src.csv_source_doc_stats,
         "jsonl_source_token_stats": src.jsonl_source_token_stats,

@@ -843,6 +843,41 @@ def embedding_centroids_by_label(sf_dir: str):
             .sort(["label", "dim"]))
 
 
+def _train_corpus_centroids(path: str, k: int, train_cap: int = 4096,
+                            lloyd_iters: int = 3) -> np.ndarray:
+    """Deterministic corpus centroids, shared by the clustering query
+    and semdedup_prune: a vec_id-strided sample seeds driver Lloyd
+    (bounded by train_cap), then FULL-CORPUS distributed Lloyd
+    iterations refine it (every vector votes; only k×dim int64
+    fixed-point partials move per round — _kmeans_distributed)."""
+    import ray
+    import ray.data as rd
+
+    n_total = pq.ParquetFile(path).metadata.num_rows
+    every = max(1, n_total // train_cap)
+
+    def sample_rows(t: pa.Table) -> pa.Table:
+        keep = (np.asarray(t["vec_id"], dtype=np.int64) % every) == 0
+        return t.filter(pa.array(keep))
+
+    parts = [t for t in ray.get(
+        rd.read_parquet(path, columns=["vec_id", "embedding"])
+        .map_batches(sample_rows, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows]
+    # to_arrow_refs block ORDER is not deterministic across executions —
+    # sort by vec_id before the train_cap slice (bit-reproducibility is
+    # the callers' pytest contract)
+    _ids = np.concatenate([np.asarray(t["vec_id"], dtype=np.int64)
+                           for t in parts])
+    _mat = np.concatenate(
+        [np.stack(t["embedding"].to_numpy(zero_copy_only=False))
+         for t in parts])
+    sample = _normalize(
+        _mat[np.argsort(_ids, kind="mergesort")].astype(np.float64))[:train_cap]
+    cent = _kmeans(sample, k, iters=3)
+    return _kmeans_distributed(path, k, cent, iters=lloyd_iters)
+
+
 def embedding_kmeans_clusters(sf_dir: str, k: int = 8,
                               train_cap: int = 4096,
                               lloyd_iters: int = 3):
@@ -863,29 +898,8 @@ def embedding_kmeans_clusters(sf_dir: str, k: int = 8,
     import ray.data as rd
 
     path = f"{sf_dir}/embeddings.parquet"
-    n_total = pq.ParquetFile(path).metadata.num_rows
-    every = max(1, n_total // train_cap)
-
-    def sample_rows(t: pa.Table) -> pa.Table:
-        keep = (np.asarray(t["vec_id"], dtype=np.int64) % every) == 0
-        return t.filter(pa.array(keep))
-
-    parts = [t for t in ray.get(
-        rd.read_parquet(path, columns=["vec_id", "embedding"])
-        .map_batches(sample_rows, batch_format="pyarrow")
-        .to_arrow_refs()) if t.num_rows]
-    # to_arrow_refs block ORDER is not deterministic across executions —
-    # sort by vec_id before the train_cap slice (bit-reproducibility is
-    # this operator's pytest contract)
-    _ids = np.concatenate([np.asarray(t["vec_id"], dtype=np.int64)
-                           for t in parts])
-    _mat = np.concatenate(
-        [np.stack(t["embedding"].to_numpy(zero_copy_only=False))
-         for t in parts])
-    sample = _normalize(
-        _mat[np.argsort(_ids, kind="mergesort")].astype(np.float64))[:train_cap]
-    cent = _kmeans(sample, k, iters=3)
-    cent = _kmeans_distributed(path, k, cent, iters=lloyd_iters)
+    cent = _train_corpus_centroids(path, k, train_cap=train_cap,
+                                   lloyd_iters=lloyd_iters)
     cent_ref = ray.put(cent)
 
     def partials(t: pa.Table) -> pa.Table:
@@ -922,3 +936,110 @@ def embedding_kmeans_clusters(sf_dir: str, k: int = 8,
         "n_vecs": pa.array(n[keep]),
         "mean_cos": pa.array(mean[keep], pa.float64()),
     })
+
+
+def semdedup_prune(sf_dir: str, k: int = 8, eps: float = 0.96,
+                   train_cap: int = 4096, lloyd_iters: int = 3,
+                   sim_block: int = 2048):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public method):
+    semantic deduplication by k-means clustering + within-cluster
+    cosine threshold.  Vectors are clustered (shared deterministic
+    corpus Lloyd, _train_corpus_centroids), duplicate GROUPS are the
+    connected components of the within-cluster graph {(i, j) :
+    cos(i, j) >= eps}, and each group keeps exactly ONE representative
+    — the member LEAST similar to its cluster centroid (the paper's
+    final keep rule; extreme points preserve diversity), tie-broken by
+    lowest vec_id.  Returns the full classification (vec_id, cell_id,
+    centroid_sim, keep), vec_id-sorted, so callers can either filter
+    keep or audit the pruned mass.
+
+    Scale shape (the paper's own): clustering bounds every comparison
+    to one cell, so total work is O(Σ|cell|²·d) instead of O(n²·d) —
+    mega-cell mitigation is raising k (the paper runs k ≈ n/1e4), not
+    a code change.  The groupby("cell") shuffle moves each embedding
+    exactly once; within a cell the pair scan runs in sim_block-row
+    matmul strips so transient memory is O(sim_block·|cell|), and the
+    dup-group labels come from pointer-jumping min-propagation over
+    the EDGE LIST (memory ∝ duplicate pairs, never the |cell|²
+    adjacency).  Per-row centroid similarities are quantized to int64
+    fixed-point (1e9) before any comparison, so keep decisions are
+    bit-reproducible at any Ray blocking — pytest pins re-run
+    equality, an independent numpy reference, and the paper keep rule
+    on a constructed corpus.  rows-only for the driver (iterative
+    centroid training isn't one SQL statement)."""
+    import ray
+    import ray.data as rd
+
+    path = f"{sf_dir}/embeddings.parquet"
+    cent = _train_corpus_centroids(path, k, train_cap=train_cap,
+                                   lloyd_iters=lloyd_iters)
+    cent_ref = ray.put(cent)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        ids = _assert_nonneg(np.asarray(t["vec_id"], dtype=np.int64))
+        m = _normalize(np.stack(
+            t["embedding"].to_numpy(zero_copy_only=False))
+            .astype(np.float64))
+        sims = m @ c.T
+        a = np.argmax(sims, axis=1)
+        csim = np.round(sims[np.arange(len(m)), a]
+                        * 1_000_000_000).astype(np.int64)
+        return pa.table({
+            "cell": pa.array(a.astype(np.int32)),
+            "vec_id": pa.array(ids, pa.int64()),
+            "csim": pa.array(csim, pa.int64()),
+            "embedding": t["embedding"],
+        })
+
+    def prune_cell(df: pd.DataFrame) -> pd.DataFrame:
+        # group rows arrive in shuffle order: sort by vec_id so pair
+        # extraction, labels and tie-breaks are blocking-independent
+        df = df.sort_values("vec_id", kind="mergesort")
+        ids = df["vec_id"].to_numpy(np.int64)
+        csim = df["csim"].to_numpy(np.int64)
+        n = len(ids)
+        m = _normalize(np.stack(df["embedding"].to_numpy())
+                       .astype(np.float64))
+        ea, eb = [], []
+        for lo in range(0, n, sim_block):
+            hi = min(lo + sim_block, n)
+            sims = m[lo:hi] @ m.T            # (block, n) strip
+            r, c = np.nonzero(sims >= eps)
+            keep_ut = (r + lo) < c           # upper triangle only
+            ea.append((r[keep_ut] + lo).astype(np.int64))
+            eb.append(c[keep_ut].astype(np.int64))
+        a = np.concatenate(ea) if ea else np.empty(0, np.int64)
+        b = np.concatenate(eb) if eb else np.empty(0, np.int64)
+        lab = np.arange(n, dtype=np.int64)
+        while len(a):
+            # min-propagation + pointer jumping: converges in
+            # O(log n) rounds, memory stays edge-list-sized
+            mn = np.minimum(lab[a], lab[b])
+            before = lab.copy()
+            np.minimum.at(lab, a, mn)
+            np.minimum.at(lab, b, mn)
+            lab = np.minimum(lab, lab[lab])
+            if np.array_equal(lab, before):
+                break
+        # keeper per duplicate group: lowest centroid similarity,
+        # then lowest vec_id (ids are pre-sorted, so a stable sort on
+        # csim alone realizes the tie-break); np.unique's first-index
+        # picks each group's first row in that order — no row loop
+        order = np.argsort(csim, kind="mergesort")
+        _, first_idx = np.unique(lab[order], return_index=True)
+        keep_rows = np.zeros(n, dtype=bool)
+        keep_rows[order[first_idx]] = True
+        return pd.DataFrame({
+            "vec_id": ids,
+            "cell_id": df["cell"].to_numpy(np.int64),
+            "centroid_sim": np.floor(np.abs(csim) / 1e9 * 1e4 + 0.5)
+            / 1e4 * np.sign(csim),
+            "keep": keep_rows,
+        })
+
+    return (rd.read_parquet(path, columns=["vec_id", "embedding"])
+            .map_batches(assign, batch_format="pyarrow")
+            .groupby("cell")
+            .map_groups(prune_cell, batch_format="pandas")
+            .sort("vec_id"))

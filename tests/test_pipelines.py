@@ -410,6 +410,114 @@ class TestIVF:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestSemDeDup:
+    """semdedup_prune (Abbas et al. 2023) vs an independent
+    single-machine numpy reference: same centroids (training already
+    pinned deterministic by TestIVF), independent assignment, O(n²)
+    within-cluster adjacency, dict union-find, and the paper keep rule
+    (least centroid-similar, lowest-id tiebreak)."""
+
+    @pytest.fixture(scope="class")
+    def dup_corpus(self, tmp_path_factory):
+        d = str(tmp_path_factory.mktemp("semdd"))
+        rng = np.random.default_rng(11)
+        base = rng.normal(size=(40, 64))
+        rows = []
+        for v in base:
+            rows.append(v)
+            for _ in range(3):
+                rows.append(v + rng.normal(scale=0.02, size=64))
+        m = np.stack(rows).astype(np.float32)
+        pq.write_table(pa.table({
+            "vec_id": pa.array(np.arange(len(m)), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in m],
+                                  pa.list_(pa.float32())),
+        }), f"{d}/embeddings.parquet")
+        return d
+
+    @staticmethod
+    def _reference(path, cent, eps):
+        t = pq.read_table(path)
+        ids = np.asarray(t["vec_id"], np.int64)
+        m = np.stack(t["embedding"].to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(ids, kind="mergesort")
+        ids, m = ids[order], m[order]
+        sims = m @ cent.T
+        cell = np.argmax(sims, axis=1)
+        csim = np.round(sims[np.arange(len(m)), cell]
+                        * 1_000_000_000).astype(np.int64)
+        keep = np.ones(len(ids), bool)
+        for c in np.unique(cell):
+            idx = np.nonzero(cell == c)[0]
+            sm = m[idx] @ m[idx].T
+            parent = list(range(len(idx)))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for i in range(len(idx)):
+                for j in range(i + 1, len(idx)):
+                    if sm[i, j] >= eps:
+                        ri, rj = find(i), find(j)
+                        if ri != rj:
+                            parent[max(ri, rj)] = min(ri, rj)
+            groups: dict = {}
+            for i in range(len(idx)):
+                groups.setdefault(find(i), []).append(i)
+            for members in groups.values():
+                if len(members) < 2:
+                    continue
+                keeper = min(members,
+                             key=lambda i: (csim[idx[i]], ids[idx[i]]))
+                for i in members:
+                    if i != keeper:
+                        keep[idx[i]] = False
+        return pd.DataFrame({
+            "vec_id": ids, "cell_id": cell.astype(np.int64),
+            "centroid_sim": np.floor(np.abs(csim) / 1e9 * 1e4 + 0.5)
+            / 1e4 * np.sign(csim),
+            "keep": keep})
+
+    def test_semdedup_matches_reference_and_prunes(self, dup_corpus):
+        from spider_ray.pipelines.ann import (_train_corpus_centroids,
+                                              semdedup_prune)
+
+        eps = 0.9
+        got = semdedup_prune(dup_corpus, k=8, eps=eps).to_pandas()
+        cent = _train_corpus_centroids(
+            f"{dup_corpus}/embeddings.parquet", 8)
+        want = self._reference(f"{dup_corpus}/embeddings.parquet",
+                               cent, eps)
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
+                                      check_dtype=False)
+        # the corpus is 40 bases x 4 near-copies: real pruning must
+        # happen, and no base can lose ALL its copies
+        n_kept = int(got["keep"].sum())
+        assert n_kept < len(got)
+        assert n_kept >= 40
+
+    def test_semdedup_deterministic_rerun(self, dup_corpus):
+        from spider_ray.pipelines.ann import semdedup_prune
+
+        a = semdedup_prune(dup_corpus, k=8, eps=0.9).to_pandas()
+        b = semdedup_prune(dup_corpus, k=8, eps=0.9).to_pandas()
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_semdedup_no_dups_keeps_everything(self):
+        from spider_ray.pipelines.ann import semdedup_prune
+
+        df = semdedup_prune(SF, eps=0.999).to_pandas()
+        assert bool(df["keep"].all())
+        assert (df["vec_id"].to_numpy()
+                == np.sort(df["vec_id"].to_numpy())).all()
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestTrainingDataPrep:
     """The composed prep pipeline (score -> filter -> exact dedup ->
     stats) must hash-match its single-statement DuckDB oracle — the
