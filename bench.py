@@ -222,7 +222,9 @@ def run_once() -> dict:
             if len(shots) >= min_shots:
                 rates = sorted((s["urls_per_sec"] for s in shots),
                                reverse=True)
-                if rates[0] <= 1.2 * rates[1]:
+                # a single-shot minimum (scaling's per-level protocol)
+                # stops here; otherwise stop once the two best agree
+                if len(rates) < 2 or rates[0] <= 1.2 * rates[1]:
                     break
         crawl["shots"] = shots
         if os.environ.get("BENCH_CRAWL_ONLY"):
