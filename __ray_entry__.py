@@ -176,6 +176,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search_topk": wt.bm25_search_topk,
         "keyword_search_topk": wt.keyword_search_topk,
         "bigram_logprob_score": wt.bigram_logprob_score,
+        "dsir_logratio": wt.dsir_logratio,
+        # rows-only: DSIR's Gumbel top-k perturbation isn't one
+        # cross-engine SQL statement; pytest pins an independent
+        # single-machine reference + determinism + the importance
+        # property (selected docs skew toward the target language)
+        "dsir_resample": wt.dsir_resample,
         "pack_documents": wt.pack_documents,
         "domain_mix_sample": wt.domain_mix_sample,
         "dedup_incremental": wt.dedup_incremental,
@@ -355,6 +361,7 @@ def oracle_sql() -> dict[str, str]:
 def _oracle_sql_build() -> dict[str, str]:
     from spider_ray.pipelines import ann as _ann
     from spider_ray.pipelines import dedup as _dedup
+    from spider_ray.pipelines import webtext as _wt
     from spider_ray.pipelines.graph import (bfs_oracle_sql,
                                             hits_oracle_sql,
                                             pagerank_oracle_sql,
@@ -1829,6 +1836,12 @@ def _oracle_sql_build() -> dict[str, str]:
                              OVER (ORDER BY doc_id) AS cum
                   FROM documents) t
         """,
+        # generated replica of DSIR importance scoring (Xie 2023):
+        # tok8 splitmix64 buckets rebuilt in HUGEINT wrap arithmetic,
+        # add-1 smoothed target/raw distributions, int64 fixed-point
+        # per-bucket log-ratios summed per document (see
+        # webtext.dsir_oracle_sql)
+        "dsir_logratio": _wt.dsir_oracle_sql(),
         # deterministic hash split: reproducible and stable under
         # appends (integer-exact in both engines)
         "train_val_test_split": """

@@ -2334,3 +2334,211 @@ def bm25_search_topk(sf_dir: str, terms: tuple[str, ...] = SEARCH_TERMS,
                                zero_copy_batch=True)
             .sort([("score"), ("doc_id")], descending=[True, False])
             .limit(k))
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+def _dsir_logratio_vec(sf_dir: str, target_lang: str,
+                       m: int) -> np.ndarray:
+    """Pass 1 of DSIR (Xie et al. 2023, arXiv:2302.03169 — public
+    method): fit the hashed bag-of-ngrams target distribution p and
+    raw distribution q in ONE corpus pass, and return the m-bucket
+    int64 fixed-point log-ratio vector round((ln p_b - ln q_b)·1e9).
+
+    The bucket is the suite's SQL-replicable tok8 hash mod m, so a
+    DuckDB oracle can rebuild every feature (see dsir_oracle_sql).
+    Both distributions use add-1 smoothing over the m-bucket domain.
+
+    Scale shape: the per-block partial pre-reduces each batch to at
+    most m (bucket, target_count, all_count) rows, so the groupby
+    shuffle is bucket-bounded regardless of corpus size, and the
+    finished log-ratio table is model-parameter-sized (m int64s) —
+    it broadcasts via ray.put like the paper's fitted importance
+    estimator would."""
+    from ray.data.aggregate import Sum
+
+    from ..common.tokens import tok8_hashes
+
+    ds = _rp(sf_dir, "documents", ["text", "lang"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        h, parent = tok8_hashes(t["text"])
+        b = (h % np.uint64(m)).astype(np.int64)
+        is_target = np.asarray(pc.equal(t["lang"], target_lang))
+        wt = is_target[parent].astype(np.int64)
+        ct = np.bincount(b, weights=wt, minlength=m)  # exact (< 2^53)
+        ca = np.bincount(b, minlength=m)
+        nz = np.flatnonzero(ca)
+        return pa.table({
+            "b": pa.array(nz, pa.int64()),
+            "ct": pa.array(ct[nz].astype(np.int64)),
+            "ca": pa.array(ca[nz].astype(np.int64)),
+        })
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("b")
+           .aggregate(Sum("ct", alias_name="ct"),
+                      Sum("ca", alias_name="ca"))
+           .to_pandas())  # <= m rows: bounded by the feature dim
+    ct = agg["ct"].to_numpy(np.float64)
+    ca = agg["ca"].to_numpy(np.float64)
+    tt = float(ct.sum())
+    ta = float(ca.sum())
+    lr = (np.log((ct + 1.0) / (tt + m)) - np.log((ca + 1.0) / (ta + m)))
+    # int64 fixed-point (1e9, half-away like DuckDB round): per-doc
+    # SUMS of these are exact integers in any accumulation order, so
+    # the distributed score hash-matches the SQL GROUP BY
+    lri = (np.floor(np.abs(lr) * 1e9 + 0.5) * np.sign(lr)).astype(np.int64)
+    vec = np.zeros(m, np.int64)
+    vec[agg["b"].to_numpy(np.int64)] = lri
+    return vec
+
+
+def dsir_logratio(sf_dir: str, target_lang: str = "en",
+                  num_buckets: int = 8192):
+    """DSIR importance scoring (Xie et al. 2023): per-document log
+    importance weight log w(x) = Σ_tokens (ln p_b - ln q_b) under
+    hashed-unigram bag-of-words models of a target domain p (here:
+    documents with lang == target_lang, the paper's target-corpus
+    slot) versus the raw corpus q.  High scores mark documents most
+    target-like; dsir_resample applies the paper's Gumbel top-k
+    selection on top of these scores.
+
+    Pass 1 fits both distributions in one bucket-bounded pass
+    (_dsir_logratio_vec) and broadcasts the m-int64 log-ratio vector;
+    pass 2 scores every document inside its own batch — one tok8 hash
+    + one bincount-weighted sum per batch, no shuffle, no per-row
+    loop.  Zero-token documents drop (the SQL join convention shared
+    with unigram_logprob_score)."""
+    import ray
+
+    from ..common.tokens import tok8_hashes
+
+    vec = _dsir_logratio_vec(sf_dir, target_lang, num_buckets)
+    vec_ref = ray.put(vec)
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        lrv = ray.get(vec_ref)  # local object-store hit per task
+        h, parent = tok8_hashes(t["text"])
+        b = (h % np.uint64(num_buckets)).astype(np.int64)
+        n = np.bincount(parent, minlength=t.num_rows)
+        s = np.bincount(parent, weights=lrv[b].astype(np.float64),
+                        minlength=t.num_rows)  # exact int sums (< 2^53)
+        has = n > 0
+        logw = _rnd4(s[has] / 1e9)
+        return pa.table({
+            "doc_id": pc.take(t["doc_id"],
+                              pa.array(np.flatnonzero(has), pa.int64())),
+            "n_tokens": pa.array(n[has].astype(np.int64)),
+            "dsir_logw": pa.array(logw, pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def dsir_oracle_sql(target_lang: str = "en",
+                    num_buckets: int = 8192) -> str:
+    """Generated DuckDB replica of dsir_logratio: tok8-pack each
+    token, splitmix64 it with wrap-exact HUGEINT arithmetic
+    (dedup._sql_splitmix64), bucket mod num_buckets, fit both add-1
+    smoothed distributions, quantize each bucket's log-ratio to int64
+    fixed-point (1e9), and sum per document — any feature-hash,
+    smoothing or scoring divergence in the pipeline hash-mismatches
+    this oracle."""
+    from .dedup import _sql_splitmix64
+
+    m = num_buckets
+    packed = " + ".join(
+        f"(CASE WHEN length(t) >= {i} THEN "
+        f"ascii(substr(t, {i}, 1))::HUGEINT * {1 << (8 * (i - 1))} "
+        f"ELSE 0 END)" for i in range(1, 9))
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, lang,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t
+          FROM documents
+        ),
+        th AS (
+          SELECT doc_id,
+                 lang,
+                 CAST({_sql_splitmix64(f'({packed})')} % {m} AS BIGINT) AS b
+          FROM tok
+        ),
+        cnt AS (
+          SELECT b,
+                 SUM(CASE WHEN lang = '{target_lang}' THEN 1 ELSE 0 END)
+                     AS ct,
+                 COUNT(*) AS ca
+          FROM th GROUP BY b
+        ),
+        tot AS (SELECT SUM(ct) AS tt, SUM(ca) AS ta FROM cnt),
+        lr AS (
+          SELECT b,
+                 CAST(round((ln((ct + 1.0) / (tt + {m}))
+                             - ln((ca + 1.0) / (ta + {m}))) * 1e9)
+                      AS BIGINT) AS lri
+          FROM cnt, tot
+        )
+        SELECT doc_id, count(*) AS n_tokens,
+               round(SUM(lri) / 1e9, 4) AS dsir_logw
+        FROM th JOIN lr USING (b)
+        GROUP BY doc_id
+    """
+
+
+def dsir_resample(sf_dir: str, k: int = 64, target_lang: str = "en",
+                  num_buckets: int = 8192, seed: int = 7):
+    """DSIR selection step (Xie et al. 2023 §2): sample k documents
+    WITHOUT replacement with probability ∝ w(x) via the Gumbel
+    top-k trick — key_i = log w_i + Gumbel_i, take the k largest.
+    The Gumbel noise is deterministic (splitmix64 of doc_id ⊕
+    mixed seed → uniform in (0,1) → -ln(-ln u)), so runs are exactly
+    reproducible and blocking-independent.
+
+    Scale shape: the scored stream (dsir_logratio) never gathers —
+    each block emits only its local top-k rows, the driver sees
+    ≤ k·num_blocks candidate rows, and the final exact top-k is a
+    numpy sort over that bounded pool (the per-block-combiner top-k
+    pattern shared with bm25_search_topk).  rows-only for the driver
+    (the Gumbel perturbation is not one SQL statement cross-engine);
+    pytest pins an independent single-machine reference, re-run
+    determinism, and the importance property (selected docs skew
+    toward the target language)."""
+    from ..state.bloom import _splitmix64
+
+    # 1-element array: scalar uint64 multiplies raise numpy overflow
+    # warnings where array ops wrap silently
+    seed_mix = _splitmix64(np.array([seed & (2**64 - 1)],
+                                    dtype=np.uint64))[0]
+
+    def add_key_topk(t: pa.Table) -> pa.Table:
+        did = np.asarray(t["doc_id"], np.int64)
+        h = _splitmix64(did.astype(np.uint64) ^ seed_mix)
+        u = ((h >> np.uint64(11)).astype(np.float64) + 0.5) * 2.0 ** -53
+        g = -np.log(-np.log(u))
+        key = np.asarray(t["dsir_logw"], np.float64) + g
+        # local top-k: sort by (-key, doc_id) for a deterministic head
+        order = np.lexsort((did, -key))[:k]
+        idx = pa.array(np.sort(order), pa.int64())  # keep input order
+        sub = t.take(idx)
+        return pa.table({
+            "doc_id": sub["doc_id"],
+            "n_tokens": sub["n_tokens"],
+            "dsir_logw": sub["dsir_logw"],
+            "gumbel_key": pa.array(
+                key[np.sort(order)], pa.float64()),
+        })
+
+    pool = (dsir_logratio(sf_dir, target_lang=target_lang,
+                          num_buckets=num_buckets)
+            .map_batches(add_key_topk, batch_format="pyarrow")
+            .to_pandas())  # bounded: <= k rows per block
+    order = np.lexsort((pool["doc_id"].to_numpy(np.int64),
+                        -pool["gumbel_key"].to_numpy(np.float64)))[:k]
+    sel = pool.iloc[order].reset_index(drop=True)
+    sel["gumbel_key"] = _rnd4(sel["gumbel_key"].to_numpy(np.float64))
+    return pa.Table.from_pandas(sel, preserve_index=False)

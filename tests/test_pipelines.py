@@ -3679,3 +3679,97 @@ class TestWeightedSample:
         allc = pq_.read_table(f"{SF}/documents.parquet",
                               columns=["n_chars"])["n_chars"]
         assert r["n_chars"].mean() > np.asarray(allc).mean()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDSIR:
+    """DSIR importance resampling (Xie et al. 2023): the scoring pass
+    is certified against its generated DuckDB oracle (tok8 buckets,
+    add-1 smoothing, int64 fixed-point log-ratios), and the Gumbel
+    top-k selection against a reference that takes the ORACLE's scores
+    and re-derives the deterministic Gumbel keys independently."""
+
+    @staticmethod
+    def _oracle_scores(sf):
+        import os
+        import sys
+
+        import duckdb
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        import __ray_entry__ as E
+
+        con = duckdb.connect()
+        con.execute("create view documents as select * from "
+                    f"read_parquet('{sf}/documents.parquet')")
+        return con.execute(E.oracle_sql()["dsir_logratio"]).fetchdf()
+
+    def test_scores_match_oracle(self):
+        from spider_ray.pipelines.webtext import dsir_logratio
+
+        got = (dsir_logratio(SF).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        want = (self._oracle_scores(SF)
+                .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_scores_skew_toward_target_lang(self):
+        """The importance log-ratio must rank target-language docs
+        above the rest on average — the operator's entire purpose."""
+        import pyarrow.parquet as pq_
+
+        from spider_ray.pipelines.webtext import dsir_logratio
+
+        got = dsir_logratio(SF).to_pandas()
+        langs = pq_.read_table(f"{SF}/documents.parquet",
+                               columns=["doc_id", "lang"]).to_pandas()
+        m = got.merge(langs, on="doc_id")
+        assert (m.loc[m.lang == "en", "dsir_logw"].mean()
+                > m.loc[m.lang != "en", "dsir_logw"].mean())
+
+    @staticmethod
+    def _reference_resample(scores: pd.DataFrame, k: int, seed: int):
+        from spider_ray.state.bloom import _splitmix64
+
+        did = scores["doc_id"].to_numpy(np.int64)
+        h = _splitmix64(did.astype(np.uint64)
+                        ^ _splitmix64(np.array([seed], np.uint64))[0])
+        u = ((h >> np.uint64(11)).astype(np.float64) + 0.5) * 2.0 ** -53
+        key = scores["dsir_logw"].to_numpy(np.float64) - np.log(-np.log(u))
+        order = np.lexsort((did, -key))[:k]
+        out = scores.iloc[order].reset_index(drop=True)
+        kk = key[order]
+        out["gumbel_key"] = np.floor(np.abs(kk) * 1e4 + 0.5) / 1e4 * np.sign(kk)
+        return out
+
+    def test_resample_matches_reference(self):
+        from spider_ray.pipelines.webtext import dsir_resample
+
+        k, seed = 25, 7
+        got = dsir_resample(SF, k=k, seed=seed).to_pandas()
+        want = self._reference_resample(self._oracle_scores(SF), k, seed)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_resample_deterministic_and_seeded(self):
+        from spider_ray.pipelines.webtext import dsir_resample
+
+        a = dsir_resample(SF, k=20).to_pandas()
+        b = dsir_resample(SF, k=20).to_pandas()
+        pd.testing.assert_frame_equal(a, b)
+        c = dsir_resample(SF, k=20, seed=99).to_pandas()
+        assert set(a.doc_id) != set(c.doc_id)
+
+    def test_resample_skews_toward_target(self):
+        """Sampling ∝ w must over-represent the target language vs its
+        corpus share (en is ~44% of the synthetic corpus)."""
+        import pyarrow.parquet as pq_
+
+        from spider_ray.pipelines.webtext import dsir_resample
+
+        sel = dsir_resample(SF, k=50).to_pandas()
+        langs = pq_.read_table(f"{SF}/documents.parquet",
+                               columns=["doc_id", "lang"]).to_pandas()
+        m = sel.merge(langs, on="doc_id")
+        corpus_frac = (langs.lang == "en").mean()
+        assert (m.lang == "en").mean() > corpus_frac
