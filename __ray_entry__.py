@@ -249,6 +249,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # member; iterative centroid training isn't one SQL statement.
         # pytest pins exact equality to an independent numpy reference
         "semdedup_prune": ann.semdedup_prune,
+        # rows-only: MMR's greedy argmax chain isn't one SQL statement;
+        # pytest pins a full-corpus single-machine reference, the
+        # lam=1 pure-relevance identity, and the diversity property
+        "mmr_select": ann.mmr_select,
         # -- alternative source/sink formats (roundtrip-certified) ---------
         "csv_source_doc_stats": src.csv_source_doc_stats,
         "jsonl_source_token_stats": src.jsonl_source_token_stats,

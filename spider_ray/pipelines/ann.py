@@ -23,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..common.hashing import hash64
@@ -1043,3 +1044,114 @@ def semdedup_prune(sf_dir: str, k: int = 8, eps: float = 0.96,
             .groupby("cell")
             .map_groups(prune_cell, batch_format="pandas")
             .sort("vec_id"))
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity selection (Carbonell & Goldstein 1998)
+# ---------------------------------------------------------------------------
+
+def mmr_select(sf_dir: str, query_id: int = 0, k: int = 10,
+               lam: float = 0.7, pool_size: int = 128):
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein
+    1998 — public method): greedily pick k documents maximizing
+    lam·rel(d) − (1−lam)·max_{s∈selected} sim(d, s), the standard
+    diversity-aware retrieval / training-data curation selector
+    (rel = cosine to the query embedding, sim = pairwise cosine).
+
+    Two-stage shape (the candidate-generation / re-rank split every
+    production retrieval stack uses): stage 1 streams the corpus with
+    the query vector broadcast and per-block top-pool_size combiners —
+    the driver sees ≤ pool_size·num_blocks candidate rows, re-reduced
+    to the exact global top-pool_size by relevance; stage 2 runs the
+    inherently-sequential greedy loop on that bounded pool (k steps ×
+    one vectorized row-max each — O(k·pool·dim), pool-sized memory).
+    At 10^10 corpus scale only stage 1 touches the data; pool_size
+    bounds all driver state.
+
+    Deterministic at any Ray blocking: relevance and pairwise cosines
+    quantize to int64 fixed-point (1e9) BEFORE every comparison, ties
+    break on lowest vec_id (both the pool cut and each greedy step).
+    rows-only for the driver (the greedy argmax chain isn't one SQL
+    statement); pytest pins an independent full-corpus single-machine
+    reference, the lam=1 ≡ pure relevance top-k identity, and the
+    diversity property (mean pairwise sim below pure top-k's)."""
+    import ray
+    import ray.data as rd
+
+    path = f"{sf_dir}/embeddings.parquet"
+    qemb = pq.read_table(path, columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "==", int(query_id))])
+    if qemb.num_rows != 1:
+        raise ValueError(f"mmr_select: query vec_id {query_id} not found")
+    qv = _normalize(np.stack(qemb["embedding"].to_numpy(
+        zero_copy_only=False)).astype(np.float64))[0]
+    q_ref = ray.put(qv)
+
+    def pool_partial(t: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        ids = _assert_nonneg(np.asarray(t["vec_id"], dtype=np.int64))
+        keep = ids != query_id                 # exclude the query itself
+        ids = ids[keep]
+        m = _normalize(np.stack(
+            t["embedding"].to_numpy(zero_copy_only=False))
+            [keep].astype(np.float64))
+        if not len(ids):
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "rel_i": pa.array([], pa.int64()),
+                             "embedding": pa.array([], t["embedding"].type)})
+        rel = m @ q
+        rel_i = (np.floor(np.abs(rel) * 1e9 + 0.5)
+                 * np.sign(rel)).astype(np.int64)
+        top = np.lexsort((ids, -rel_i))[:pool_size]
+        st = np.sort(top)                      # preserve input order
+        return pa.table({
+            "vec_id": pa.array(ids[st], pa.int64()),
+            "rel_i": pa.array(rel_i[st], pa.int64()),
+            "embedding": pc.take(t.column("embedding"),
+                                 pa.array(np.flatnonzero(keep)[st],
+                                          pa.int64())),
+        })
+
+    pool = (rd.read_parquet(path, columns=["vec_id", "embedding"])
+            .map_batches(pool_partial, batch_format="pyarrow")
+            .to_pandas())  # bounded: <= pool_size rows per block
+    ids = pool["vec_id"].to_numpy(np.int64)
+    rel_i = pool["rel_i"].to_numpy(np.int64)
+    cut = np.lexsort((ids, -rel_i))[:pool_size]  # exact global pool
+    ids, rel_i = ids[cut], rel_i[cut]
+    m = _normalize(np.stack(pool["embedding"].to_numpy()[cut])
+                   .astype(np.float64))
+
+    # pairwise cosines, quantized once (pool_size² int64s)
+    sims = m @ m.T
+    sims_i = (np.floor(np.abs(sims) * 1e9 + 0.5)
+              * np.sign(sims)).astype(np.int64)
+
+    n = len(ids)
+    k_eff = min(k, n)
+    selected = np.zeros(n, dtype=bool)
+    max_sim_i = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
+    out_id, out_rel, out_score = [], [], []
+    for _ in range(k_eff):
+        cand = ~selected
+        if not selected.any():
+            score = lam * (rel_i / 1e9)        # first pick: pure relevance
+        else:
+            score = (lam * (rel_i / 1e9)
+                     - (1.0 - lam) * (max_sim_i / 1e9))
+        score = np.where(cand, score, -np.inf)
+        # deterministic argmax: highest score, then lowest vec_id
+        best = np.lexsort((ids, -score))[0]
+        selected[best] = True
+        max_sim_i = np.maximum(max_sim_i, sims_i[:, best])
+        out_id.append(int(ids[best]))
+        out_rel.append(rel_i[best] / 1e9)
+        out_score.append(float(score[best]))
+    rnd = lambda x: np.floor(np.abs(np.asarray(x)) * 1e4 + 0.5) / 1e4 \
+        * np.sign(np.asarray(x))
+    return pa.table({
+        "rank": pa.array(np.arange(k_eff, dtype=np.int64)),
+        "vec_id": pa.array(out_id, pa.int64()),
+        "relevance": pa.array(rnd(out_rel), pa.float64()),
+        "mmr_score": pa.array(rnd(out_score), pa.float64()),
+    })

@@ -3773,3 +3773,95 @@ class TestDSIR:
         m = sel.merge(langs, on="doc_id")
         corpus_frac = (langs.lang == "en").mean()
         assert (m.lang == "en").mean() > corpus_frac
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMMR:
+    """mmr_select (Carbonell & Goldstein 1998) vs an independent
+    single-machine reference (full-corpus greedy, no pooling), plus
+    the lam=1 pure-relevance identity and the diversity property."""
+
+    @staticmethod
+    def _reference(sf, query_id, k, lam):
+        t = pq.read_table(f"{sf}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        ids = np.asarray(t["vec_id"], np.int64)
+        m = np.stack(t["embedding"].to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
+                           1e-12)
+        qv = m[ids == query_id][0]
+        keep = ids != query_id
+        ids, m = ids[keep], m[keep]
+        qi = lambda x: (np.floor(np.abs(x) * 1e9 + 0.5)
+                        * np.sign(x)).astype(np.int64)
+        rel_i = qi(m @ qv)
+        sims_i = qi(m @ m.T)
+        sel, rows = [], []
+        max_i = np.full(len(ids), np.iinfo(np.int64).min, np.int64)
+        for r in range(min(k, len(ids))):
+            if sel:
+                sc = lam * (rel_i / 1e9) - (1 - lam) * (max_i / 1e9)
+            else:
+                sc = lam * (rel_i / 1e9)
+            sc = np.where(np.isin(np.arange(len(ids)), sel), -np.inf, sc)
+            best = np.lexsort((ids, -sc))[0]
+            sel.append(best)
+            max_i = np.maximum(max_i, sims_i[:, best])
+            rd4 = lambda x: np.floor(abs(x) * 1e4 + 0.5) / 1e4 * np.sign(x)
+            rows.append((r, int(ids[best]), rd4(rel_i[best] / 1e9),
+                         rd4(float(sc[best]))))
+        return pd.DataFrame(rows, columns=["rank", "vec_id",
+                                           "relevance", "mmr_score"])
+
+    def test_matches_full_reference(self):
+        from spider_ray.pipelines.ann import mmr_select
+
+        got = mmr_select(SF, query_id=0, k=12, lam=0.7,
+                         pool_size=1000).to_pandas()
+        want = self._reference(SF, 0, 12, 0.7)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_lam1_is_pure_relevance_topk(self):
+        from spider_ray.pipelines.ann import mmr_select
+
+        got = mmr_select(SF, query_id=0, k=10, lam=1.0,
+                         pool_size=1000).to_pandas()
+        want = self._reference(SF, 0, 10, 1.0)
+        # lam=1 kills the diversity term: ranks must equal the pure
+        # relevance ordering (ties by lowest vec_id)
+        assert (got["relevance"].to_numpy()
+                == np.sort(got["relevance"].to_numpy())[::-1]).all()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_diversity_property_and_pool_path(self):
+        """With lam<1 the selected set must be no less diverse (mean
+        pairwise cosine no higher) than the pure-relevance top-k, and
+        the bounded-pool path must stay within the relevance pool."""
+        from spider_ray.pipelines.ann import mmr_select
+
+        topk = mmr_select(SF, query_id=3, k=10, lam=1.0,
+                          pool_size=64).to_pandas()
+        mmr = mmr_select(SF, query_id=3, k=10, lam=0.5,
+                         pool_size=64).to_pandas()
+
+        t = pq.read_table(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        ids = np.asarray(t["vec_id"], np.int64)
+        m = np.stack(t["embedding"].to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
+                           1e-12)
+
+        def mean_pairwise(sel):
+            sub = m[np.isin(ids, sel)]
+            s = sub @ sub.T
+            iu = np.triu_indices(len(sub), 1)
+            return float(s[iu].mean())
+
+        assert (mean_pairwise(mmr["vec_id"].to_numpy())
+                <= mean_pairwise(topk["vec_id"].to_numpy()) + 1e-12)
+        # determinism of the pooled path
+        again = mmr_select(SF, query_id=3, k=10, lam=0.5,
+                           pool_size=64).to_pandas()
+        pd.testing.assert_frame_equal(mmr, again)
