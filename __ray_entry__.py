@@ -210,6 +210,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (the seen set's key function) vs an independent SQL replica
         # of the rules over constructed messy URLs
         "url_canonicalize": ur.url_canonicalize,
+        # rule-based URL admission gate (blocklist/prefix/param rules)
+        # over the canonical stream — the pre-fetch frontier filter
+        "url_filter_rules": ur.url_filter_rules,
         # -- link-graph analytics (fixed-point PageRank, components) -------
         "pagerank_user_item": gph.pagerank_user_item,
         "ppr_user_item": gph.ppr_user_item,
@@ -228,6 +231,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_tok8": dedup.dedup_simhash_tok8,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_containment": dedup.dedup_containment,
+        # sparse-vector similarity join: idf-weighted set cosine over
+        # word-3-gram shingles (Bayardo 2007 all-pairs), adaptive
+        # driver/distributed like containment
+        "simjoin_tfidf_cosine": dedup.simjoin_tfidf_cosine,
+        # cheap high-recall prefix pass (first-n-token identity) real
+        # web prep runs before fuzzy dedup
+        "dedup_prefix_tokens": dedup.dedup_prefix_tokens,
         "dedup_embedding": dedup.dedup_embedding,
         # dirty-key similarity join (SymSpell deletion blocking +
         # exact vectorized distance-1 verify)
@@ -543,6 +553,50 @@ def _oracle_sql_build() -> dict[str, str]:
                        || querypart AS canonical_url,
                    host
             FROM norm WHERE scheme IN ('http', 'https') ORDER BY url_key
+        """,
+        # URL admission filter: same canonical-construction CTE as
+        # url_canonicalize, then the rule CASE in the engine's exact
+        # first-match order (blocked host, '/x/' prefix, >= 2 params).
+        "url_filter_rules": """
+            WITH k AS (SELECT o_orderkey AS key FROM orders),
+            parts AS (SELECT key,
+                CASE WHEN key % 11 = 0 THEN 'ftp'
+                     WHEN key % 3 = 0 THEN 'http'
+                     ELSE 'https' END AS scheme,
+                'host' || CAST(key % 40 AS VARCHAR) || '.example.com'
+                    AS bare,
+                CASE key % 4 WHEN 0 THEN ''
+                     WHEN 1 THEN '/a/./p' || CAST(key % 10 AS VARCHAR)
+                     WHEN 2 THEN '/a//p' || CAST(key % 10 AS VARCHAR)
+                     ELSE '/x/y' || CAST(key % 10 AS VARCHAR)
+                     END AS rawpath,
+                CASE WHEN key % 2 = 0
+                     THEN 'z=9&a=' || CAST(key % 8 AS VARCHAR)
+                     ELSE '' END AS rawq
+              FROM k),
+            norm AS (SELECT key,
+                'www.' || bare AS host,
+                CASE WHEN rawpath = '' THEN '/'
+                     ELSE replace(replace(rawpath, '/./', '/'),
+                                  '//', '/') END AS path,
+                CASE WHEN rawq = ''
+                     THEN 0 ELSE len(string_split(rawq, '&')) END
+                    AS n_params
+              FROM parts WHERE scheme IN ('http', 'https'))
+            SELECT key AS url_key, host,
+                   CASE WHEN host IN ('www.host7.example.com',
+                                      'www.host23.example.com')
+                             THEN FALSE
+                        WHEN path LIKE '/x/%' THEN FALSE
+                        WHEN n_params >= 2 THEN FALSE
+                        ELSE TRUE END AS keep,
+                   CASE WHEN host IN ('www.host7.example.com',
+                                      'www.host23.example.com')
+                             THEN 'blocked_host'
+                        WHEN path LIKE '/x/%' THEN 'blocked_prefix'
+                        WHEN n_params >= 2 THEN 'too_many_params'
+                        ELSE '' END AS reason
+            FROM norm ORDER BY url_key
         """,
         # Exact substring-span dedup (Lee et al. 2021 ExactSubstr report
         # over word-8-gram windows): shingles via a windowed string_agg,
@@ -2076,6 +2130,54 @@ def _oracle_sql_build() -> dict[str, str]:
             FROM inter JOIN sizes sa ON sa.doc_id = doc_a
             WHERE CAST(i AS DOUBLE) / sa.n >= 0.9
             ORDER BY doc_a, doc_b
+        """,
+        # IDF-weighted set cosine over word-3-gram shingles — the
+        # all-pairs SQL certifies the count-join plan's exact
+        # Σ w² dots AND the per-doc norms end-to-end.  Both engines
+        # round to 4 digits BEFORE the threshold.
+        "simjoin_tfidf_cosine": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+              FROM toks,
+                   UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+            ),
+            n AS (SELECT count(*) AS n FROM documents),
+            df AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+            w AS (SELECT doc_id, g, ln(CAST(n.n AS DOUBLE) / df.c) AS w
+                  FROM grams JOIN df USING (g) CROSS JOIN n),
+            nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w
+                    GROUP BY doc_id),
+            dt AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          sum(a.w * b.w) AS dt
+                   FROM w a JOIN w b
+                     ON a.g = b.g AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(dt / (x.nrm * y.nrm), 4) AS cosine
+            FROM dt JOIN nrm x ON doc_a = x.doc_id
+                    JOIN nrm y ON doc_b = y.doc_id
+            WHERE x.nrm > 0 AND y.nrm > 0
+              AND round(dt / (x.nrm * y.nrm), 4) >= 0.8
+            ORDER BY doc_a, doc_b
+        """,
+        # Prefix dedup: the oracle groups TRUE first-12-token prefix
+        # strings (the engine keys the splitmix64 chain; identical
+        # absent collisions, same caveat as dedup_exact).
+        "dedup_prefix_tokens": """
+            WITH tok AS (SELECT doc_id,
+                                regexp_extract_all(lower(text),
+                                                   '[a-z0-9_]+') AS t
+                         FROM documents),
+            p AS (SELECT doc_id, array_to_string(t[1:12], ' ') AS prefix
+                  FROM tok)
+            SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+            FROM p GROUP BY prefix ORDER BY doc_id
         """,
         "dedup_embedding": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -1008,3 +1008,294 @@ def _containment_counts_driver(sh: np.ndarray, doc: np.ndarray,
         "doc_b": pa.array(uniq[:, 1][keep], pa.int64()),
         "containment": pa.array(_round_half_away(c[keep]), pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# IDF-weighted set-cosine similarity join (tf-idf cosine over shingles)
+# ---------------------------------------------------------------------------
+
+def simjoin_tfidf_cosine(sf_dir: str, threshold: float = 0.8,
+                         verify_distributed: bool | None = None,
+                         driver_row_threshold: int = 200_000,
+                         driver_pair_budget: int = 50_000_000,
+                         pair_buckets: int = 64):
+    """Unordered near-dup pairs under IDF-WEIGHTED COSINE over distinct
+    word-3-gram shingles — the sparse-vector similarity join (Bayardo
+    2007's all-pairs problem) with binary tf and w(sh) = ln(N/df(sh)):
+    cosine(A,B) = Σ_{sh∈A∩B} w² / (‖A‖·‖B‖).  Complements the suite's
+    other similarity notions: containment is asymmetric overlap, Jaccard
+    ignores term rarity — idf-cosine DISCOUNTS boilerplate shingles, so
+    two docs agreeing only on ubiquitous template text never pair.
+
+    Same plan family as dedup_containment: the (sh, doc) stream
+    self-joins on the shingle and per-pair partials reduce through the
+    shared pair-bucket pattern — but each matched row carries w²(sh)
+    (attached by ONE vocab-sized df join) and the reduce SUMS weights
+    instead of counting; ‖doc‖ comes from a per-doc grouped Σw² the
+    final pair table joins twice (pair-volume-sized, never the corpus).
+    Both engines round the cosine to 4 digits BEFORE the threshold so a
+    last-ulp ln()/summation difference can never flip the cutoff.
+
+    Adaptive dispatch mirrors dedup_containment (row-count bound on the
+    pull, exact Σ df² budget on the expansion; the driver kernel chunks
+    its expansion).  Collision caveat as paragraph_dedup: identity is
+    the 63-bit shingle hash; the SQL oracle compares true strings and
+    would flag an actual collision."""
+    import ray
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    from . import table_num_rows
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = table_num_rows(sf_dir, "documents")
+
+    def sh_rows(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"])
+        sh, par = word_shingle_hashes(t["text"])  # distinct+sorted per doc
+        return pa.table({"sh": pa.array(sh, pa.int64()),
+                         "doc_a": pa.array(ids[par], pa.int64())})
+
+    rows = ds.map_batches(sh_rows, batch_format="pyarrow").materialize()
+    n_rows = rows.count()
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+    if n_rows == 0:
+        return rd.from_arrow(empty)
+    if verify_distributed is None and n_rows <= driver_row_threshold:
+        t = rows.to_pandas()  # bounded by driver_row_threshold
+        sh_np = t["sh"].to_numpy(np.int64)
+        _, df_cnt = np.unique(sh_np, return_counts=True)
+        if int((df_cnt.astype(np.int64) ** 2).sum()) <= driver_pair_budget:
+            out = _idf_cosine_driver(sh_np, t["doc_a"].to_numpy(np.int64),
+                                     n_docs, threshold)
+            return rd.from_arrow(out).sort(["doc_a", "doc_b"])
+    elif verify_distributed is False:
+        t = rows.to_pandas()  # caller forced the driver tier (tests)
+        out = _idf_cosine_driver(t["sh"].to_numpy(np.int64),
+                                 t["doc_a"].to_numpy(np.int64),
+                                 n_docs, threshold)
+        return rd.from_arrow(out).sort(["doc_a", "doc_b"])
+
+    # ---- distributed tier -------------------------------------------
+    # df(sh): per-block partial counts -> ONE vocab-keyed grouped sum
+    # (rows are distinct per doc, so block partials sum to true df)
+    def df_partials(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(pa.table({"sh": t["sh"]}),
+                            ["sh"]).aggregate([([], "count_all")])
+        return g.rename_columns(["sh", "c"])
+
+    df_tab = (rows.map_batches(df_partials, batch_format="pyarrow")
+              .groupby("sh").aggregate(Sum("c", alias_name="df")))
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    nparts = max(2, min(16, cpus // 2))
+    # attach w²(sh) to every row with ONE hash join on the shingle —
+    # the df table is vocab-sized, which at web scale is corpus-sized:
+    # never broadcast it
+    probe = rows.repartition(max(1, min(16, n_rows)))
+    rows_w = probe.join(df_tab.repartition(4), join_type="inner",
+                        num_partitions=nparts, on=("sh",), right_on=("sh",))
+
+    def w2_col(t: pa.Table) -> pa.Table:
+        df_v = np.asarray(t["df"], dtype=np.float64)
+        w = np.log(float(n_docs) / df_v)
+        return pa.table({"sh": t["sh"], "doc_a": t["doc_a"],
+                         "w2": pa.array(w * w, pa.float64())})
+
+    rows_w = rows_w.map_batches(w2_col, batch_format="pyarrow").materialize()
+
+    # per-doc squared norms: block partials -> doc-keyed grouped sum
+    def nrm_partials(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(pa.table({"doc": t["doc_a"], "w2": t["w2"]}),
+                            ["doc"]).aggregate([("w2", "sum")])
+        return g.rename_columns(["doc", "n2"])
+
+    norms = (rows_w.map_batches(nrm_partials, batch_format="pyarrow")
+             .groupby("doc").aggregate(Sum("n2", alias_name="n2")))
+
+    index = rows_w.map_batches(
+        lambda t: pa.table({"sh": t["sh"], "doc_b": t["doc_a"]}),
+        batch_format="pyarrow")
+    matched = rows_w.join(index, join_type="inner",
+                          num_partitions=nparts, on=("sh",), right_on=("sh",))
+
+    def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["doc_a"].to_numpy()
+        b = df["doc_b"].to_numpy()
+        df = df[a < b]  # unordered pairs once (cosine is symmetric)
+        g = (df.groupby(["doc_a", "doc_b"], sort=False)
+             .agg(dot=("w2", "sum")).reset_index())
+        key = _splitmix64(g["doc_a"].to_numpy().astype(np.uint64)
+                          ^ _splitmix64(g["doc_b"].to_numpy().astype(np.uint64)))
+        g["pb"] = (key % np.uint64(pair_buckets)).astype(np.int64)
+        return g
+
+    def dot_group(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["doc_a", "doc_b"], sort=False)
+                .agg(dot=("dot", "sum")).reset_index())
+
+    pairs = (matched.map_batches(pair_partials, batch_format="pandas")
+             .groupby("pb").map_groups(dot_group, batch_format="pandas"))
+
+    # attach both norms (pair-volume-sized joins), then the final filter
+    na = norms.map_batches(
+        lambda t: pa.table({"doc_a": t["doc"], "na2": t["n2"]}),
+        batch_format="pyarrow").repartition(4)
+    nb = norms.map_batches(
+        lambda t: pa.table({"doc_b": t["doc"], "nb2": t["n2"]}),
+        batch_format="pyarrow").repartition(4)
+    pairs = pairs.repartition(4).join(
+        na, join_type="inner", num_partitions=nparts,
+        on=("doc_a",), right_on=("doc_a",))
+    pairs = pairs.repartition(4).join(
+        nb, join_type="inner", num_partitions=nparts,
+        on=("doc_b",), right_on=("doc_b",))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        na2 = np.asarray(t["na2"], dtype=np.float64)
+        nb2 = np.asarray(t["nb2"], dtype=np.float64)
+        dot = np.asarray(t["dot"], dtype=np.float64)
+        ok = (na2 > 0) & (nb2 > 0)
+        cos = np.zeros(len(dot))
+        cos[ok] = dot[ok] / (np.sqrt(na2[ok]) * np.sqrt(nb2[ok]))
+        cos_r = _round_half_away(cos)
+        keep = ok & (cos_r >= threshold)
+        return pa.table({
+            "doc_a": pc.array_filter(t["doc_a"], pa.array(keep)),
+            "doc_b": pc.array_filter(t["doc_b"], pa.array(keep)),
+            "cosine": pa.array(cos_r[keep], pa.float64())})
+
+    return (pairs.map_batches(finalize, batch_format="pyarrow")
+            .sort(["doc_a", "doc_b"]))
+
+
+def _idf_cosine_driver(sh: np.ndarray, doc: np.ndarray, n_docs: int,
+                       threshold: float,
+                       chunk_rows: int = 4_000_000) -> pa.Table:
+    """Driver-tier exact idf-cosine pairs: the containment kernel's
+    chunked shingle-group expansion, accumulating Σ w²(sh) per unordered
+    pair instead of counts (np.add.at with weights), plus the per-doc
+    squared-norm reduce.  Memory stays O(chunk_rows + distinct pairs)."""
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+    if not len(sh):
+        return empty
+    u, inv, cnt = np.unique(sh, return_inverse=True, return_counts=True)
+    w2 = np.log(float(n_docs) / cnt.astype(np.float64)) ** 2
+    w2_row = w2[inv]
+    docs_u, dinv = np.unique(doc, return_inverse=True)
+    n2 = np.zeros(len(docs_u))
+    np.add.at(n2, dinv, w2_row)
+    nrm = np.sqrt(n2)
+    order = np.argsort(sh, kind="mergesort")
+    sh_s, doc_s, w2_s = sh[order], doc[order], w2_row[order]
+    starts = np.nonzero(np.r_[True, sh_s[1:] != sh_s[:-1]])[0]
+    counts = np.diff(np.r_[starts, len(sh_s)])
+    multi = counts > 1
+    starts, counts = starts[multi], counts[multi]
+    if not len(counts):
+        return empty
+    sq = counts.astype(np.int64) ** 2
+    bounds = [0]
+    acc = 0
+    for i, s in enumerate(sq):
+        if acc and acc + s > chunk_rows:
+            bounds.append(i)
+            acc = 0
+        acc += int(s)
+    bounds.append(len(sq))
+    part_pairs, part_dots = [], []
+    for lo, hi in zip(bounds, bounds[1:]):
+        sq_c, starts_c, counts_c = sq[lo:hi], starts[lo:hi], counts[lo:hi]
+        tot = int(sq_c.sum())
+        grp = np.repeat(np.arange(hi - lo), sq_c)
+        pos = (np.arange(tot, dtype=np.int64)
+               - np.repeat(np.cumsum(sq_c) - sq_c, sq_c))
+        c_g = counts_c[grp]
+        s_g = starts_c[grp]
+        a = doc_s[s_g + pos // c_g]
+        b = doc_s[s_g + pos % c_g]
+        wv = w2_s[s_g]  # w² is constant within a shingle group
+        m = a < b  # each unordered pair once per shared shingle
+        pairs = np.stack([a[m], b[m]], axis=1)
+        if len(pairs):
+            uniq, pinv = np.unique(pairs, axis=0, return_inverse=True)
+            dots = np.zeros(len(uniq))
+            np.add.at(dots, pinv.ravel(), wv[m])
+            part_pairs.append(uniq)
+            part_dots.append(dots)
+    if not part_pairs:
+        return empty
+    allp = np.concatenate(part_pairs)
+    alld = np.concatenate(part_dots)
+    uniq, pinv = np.unique(allp, axis=0, return_inverse=True)
+    dot = np.zeros(len(uniq))
+    np.add.at(dot, pinv.ravel(), alld)
+    nrm_by = dict(zip(docs_u.tolist(), nrm.tolist()))
+    na = np.asarray([nrm_by[int(x)] for x in uniq[:, 0]])
+    nb = np.asarray([nrm_by[int(x)] for x in uniq[:, 1]])
+    ok = (na > 0) & (nb > 0)
+    cos = np.zeros(len(dot))
+    cos[ok] = dot[ok] / (na[ok] * nb[ok])
+    cos_r = _round_half_away(cos)
+    keep = ok & (cos_r >= threshold)
+    return pa.table({
+        "doc_a": pa.array(uniq[:, 0][keep], pa.int64()),
+        "doc_b": pa.array(uniq[:, 1][keep], pa.int64()),
+        "cosine": pa.array(cos_r[keep], pa.float64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# Prefix dedup (first-n-token identity)
+# ---------------------------------------------------------------------------
+
+def dedup_prefix_tokens(sf_dir: str, n_tokens: int = 12):
+    """Prefix dedup — docs sharing their first n_tokens lowercase tokens
+    collapse to one keeper: the cheap high-recall pass real web prep
+    runs BEFORE fuzzy dedup (mirror pages and templated articles share
+    long prefixes even when tails diverge; CCNet/RefinedWeb both ship a
+    variant).  Returns one row per prefix group: keeper doc_id (min) +
+    group size, like dedup_exact.
+
+    Scale shape: the group key is a uint64 splitmix64 chain over the
+    first n token hashes (n vectorized rounds over the batch — the
+    hash_string_array loop pattern), so ONLY (hash, doc_id) int64 pairs
+    enter the grouped (Min, Count) reduce; text never shuffles.  Short
+    docs chain min(len, n) tokens with the length mixed in, so a
+    3-token doc never collides with a 12-token doc sharing those 3.
+    Identity is the 64-bit chain (collision caveat as dedup_exact's
+    hash keying; the SQL oracle groups true prefix strings)."""
+    from ray.data.aggregate import Count, Min
+
+    from ..common.tokens import token_hashes
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def prefix_hash(t: pa.Table) -> pa.Table:
+        th, parent = token_hashes(t["text"])
+        nd = t.num_rows
+        idx = np.arange(nd, dtype=np.int64)
+        starts = np.searchsorted(parent, idx, side="left")
+        ends = np.searchsorted(parent, idx, side="right")
+        ln = ends - starts
+        h = np.full(nd, np.uint64(0x9E3779B97F4A7C15), np.uint64)
+        for j in range(n_tokens):
+            rows = ln > j
+            if not rows.any():
+                break
+            h[rows] = _splitmix64(h[rows] ^ th[starts[rows] + j])
+        h = _splitmix64(h ^ np.minimum(ln, n_tokens).astype(np.uint64))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "prefix_hash": pa.array((h & _MASK63).astype(np.int64))})
+
+    out = (ds.map_batches(prefix_hash, batch_format="pyarrow")
+           .groupby("prefix_hash")
+           .aggregate(Min("doc_id", alias_name="doc_id"),
+                      Count(alias_name="n_dups")))
+    return out.drop_columns(["prefix_hash"]).sort("doc_id")

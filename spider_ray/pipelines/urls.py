@@ -76,3 +76,64 @@ def url_canonicalize(sf_dir: str):
                         schema=_SCHEMA)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# Rule-based URL admission filter (the RefinedWeb/C4-style URL gate
+# crawlers run BEFORE fetching).  Blocklist hosts are picked from the
+# recipe's host space so the rule fires deterministically at every sf.
+_BLOCKED_HOSTS = frozenset({
+    "www.host7.example.com",
+    "www.host23.example.com",
+})
+
+
+def url_filter_rules(sf_dir: str):
+    """URL admission filter over the canonical URL stream: first match
+    of (blocked host, blocked path prefix '/x/', >= 2 query params)
+    rejects with a reason; anything else is admitted.  Returns
+    (url_key, host, keep, reason) for every CRAWLABLE constructed URL —
+    the decision a frontier makes per discovered link before spending a
+    fetch (the reference crawls unconditionally; this is the graft's
+    scale gate, same altitude as stages/crawl.py robots checks).
+
+    Scale shape: the blocklist is a tiny broadcast frozenset captured
+    by the batch closure (ray.put-equivalent for module constants —
+    shipped once per task, never per row); rules evaluate on the
+    already-canonical fields, so the kernel composes with the fetch
+    actors' per-link canonicalization without a second parse."""
+    from spider_ray.common.urlnorm import canonicalize, host_of, path_of
+
+    ds = _rp(sf_dir, "orders", ["o_orderkey"])
+
+    _SCHEMA = pa.schema([("url_key", pa.int64()), ("host", pa.string()),
+                         ("keep", pa.bool_()), ("reason", pa.string())])
+
+    def fn(t: pa.Table) -> pa.Table:
+        keys, hosts, keeps, reasons = [], [], [], []
+        for k in t["o_orderkey"].to_pylist():
+            c = canonicalize(_raw_url(int(k)))
+            if c is None:
+                continue  # non-crawlable scheme: never reaches the filter
+            host = host_of(c)
+            path = path_of(c)
+            q = c.split("?", 1)
+            n_params = q[1].count("&") + 1 if len(q) > 1 else 0
+            if host in _BLOCKED_HOSTS:
+                keep, reason = False, "blocked_host"
+            elif path.startswith("/x/"):
+                keep, reason = False, "blocked_prefix"
+            elif n_params >= 2:
+                keep, reason = False, "too_many_params"
+            else:
+                keep, reason = True, ""
+            keys.append(int(k))
+            hosts.append(host)
+            keeps.append(keep)
+            reasons.append(reason)
+        return pa.table({"url_key": pa.array(keys, pa.int64()),
+                         "host": pa.array(hosts, pa.string()),
+                         "keep": pa.array(keeps, pa.bool_()),
+                         "reason": pa.array(reasons, pa.string())},
+                        schema=_SCHEMA)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

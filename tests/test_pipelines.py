@@ -817,6 +817,9 @@ class TestRound3LateOperators:
         ("global_shuffle_rank", ["position"]),
         ("dedup_simhash_tok8", ["doc_a", "doc_b"]),
         ("ann_lsh_topk_quantized", ["query_id", "neighbor_id"]),
+        ("simjoin_tfidf_cosine", ["doc_a", "doc_b"]),
+        ("dedup_prefix_tokens", ["doc_id"]),
+        ("url_filter_rules", ["url_key"]),
     ])
     def test_matches_oracle(self, name, keys):
         import duckdb
@@ -3441,6 +3444,77 @@ class TestContainmentDedup:
             contain_corpus,
             verify_distributed=True).to_pandas().reset_index(drop=True)
         pd.testing.assert_frame_equal(drv, dist, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIdfCosineSimjoin:
+    """IDF-weighted set cosine: boilerplate-overlap discounting (the
+    property Jaccard/containment lack) + both-tier equality (the oracle
+    hash gate runs in test_matches_oracle)."""
+
+    @pytest.fixture(scope="class")
+    def idf_corpus(self, tmp_path_factory):
+        d = str(tmp_path_factory.mktemp("idfcos"))
+        # boilerplate shared by EVERY doc (ubiquitous shingles -> w≈0);
+        # docs 0/1 additionally share a RARE 10-token block
+        boiler = " ".join(f"footer{i:02d}" for i in range(12))
+        rare = " ".join(f"rare{i:02d}" for i in range(10))
+        texts = ([f"{rare} {boiler}", f"{rare} {boiler} tail00 tail01"]
+                 + [f"unique{j:03d}a unique{j:03d}b unique{j:03d}c "
+                    f"unique{j:03d}d {boiler}" for j in range(20)])
+        pq.write_table(pa.table({
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }), f"{d}/documents.parquet")
+        return d
+
+    def test_discounts_boilerplate_overlap(self, idf_corpus):
+        from spider_ray.pipelines.dedup import simjoin_tfidf_cosine
+
+        df = simjoin_tfidf_cosine(idf_corpus, threshold=0.5).to_pandas()
+        pairs = set(zip(df["doc_a"], df["doc_b"]))
+        assert (0, 1) in pairs  # the rare shared block dominates
+        # filler docs share ONLY boilerplate with each other: their
+        # idf-discounted cosine must stay below the cut
+        assert all(a <= 1 or b <= 1 for a, b in pairs)
+
+    def test_verify_paths_agree(self, idf_corpus):
+        from spider_ray.pipelines.dedup import simjoin_tfidf_cosine
+
+        drv = simjoin_tfidf_cosine(
+            idf_corpus, threshold=0.5,
+            verify_distributed=False).to_pandas().reset_index(drop=True)
+        dist = simjoin_tfidf_cosine(
+            idf_corpus, threshold=0.5,
+            verify_distributed=True).to_pandas().reset_index(drop=True)
+        pd.testing.assert_frame_equal(drv, dist, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPrefixDedup:
+    """First-n-token prefix identity: shared-prefix collapse, short-doc
+    length mixing, keeper = min doc_id."""
+
+    def test_prefix_groups(self, tmp_path):
+        from spider_ray.pipelines.dedup import dedup_prefix_tokens
+
+        d = str(tmp_path)
+        prefix = " ".join(f"w{i:02d}" for i in range(12))
+        texts = [
+            prefix + " tail one",      # 0: same 12-token prefix...
+            prefix + " other ending",  # 1: ...collapses with 0
+            "w00 w01 w02",             # 2: 3-token PROPER PREFIX of the
+                                       #    12-token one: must NOT merge
+            "w00 w01 w02",             # 3: exact short dup of 2
+            "completely different document here",  # 4
+        ]
+        pq.write_table(pa.table({
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }), f"{d}/documents.parquet")
+        df = (dedup_prefix_tokens(d).to_pandas()
+              .set_index("doc_id")["n_dups"].to_dict())
+        assert df == {0: 2, 2: 2, 4: 1}
 
 
 @pytest.mark.usefixtures("ray_session")
