@@ -161,6 +161,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repeated_shingles_topk": ts.repeated_shingles_topk,
         "lexical_diversity": ts.lexical_diversity,
         "token_entropy_by_lang": ts.token_entropy_by_lang,
+        # per-lang Zipf's-law slope fit (corpus-health diagnostic)
+        "zipf_slope_by_lang": ts.zipf_slope_by_lang,
         "chunk_documents": ts.chunk_documents,
         "decontaminate_docs": ts.decontaminate_docs,
         "unigram_logprob_score": ts.unigram_logprob_score,
@@ -1531,6 +1533,25 @@ def _oracle_sql_build() -> dict[str, str]:
                    count(DISTINCT token) AS vocab,
                    round(entropy(token), 4) AS token_entropy
             FROM tok GROUP BY lang ORDER BY lang
+        """,
+        # Zipf slope: rank order (tf DESC, token ASC) is deterministic
+        # in both engines; regr_slope == the engine's textbook OLS form.
+        "zipf_slope_by_lang": """
+            WITH tok AS (SELECT lang,
+                                unnest(regexp_extract_all(lower(text),
+                                       '[a-z0-9_]+')) AS token
+                         FROM documents),
+            tf AS (SELECT lang, token, count(*) AS tf FROM tok
+                   GROUP BY 1, 2),
+            r AS (SELECT lang, tf,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY tf DESC, token)
+                             AS rank
+                  FROM tf)
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_ranks,
+                   round(regr_slope(ln(tf), ln(rank)), 4) AS zipf_slope
+            FROM r WHERE rank <= 30
+            GROUP BY lang HAVING count(*) >= 2 ORDER BY lang
         """,
         "cube_orders_status_priority": """
             SELECT coalesce(o_orderstatus, 'ALL') AS status,

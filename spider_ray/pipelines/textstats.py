@@ -785,3 +785,56 @@ def quality_quantile_gate(sf_dir: str, q: float = 0.75):
 
     return (scored.map_batches(gate, batch_format="pyarrow")
             .sort("doc_id"))
+
+
+def zipf_slope_by_lang(sf_dir: str, top_ranks: int = 30):
+    """Zipf's-law fit per language: OLS slope of ln(freq) on ln(rank)
+    over the top-`top_ranks` token frequencies — the corpus-health
+    diagnostic web-text prep runs to spot boilerplate-dominated or
+    machine-generated slices (natural language sits near −1; a flat or
+    cliffed slope flags template text).  Returns (lang, n_ranks,
+    zipf_slope); rank order is (freq DESC, token ASC) in both engines
+    so ties can never flip a rank.
+
+    Scale shape: per-block (lang, token) partial counts -> ONE grouped
+    sum (vocab-sized shuffle, same as tfidf) -> per-lang fit inside
+    map_groups on the top-K rows only.  The slope uses the textbook
+    regr_slope form ((Σxy − ΣxΣy/n) / (Σx² − (Σx)²/n)) so DuckDB's
+    aggregate reproduces it to 4 digits."""
+    from ray.data.aggregate import Sum
+
+    from ..common.tokens import split_tokens
+
+    ds = _rp(sf_dir, "documents", ["lang", "text"])
+
+    def tf_partials(t: pa.Table) -> pa.Table:
+        flat, parent = split_tokens(t["text"], lower=True)
+        g = pa.TableGroupBy(pa.table({
+            "lang": pc.take(t["lang"], pa.array(parent)),
+            "token": flat,
+        }), ["lang", "token"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "token", "tf"])
+
+    tf = (ds.map_batches(tf_partials, batch_format="pyarrow")
+          .groupby(["lang", "token"]).aggregate(Sum("tf", alias_name="tf")))
+
+    def fit(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(neg=-df["tf"])
+        df = df.sort_values(["neg", "token"], kind="mergesort")
+        f = df["tf"].to_numpy(np.float64)[:top_ranks]
+        n = len(f)
+        if n < 2:  # slope undefined (SQL regr_slope is NULL): drop
+            return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                                 "n_ranks": pd.Series([], dtype=np.int64),
+                                 "zipf_slope": pd.Series([], dtype=float)})
+        x = np.log(np.arange(1, n + 1, dtype=np.float64))
+        y = np.log(f)
+        sx, sy = x.sum(), y.sum()
+        slope = ((x * y).sum() - sx * sy / n) / ((x * x).sum() - sx * sx / n)
+        slope = np.floor(np.abs(slope) * 1e4 + 0.5) / 1e4 * np.sign(slope)
+        return pd.DataFrame({"lang": df["lang"].iloc[:1],
+                             "n_ranks": [n],
+                             "zipf_slope": [float(slope)]})
+
+    return (tf.groupby("lang").map_groups(fit, batch_format="pandas")
+            .sort("lang"))

@@ -820,6 +820,7 @@ class TestRound3LateOperators:
         ("simjoin_tfidf_cosine", ["doc_a", "doc_b"]),
         ("dedup_prefix_tokens", ["doc_id"]),
         ("url_filter_rules", ["url_key"]),
+        ("zipf_slope_by_lang", ["lang"]),
     ])
     def test_matches_oracle(self, name, keys):
         import duckdb
