@@ -207,6 +207,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_style_filter": wt.c4_style_filter,
         "webtext_prep_v2": wt.webtext_prep_v2,
         "webtext_prep_v3": wt.webtext_prep_v3,
+        # composed v4: prefix dedup -> idf-cosine near-dup removal ->
+        # token floor -> per-lang integer stats, ONE composed oracle
+        "webtext_prep_v4": wt.webtext_prep_v4,
         "global_shuffle_rank": wt.global_shuffle_rank,
         # URL-identity kernel conformance: the engine's canonicalizer
         # (the seen set's key function) vs an independent SQL replica
@@ -692,6 +695,48 @@ def _oracle_sql_build() -> dict[str, str]:
                    CAST(sum(kept_tokens) AS BIGINT) AS tokens,
                    CAST(sum(length(text_dedup)) AS BIGINT) AS chars
             FROM survivors GROUP BY 1 ORDER BY split
+        """,
+        # Composed prep v4 as ONE statement: prefix-group keepers,
+        # idf-cosine pairs over the SURVIVORS (idf denominator = the
+        # survivor count), higher-id drop, token floor, per-lang
+        # integer stats.  Any divergence in any stage breaks the hash.
+        "webtext_prep_v4": """
+            WITH tok AS (SELECT doc_id, lang, text,
+                                regexp_extract_all(lower(text),
+                                                   '[a-z0-9_]+') AS t
+                         FROM documents),
+            surv AS (SELECT doc_id, lang, text, t FROM tok
+                     QUALIFY doc_id = min(doc_id) OVER (
+                         PARTITION BY array_to_string(t[1:12], ' '))),
+            n AS (SELECT count(*) AS n FROM surv),
+            grams AS (SELECT DISTINCT doc_id,
+                             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+                      FROM surv,
+                           UNNEST(generate_series(1,
+                               greatest(len(t) - 2, 0))) AS u(i)),
+            df AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+            w AS (SELECT doc_id, g,
+                         ln(CAST(n.n AS DOUBLE) / df.c) AS w
+                  FROM grams JOIN df USING (g) CROSS JOIN n),
+            nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w
+                    GROUP BY doc_id),
+            dt AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          sum(a.w * b.w) AS dt
+                   FROM w a JOIN w b
+                     ON a.g = b.g AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+            drops AS (SELECT DISTINCT doc_b FROM dt
+                      JOIN nrm x ON doc_a = x.doc_id
+                      JOIN nrm y ON doc_b = y.doc_id
+                      WHERE x.nrm > 0 AND y.nrm > 0
+                        AND round(dt / (x.nrm * y.nrm), 4) >= 0.8)
+            SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+                   CAST(sum(len(t)) AS BIGINT) AS tokens,
+                   CAST(sum(length(text)) AS BIGINT) AS chars
+            FROM surv
+            WHERE doc_id NOT IN (SELECT doc_b FROM drops)
+              AND len(t) >= 15
+            GROUP BY lang ORDER BY lang
         """,
         # ExactSubstr REMOVAL applied: kept (uncovered) tokens rejoined
         # per doc; same dup/cov machinery as the span report, then an

@@ -299,3 +299,25 @@ def split_by_doc(values: np.ndarray, parent: np.ndarray,
     """Per-doc views of a (parent-sorted) flat array — cheap np.split."""
     counts = np.bincount(parent, minlength=n_docs)
     return np.split(values, np.cumsum(counts)[:-1])
+
+
+def prefix_chain_hashes(col, n_tokens: int = 12) -> np.ndarray:
+    """Per-doc uint64 identity of the first n_tokens lowercase tokens:
+    a splitmix64 chain over the token hashes (n vectorized rounds — the
+    hash_string_array loop pattern) with min(len, n) mixed in, so a
+    short doc never collides with a longer one sharing its tokens.
+    Shared by dedup_prefix_tokens and the composed prep pipelines."""
+    col = _as_array(col)
+    th, parent = token_hashes(col)
+    nd = len(col)
+    idx = np.arange(nd, dtype=np.int64)
+    starts = np.searchsorted(parent, idx, side="left")
+    ends = np.searchsorted(parent, idx, side="right")
+    ln = ends - starts
+    h = np.full(nd, np.uint64(0x9E3779B97F4A7C15), np.uint64)
+    for j in range(n_tokens):
+        rows = ln > j
+        if not rows.any():
+            break
+        h[rows] = _splitmix64(h[rows] ^ th[starts[rows] + j])
+    return _splitmix64(h ^ np.minimum(ln, n_tokens).astype(np.uint64))

@@ -1019,6 +1019,23 @@ def simjoin_tfidf_cosine(sf_dir: str, threshold: float = 0.8,
                          driver_row_threshold: int = 200_000,
                          driver_pair_budget: int = 50_000_000,
                          pair_buckets: int = 64):
+    """The documents-table query wrapper — see simjoin_tfidf_cosine_ds
+    for semantics and scale shape."""
+    from . import table_num_rows
+
+    return simjoin_tfidf_cosine_ds(
+        _rp(sf_dir, "documents", ["doc_id", "text"]),
+        table_num_rows(sf_dir, "documents"), threshold=threshold,
+        verify_distributed=verify_distributed,
+        driver_row_threshold=driver_row_threshold,
+        driver_pair_budget=driver_pair_budget, pair_buckets=pair_buckets)
+
+
+def simjoin_tfidf_cosine_ds(ds, n_docs: int, threshold: float = 0.8,
+                            verify_distributed: bool | None = None,
+                            driver_row_threshold: int = 200_000,
+                            driver_pair_budget: int = 50_000_000,
+                            pair_buckets: int = 64):
     """Unordered near-dup pairs under IDF-WEIGHTED COSINE over distinct
     word-3-gram shingles — the sparse-vector similarity join (Bayardo
     2007's all-pairs problem) with binary tf and w(sh) = ln(N/df(sh)):
@@ -1040,16 +1057,15 @@ def simjoin_tfidf_cosine(sf_dir: str, threshold: float = 0.8,
     pull, exact Σ df² budget on the expansion; the driver kernel chunks
     its expansion).  Collision caveat as paragraph_dedup: identity is
     the 63-bit shingle hash; the SQL oracle compares true strings and
-    would flag an actual collision."""
+    would flag an actual collision.
+
+    `ds` is any Dataset with (doc_id, text); `n_docs` is the caller's
+    corpus size for the idf denominator (the composed prep pipelines
+    pass the SURVIVOR count of their upstream stage)."""
     import ray
     import ray.data as rd
 
     from ray.data.aggregate import Sum
-
-    from . import table_num_rows
-
-    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
-    n_docs = table_num_rows(sf_dir, "documents")
 
     def sh_rows(t: pa.Table) -> pa.Table:
         ids = np.asarray(t["doc_id"])
@@ -1262,34 +1278,22 @@ def dedup_prefix_tokens(sf_dir: str, n_tokens: int = 12):
     variant).  Returns one row per prefix group: keeper doc_id (min) +
     group size, like dedup_exact.
 
-    Scale shape: the group key is a uint64 splitmix64 chain over the
-    first n token hashes (n vectorized rounds over the batch — the
-    hash_string_array loop pattern), so ONLY (hash, doc_id) int64 pairs
-    enter the grouped (Min, Count) reduce; text never shuffles.  Short
-    docs chain min(len, n) tokens with the length mixed in, so a
-    3-token doc never collides with a 12-token doc sharing those 3.
+    Scale shape: the group key is the shared prefix_chain_hashes kernel
+    (common/tokens — a uint64 splitmix64 chain over the first n token
+    hashes, n vectorized rounds over the batch, length mixed in), so
+    ONLY (hash, doc_id) int64 pairs enter the grouped (Min, Count)
+    reduce; text never shuffles.  A 3-token doc never collides with a
+    12-token doc sharing those 3 (length is part of the chain).
     Identity is the 64-bit chain (collision caveat as dedup_exact's
     hash keying; the SQL oracle groups true prefix strings)."""
     from ray.data.aggregate import Count, Min
 
-    from ..common.tokens import token_hashes
+    from ..common.tokens import prefix_chain_hashes
 
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
 
     def prefix_hash(t: pa.Table) -> pa.Table:
-        th, parent = token_hashes(t["text"])
-        nd = t.num_rows
-        idx = np.arange(nd, dtype=np.int64)
-        starts = np.searchsorted(parent, idx, side="left")
-        ends = np.searchsorted(parent, idx, side="right")
-        ln = ends - starts
-        h = np.full(nd, np.uint64(0x9E3779B97F4A7C15), np.uint64)
-        for j in range(n_tokens):
-            rows = ln > j
-            if not rows.any():
-                break
-            h[rows] = _splitmix64(h[rows] ^ th[starts[rows] + j])
-        h = _splitmix64(h ^ np.minimum(ln, n_tokens).astype(np.uint64))
+        h = prefix_chain_hashes(t["text"], n_tokens)
         return pa.table({
             "doc_id": t["doc_id"],
             "prefix_hash": pa.array((h & _MASK63).astype(np.int64))})

@@ -1582,6 +1582,116 @@ def webtext_prep_v3(sf_dir: str, force_distributed: bool = False):
             .sort("split"))
 
 
+def webtext_prep_v4(sf_dir: str, cosine_threshold: float = 0.8,
+                    min_tokens: int = 15, prefix_n: int = 12,
+                    force_distributed: bool = False,
+                    bcast_max_drops: int = 2_000_000):
+    """Composed webtext prep v4, hash-checked END TO END against ONE
+    SQL statement: token-PREFIX dedup (keep min doc_id per first-12-
+    token group) → IDF-COSINE near-dup removal over the SURVIVORS
+    (drop the higher id of every pair ≥ threshold; idf denominator =
+    survivor count, matching the oracle's staged CTEs) → token-count
+    floor → per-lang integer stats (docs, tokens, chars).
+
+    Scale shape: prefix keepers reduce over (hash, doc_id) int64 pairs
+    only; the survivor filter is ONE hash join on the prefix hash (the
+    single content-sized shuffle, the same cost class CCNet's dedup
+    apply pays); the cosine stage inherits simjoin_tfidf_cosine_ds's
+    adaptive plan; the drop list is dup-volume-sized — broadcast as a
+    sorted int64 array below bcast_max_drops, hash anti-join above (or
+    with force_distributed, which tests pin equal); the stats tail is
+    per-block partials + one ≤n_langs-row grouped sum.  All outputs are
+    integers, so the composition hash-matches at any parallelism."""
+    import ray
+    from ray.data.aggregate import Count, Min, Sum
+
+    from ..common.tokens import (_MASK63, prefix_chain_hashes,
+                                 split_tokens)
+    from .dedup import simjoin_tfidf_cosine_ds
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def with_ph(t: pa.Table) -> pa.Table:
+        h = prefix_chain_hashes(t["text"], prefix_n)
+        return t.append_column(
+            "ph", pa.array((h & _MASK63).astype(np.int64)))
+
+    tagged = docs.map_batches(with_ph, batch_format="pyarrow").materialize()
+
+    keepers = (tagged.map_batches(
+        lambda t: pa.table({"ph": t["ph"], "doc_id": t["doc_id"]}),
+        batch_format="pyarrow")
+        .groupby("ph").aggregate(Min("doc_id", alias_name="keep_id")))
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    nparts = max(2, min(16, cpus // 2))
+    joined = tagged.join(keepers.repartition(4), join_type="inner",
+                         num_partitions=nparts, on=("ph",), right_on=("ph",))
+    survivors = joined.map_batches(
+        lambda t: t.filter(pc.equal(t["doc_id"], t["keep_id"]))
+                   .drop_columns(["ph", "keep_id"]),
+        batch_format="pyarrow").materialize()
+    n_surv = survivors.count()
+
+    pairs = simjoin_tfidf_cosine_ds(
+        survivors, n_surv, threshold=cosine_threshold,
+        verify_distributed=True if force_distributed else None
+    ).materialize()
+    n_pairs = pairs.count()
+
+    if n_pairs == 0:  # nothing to drop (and an empty join side would
+        kept = survivors  # lose its key field — same guard as dedup)
+    elif force_distributed or n_pairs > bcast_max_drops:
+        # distinct drop ids -> LEFT OUTER join; unmatched right = keep
+        drops = (pairs.map_batches(
+            lambda t: pa.table({"doc_id": t["doc_b"]}),
+            batch_format="pyarrow")
+            .groupby("doc_id").aggregate(Count(alias_name="n_hits")))
+        marked = survivors.join(
+            drops.repartition(4), join_type="left_outer",
+            num_partitions=nparts, on=("doc_id",), right_on=("doc_id",))
+        kept = marked.map_batches(
+            lambda t: t.filter(pc.is_null(t["n_hits"]))
+                       .drop_columns(["n_hits"]),
+            batch_format="pyarrow")
+    else:
+        drop_ids = np.unique(
+            pairs.to_pandas()["doc_b"].to_numpy(np.int64))  # ≤ bcast_max
+        drop_ref = ray.put(drop_ids)
+
+        def drop_filter(t: pa.Table, _ref=drop_ref) -> pa.Table:
+            d = ray.get(_ref)
+            ids = np.asarray(t["doc_id"], dtype=np.int64)
+            pos = np.searchsorted(d, ids)
+            hit = (pos < len(d)) & (d[np.clip(pos, 0, len(d) - 1)] == ids)
+            return t.filter(pa.array(~hit))
+
+        kept = survivors.map_batches(drop_filter, batch_format="pyarrow")
+
+    def stats_partials(t: pa.Table) -> pa.Table:
+        _, parent = split_tokens(t["text"])
+        ntok = (np.bincount(parent, minlength=t.num_rows)
+                .astype(np.int64) if t.num_rows else
+                np.zeros(0, np.int64))
+        m = ntok >= min_tokens
+        out = pa.table({
+            "lang": t["lang"].filter(pa.array(m)),
+            "tokens": pa.array(ntok[m]),
+            "chars": pc.cast(pc.utf8_length(
+                t["text"].filter(pa.array(m))), pa.int64()),
+        })
+        g = pa.TableGroupBy(out, ["lang"]).aggregate(
+            [([], "count_all"), ("tokens", "sum"), ("chars", "sum")])
+        return g.rename_columns(["lang", "docs", "tokens", "chars"])
+
+    return (kept.map_batches(stats_partials, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Sum("docs", alias_name="docs"),
+                       Sum("tokens", alias_name="tokens"),
+                       Sum("chars", alias_name="chars"))
+            .sort("lang"))
+
+
 # ---------------------------------------------------------------------------
 # Persisted inverted index (postings file) + partition-pruned boolean search
 # ---------------------------------------------------------------------------

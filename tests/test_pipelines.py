@@ -821,6 +821,7 @@ class TestRound3LateOperators:
         ("dedup_prefix_tokens", ["doc_id"]),
         ("url_filter_rules", ["url_key"]),
         ("zipf_slope_by_lang", ["lang"]),
+        ("webtext_prep_v4", ["lang"]),
     ])
     def test_matches_oracle(self, name, keys):
         import duckdb
@@ -3516,6 +3517,24 @@ class TestPrefixDedup:
         df = (dedup_prefix_tokens(d).to_pandas()
               .set_index("doc_id")["n_dups"].to_dict())
         assert df == {0: 2, 2: 2, 4: 1}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWebtextPrepV4:
+    """Composed v4 (prefix dedup -> idf-cosine removal -> floor ->
+    stats): the forced-distributed path (distributed cosine tier +
+    anti-join removal) must equal the adaptive default; the composed
+    oracle hash gate runs in test_matches_oracle."""
+
+    def test_forced_distributed_equals_default(self):
+        from spider_ray.pipelines.webtext import webtext_prep_v4
+
+        sf = "/root/testdata/sf0.001"
+        a = webtext_prep_v4(sf).to_pandas().reset_index(drop=True)
+        b = webtext_prep_v4(sf, force_distributed=True) \
+            .to_pandas().reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        assert a["docs"].sum() > 0
 
 
 @pytest.mark.usefixtures("ray_session")
