@@ -186,6 +186,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_resample": wt.dsir_resample,
         "pack_documents": wt.pack_documents,
         "domain_mix_sample": wt.domain_mix_sample,
+        # mC4/UniMax temperature-scaled language mixing allocation
+        "temperature_mix_allocation": wt.temperature_mix_allocation,
         "dedup_incremental": wt.dedup_incremental,
         "dedup_incremental_indexed": wt.dedup_incremental_indexed,
         "index_boolean_search": wt.index_boolean_search,
@@ -1996,6 +1998,30 @@ def _oracle_sql_build() -> dict[str, str]:
             SELECT d.doc_id, d.source, d.lang
             FROM documents d JOIN r USING (source)
             WHERE (d.doc_id * 40503) % 65536 < thresh
+        """,
+        # Temperature mixing: budgets allocate from the ROUNDED weights
+        # in both engines so a last-ulp pow()/sum difference can never
+        # move a token between languages.
+        "temperature_mix_allocation": """
+            WITH tok AS (SELECT lang,
+                                unnest(regexp_extract_all(lower(text),
+                                       '[a-z0-9_]+')) AS token
+                         FROM documents),
+            c AS (SELECT lang, count(*) AS n_tokens FROM tok GROUP BY 1),
+            s AS (SELECT sum(pow(CAST(n_tokens AS DOUBLE), 0.7)) AS z
+                  FROM c),
+            w AS (SELECT lang, n_tokens,
+                         round(pow(CAST(n_tokens AS DOUBLE), 0.7) / z, 4)
+                             AS weight
+                  FROM c CROSS JOIN s),
+            b AS (SELECT lang, n_tokens, weight,
+                         CAST(round(1000000 * weight) AS BIGINT)
+                             AS budget_tokens
+                  FROM w)
+            SELECT lang, n_tokens, weight, budget_tokens,
+                   round(CAST(budget_tokens AS DOUBLE) / n_tokens, 4)
+                       AS epochs
+            FROM b ORDER BY lang
         """,
         "sources_per_lang": """
             SELECT lang, count(DISTINCT source) AS n_sources,

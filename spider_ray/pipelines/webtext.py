@@ -488,6 +488,56 @@ def domain_mix_sample(sf_dir: str, cap: int = 10):
     return ds.map_batches(filt, batch_format="pyarrow")
 
 
+def temperature_mix_allocation(sf_dir: str, temperature: float = 0.7,
+                               budget_tokens: int = 1_000_000):
+    """Temperature-scaled language mixing (the mC4/UniMax allocation
+    step, Xue et al. 2021 / Chung et al. 2023): per-lang sampling
+    weight w_i = n_i^T / Σ n_j^T flattens the head languages at T < 1;
+    the token budget splits by the ROUNDED weights (so both engines
+    allocate from identical 4-digit numbers) and epochs_i = budget_i /
+    n_i reports how many passes over each language the mix implies
+    (epochs >> 1 on a tail language is the overfitting warning UniMax
+    caps).  Returns (lang, n_tokens, weight, budget_tokens, epochs).
+
+    Scale shape: one pass of per-block (lang, token-count) partials +
+    one ≤n_langs-row grouped sum; the allocation math runs on the
+    lang-domain-sized aggregate only (single tiny block)."""
+    from ray.data.aggregate import Sum
+
+    from ..common.tokens import split_tokens
+
+    ds = _rp(sf_dir, "documents", ["lang", "text"])
+
+    def count_partials(t: pa.Table) -> pa.Table:
+        _, parent = split_tokens(t["text"])
+        per_doc = np.bincount(parent, minlength=t.num_rows).astype(np.int64)
+        g = pa.TableGroupBy(pa.table({
+            "lang": t["lang"],
+            "n": pa.array(per_doc),
+        }), ["lang"]).aggregate([("n", "sum")])
+        return g.rename_columns(["lang", "n_tokens"])
+
+    counts = (ds.map_batches(count_partials, batch_format="pyarrow")
+              .groupby("lang").aggregate(Sum("n_tokens",
+                                             alias_name="n_tokens")))
+
+    def alloc(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("lang").reset_index(drop=True)
+        n = df["n_tokens"].to_numpy(np.float64)
+        p = n ** temperature
+        w = p / p.sum()
+        w = np.floor(w * 1e4 + 0.5) / 1e4  # weights are >= 0
+        b = np.floor(budget_tokens * w + 0.5).astype(np.int64)
+        e = b / n
+        e = np.floor(e * 1e4 + 0.5) / 1e4
+        return pd.DataFrame({"lang": df["lang"], "n_tokens": df["n_tokens"],
+                             "weight": w, "budget_tokens": b, "epochs": e})
+
+    # the aggregate is lang-domain-sized: ONE block through the math
+    return (counts.repartition(1)
+            .map_batches(alloc, batch_format="pandas"))
+
+
 # ---------------------------------------------------------------------------
 # Incremental dedup: new batch vs existing corpus (cross-side only)
 # ---------------------------------------------------------------------------

@@ -822,6 +822,7 @@ class TestRound3LateOperators:
         ("url_filter_rules", ["url_key"]),
         ("zipf_slope_by_lang", ["lang"]),
         ("webtext_prep_v4", ["lang"]),
+        ("temperature_mix_allocation", ["lang"]),
     ])
     def test_matches_oracle(self, name, keys):
         import duckdb
