@@ -32,6 +32,24 @@ def sf_of(sf_dir: str, default: float = 0.001) -> float:
     return float(m.group(1)) if m else default
 
 
+def join_partitions(*row_counts: int, rows_per_part: int = 150_000,
+                    floor: int = 2) -> int:
+    """Hash-join partition count from the (metadata-cheap) input sizes:
+    enough partitions that each holds ~rows_per_part rows of the larger
+    side, capped at the cluster CPU count.  Partition count is per-DATA,
+    not per-machine: at sf0.1 a 600k-row join wants 4 partitions (a
+    fixed 64 measured 2× the wall of 8 — every extra hash-shuffle
+    aggregator adds constant cost), while a 10^10-row join saturates
+    the CPU cap and scales with the cluster."""
+    import ray
+
+    cpus = (int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized() else 8)
+    est = max(row_counts) if row_counts else 0
+    need = max(floor, -(-est // rows_per_part))
+    return max(floor, min(cpus, need))
+
+
 def distinct_tokens(ds, column_out: str = "token"):
     """Corpus vocabulary over a Dataset with a `text` column: per-batch
     distinct tokens (the shared split_tokens kernel) re-deduped by ONE

@@ -209,7 +209,10 @@ def hash_join_priority_revenue(sf_dir: str):
 
     li = li.map_batches(rev_partials, batch_format="pyarrow")
     orders = _rp(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    joined = li.join(orders, join_type="inner", num_partitions=16,
+    from . import join_partitions, table_num_rows
+    nparts = join_partitions(table_num_rows(sf_dir, "lineitem"),
+                             table_num_rows(sf_dir, "orders"))
+    joined = li.join(orders, join_type="inner", num_partitions=nparts,
                      on=("l_orderkey",), right_on=("o_orderkey",))
     out = joined.groupby("o_orderpriority").aggregate(
         Sum("revenue", alias_name="revenue"),
@@ -2335,9 +2338,11 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
                      .groupby("pb")
                      .map_groups(li_reduce, batch_format="pandas"))
 
-    cpus = int(ray.cluster_resources().get("CPU", 8))
+    from . import join_partitions, table_num_rows
+    nparts = join_partitions(table_num_rows(sf_dir, "lineitem"),
+                             table_num_rows(sf_dir, "orders"))
     joined = rev_per_order.join(orders, join_type="inner",
-                                num_partitions=max(2, min(16, cpus // 2)),
+                                num_partitions=nparts,
                                 on=("l_orderkey",), right_on=("o_orderkey",))
 
     def finish(t: pa.Table) -> pa.Table:
