@@ -1251,9 +1251,11 @@ def _idf_cosine_driver(sh: np.ndarray, doc: np.ndarray, n_docs: int,
     uniq, pinv = np.unique(allp, axis=0, return_inverse=True)
     dot = np.zeros(len(uniq))
     np.add.at(dot, pinv.ravel(), alld)
-    nrm_by = dict(zip(docs_u.tolist(), nrm.tolist()))
-    na = np.asarray([nrm_by[int(x)] for x in uniq[:, 0]])
-    nb = np.asarray([nrm_by[int(x)] for x in uniq[:, 1]])
+    # docs_u is sorted (np.unique): vectorized norm gather, no Python
+    # loop over the distinct-pair table (which can reach millions of
+    # rows under the 50M expansion budget)
+    na = nrm[np.searchsorted(docs_u, uniq[:, 0])]
+    nb = nrm[np.searchsorted(docs_u, uniq[:, 1])]
     ok = (na > 0) & (nb > 0)
     cos = np.zeros(len(dot))
     cos[ok] = dot[ok] / (na[ok] * nb[ok])

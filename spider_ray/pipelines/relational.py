@@ -210,8 +210,9 @@ def hash_join_priority_revenue(sf_dir: str):
     li = li.map_batches(rev_partials, batch_format="pyarrow")
     orders = _rp(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     from . import join_partitions, table_num_rows
-    nparts = join_partitions(table_num_rows(sf_dir, "lineitem"),
-                             table_num_rows(sf_dir, "orders"))
+    # both join sides are order-sized (lineitem pre-reduces in-batch to
+    # ~one row per orderkey) -- size partitions from orders, not lineitem
+    nparts = join_partitions(table_num_rows(sf_dir, "orders"))
     joined = li.join(orders, join_type="inner", num_partitions=nparts,
                      on=("l_orderkey",), right_on=("o_orderkey",))
     out = joined.groupby("o_orderpriority").aggregate(
@@ -2339,8 +2340,9 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
                      .map_groups(li_reduce, batch_format="pandas"))
 
     from . import join_partitions, table_num_rows
-    nparts = join_partitions(table_num_rows(sf_dir, "lineitem"),
-                             table_num_rows(sf_dir, "orders"))
+    # rev_per_order is order-sized after the pb-bucket reduce; size
+    # partitions from orders (bounds BOTH sides), not raw lineitem
+    nparts = join_partitions(table_num_rows(sf_dir, "orders"))
     joined = rev_per_order.join(orders, join_type="inner",
                                 num_partitions=nparts,
                                 on=("l_orderkey",), right_on=("o_orderkey",))

@@ -522,14 +522,16 @@ def temperature_mix_allocation(sf_dir: str, temperature: float = 0.7,
                                              alias_name="n_tokens")))
 
     def alloc(df: pd.DataFrame) -> pd.DataFrame:
+        # a lang whose docs have no word-class tokens is ABSENT from
+        # the oracle's unnested token CTE — drop it here too (and its
+        # 0/0 epochs): it cannot receive budget
+        df = df[df["n_tokens"] > 0]
         df = df.sort_values("lang").reset_index(drop=True)
         n = df["n_tokens"].to_numpy(np.float64)
         p = n ** temperature
-        w = p / p.sum()
-        w = np.floor(w * 1e4 + 0.5) / 1e4  # weights are >= 0
+        w = _rnd4(p / p.sum())
         b = np.floor(budget_tokens * w + 0.5).astype(np.int64)
-        e = b / n
-        e = np.floor(e * 1e4 + 0.5) / 1e4
+        e = _rnd4(b / n)
         return pd.DataFrame({"lang": df["lang"], "n_tokens": df["n_tokens"],
                              "weight": w, "budget_tokens": b, "epochs": e})
 

@@ -3476,10 +3476,10 @@ class TestIdfCosineSimjoin:
 
         df = simjoin_tfidf_cosine(idf_corpus, threshold=0.5).to_pandas()
         pairs = set(zip(df["doc_a"], df["doc_b"]))
-        assert (0, 1) in pairs  # the rare shared block dominates
-        # filler docs share ONLY boilerplate with each other: their
-        # idf-discounted cosine must stay below the cut
-        assert all(a <= 1 or b <= 1 for a, b in pairs)
+        # EXACTLY the rare-block pair survives: every other pair in
+        # this corpus shares ONLY the ubiquitous boilerplate block,
+        # which idf weighting must discount below the cut
+        assert pairs == {(0, 1)}
 
     def test_verify_paths_agree(self, idf_corpus):
         from spider_ray.pipelines.dedup import simjoin_tfidf_cosine
