@@ -188,6 +188,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_mix_sample": wt.domain_mix_sample,
         # mC4/UniMax temperature-scaled language mixing allocation
         "temperature_mix_allocation": wt.temperature_mix_allocation,
+        # corpus-level contamination report: pairwise shared distinct
+        # 5-gram fraction between sources
+        "source_overlap_matrix": wt.source_overlap_matrix,
         "dedup_incremental": wt.dedup_incremental,
         "dedup_incremental_indexed": wt.dedup_incremental_indexed,
         "index_boolean_search": wt.index_boolean_search,
@@ -2022,6 +2025,33 @@ def _oracle_sql_build() -> dict[str, str]:
                    round(CAST(budget_tokens AS DOUBLE) / n_tokens, 4)
                        AS epochs
             FROM b ORDER BY lang
+        """,
+        # Cross-source contamination matrix: ORDERED pairs, frac =
+        # shared distinct 5-grams / source_a's distinct 5-grams.
+        # Pairs sharing nothing are absent in both engines.
+        "source_overlap_matrix": """
+            WITH toks AS (SELECT source,
+                                 regexp_extract_all(lower(text),
+                                                    '[a-z0-9_]+') AS t
+                          FROM documents),
+            grams AS (SELECT DISTINCT source,
+                             t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                             || ' ' || t[i+3] || ' ' || t[i+4] AS g
+                      FROM toks,
+                           UNNEST(generate_series(1,
+                               greatest(len(t) - 4, 0))) AS u(i)),
+            sz AS (SELECT source, count(*) AS n FROM grams
+                   GROUP BY source),
+            p AS (SELECT a.source AS source_a, b.source AS source_b,
+                         count(*) AS shared
+                  FROM grams a JOIN grams b
+                    ON a.g = b.g AND a.source != b.source
+                  GROUP BY 1, 2)
+            SELECT source_a, source_b,
+                   CAST(shared AS BIGINT) AS shared,
+                   round(CAST(shared AS DOUBLE) / n, 4) AS frac
+            FROM p JOIN sz ON sz.source = source_a
+            ORDER BY source_a, source_b
         """,
         "sources_per_lang": """
             SELECT lang, count(DISTINCT source) AS n_sources,

@@ -2704,3 +2704,80 @@ def dsir_resample(sf_dir: str, k: int = 64, target_lang: str = "en",
     sel = pool.iloc[order].reset_index(drop=True)
     sel["gumbel_key"] = _rnd4(sel["gumbel_key"].to_numpy(np.float64))
     return pa.Table.from_pandas(sel, preserve_index=False)
+
+
+def source_overlap_matrix(sf_dir: str, k: int = 5):
+    """Cross-source contamination matrix — the corpus-level
+    generalization of decontaminate_docs: for every ORDERED source pair
+    (a, b), the fraction of a's distinct word-k-grams that also occur
+    anywhere in b (the eval-contamination report run before trusting a
+    held-out source).  Returns (source_a, source_b, shared, frac).
+
+    Scale shape: the stream reduces to DISTINCT (gram-hash, source)
+    int64/dict pairs (one grouped aggregate — text never shuffles); the
+    pair join multiplies each gram by at most n_sources² (sources are a
+    config-sized domain, so the expansion is bounded by |grams| ×
+    n_sources², never doc-pairs); denominators and the matrix are
+    n_sources²-sized.  Identity is the 63-bit gram hash (collision
+    caveat as paragraph_dedup; the SQL oracle compares true strings)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..common.tokens import word_shingle_hashes
+
+    ds = _rp(sf_dir, "documents", ["source", "text"])
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        sh, par = word_shingle_hashes(t["text"], k=k)
+        src = np.asarray(t["source"], dtype=object)[par]
+        # in-block distinct first: repeats within a block never shuffle
+        g = pa.TableGroupBy(pa.table({
+            "g": pa.array(sh, pa.int64()),
+            "source": pa.array(src, pa.string()),
+        }), ["g", "source"]).aggregate([])
+        return g
+
+    rows = (ds.map_batches(gram_rows, batch_format="pyarrow")
+            .groupby(["g", "source"]).aggregate(Count(alias_name="c"))
+            .map_batches(lambda t: t.drop_columns(["c"]),
+                         batch_format="pyarrow")).materialize()
+
+    sizes = rows.groupby("source").aggregate(Count(alias_name="n"))
+
+    index = rows.map_batches(
+        lambda t: pa.table({"g": t["g"], "source_b": t["source"]}),
+        batch_format="pyarrow")
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    nparts = max(2, min(16, cpus // 2))
+    matched = rows.repartition(8).join(
+        index.repartition(8), join_type="inner", num_partitions=nparts,
+        on=("g",), right_on=("g",))
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        tb = pa.table({"source_a": t["source"], "source_b": t["source_b"]})
+        tb = tb.filter(pc.not_equal(tb["source_a"], tb["source_b"]))
+        g = pa.TableGroupBy(tb, ["source_a", "source_b"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["source_a", "source_b", "shared"])
+
+    pairs = (matched.map_batches(pair_partials, batch_format="pyarrow")
+             .groupby(["source_a", "source_b"])
+             .aggregate(Sum("shared", alias_name="shared")))
+
+    sizes_a = sizes.map_batches(
+        lambda t: pa.table({"source_a": t["source"], "n_a": t["n"]}),
+        batch_format="pyarrow")
+    out = pairs.repartition(4).join(
+        sizes_a.repartition(4), join_type="inner", num_partitions=nparts,
+        on=("source_a",), right_on=("source_a",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        frac = (np.asarray(t["shared"], np.float64)
+                / np.asarray(t["n_a"], np.float64))
+        return pa.table({"source_a": t["source_a"],
+                         "source_b": t["source_b"],
+                         "shared": pc.cast(t["shared"], pa.int64()),
+                         "frac": pa.array(_rnd4(frac), pa.float64())})
+
+    return (out.map_batches(finish, batch_format="pyarrow")
+            .sort(["source_a", "source_b"]))

@@ -823,6 +823,7 @@ class TestRound3LateOperators:
         ("zipf_slope_by_lang", ["lang"]),
         ("webtext_prep_v4", ["lang"]),
         ("temperature_mix_allocation", ["lang"]),
+        ("source_overlap_matrix", ["source_a", "source_b"]),
     ])
     def test_matches_oracle(self, name, keys):
         import duckdb
