@@ -317,3 +317,41 @@ def test_short_docs_have_no_word_shingles():
     sh, par = word_shingle_hashes(["The cat", "the cat", "", "one two three"])
     assert set(par.tolist()) == {3}, "only the 3-token doc shingles"
     assert len(sh) == 1
+
+
+class TestPrefixChainHashes:
+    """Property gate for the prefix-dedup identity kernel: hash equality
+    must hold iff the first min(n, len) lowercase tokens AND the capped
+    length agree — the exact grouping the SQL oracle's
+    array_to_string(t[1:n]) performs on true strings."""
+
+    @given(st.lists(st.lists(st.sampled_from(
+        ["w0", "w1", "w2", "Cat", "DOG", "x9"]), min_size=0, max_size=20),
+        min_size=1, max_size=30))
+    @settings(max_examples=200, deadline=None)
+    def test_matches_string_prefix_grouping(self, token_lists):
+        import numpy as np
+
+        from spider_ray.common.tokens import prefix_chain_hashes
+
+        n = 5
+        texts = [" ".join(toks) for toks in token_lists]
+        h = prefix_chain_hashes(texts, n_tokens=n)
+        keys = [" ".join(t.lower() for t in toks[:n])
+                for toks in token_lists]
+        # equal string prefix <-> equal chain hash, pairwise
+        for i in range(len(texts)):
+            for j in range(i + 1, len(texts)):
+                assert (h[i] == h[j]) == (keys[i] == keys[j]), \
+                    (texts[i], texts[j])
+
+    def test_length_is_part_of_identity(self):
+        from spider_ray.common.tokens import prefix_chain_hashes
+
+        h = prefix_chain_hashes(
+            ["a b c", "a b c d", "a b c d e f g h i j k l m",
+             "a b c d e f g h i j k l XX"], n_tokens=12)
+        # 3-token proper prefix != 4-token doc; docs differing only
+        # BEYOND the 12-token window collide by design
+        assert h[0] != h[1]
+        assert h[2] == h[3]
