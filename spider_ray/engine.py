@@ -670,7 +670,13 @@ class CrawlEngine:
         # order (host, -priority, url); seq is a running global counter.
         # Driver-side is fine here: rows are budget-bounded AND below
         # driver_threshold by construction of this path.
-        oc = pa.concat_tables(ray.get(outcome_refs)).combine_chunks()
+        got = ray.get(outcome_refs)
+        if not got:  # zero-row epoch (e.g. politeness budget hot-set to
+            # 0 via reconcile): write an empty order table, don't crash
+            # on concat_tables([])
+            got = [pa.table({"canonical_url": pa.array([], pa.string()),
+                             "outcome": pa.array([], pa.string())})]
+        oc = pa.concat_tables(got).combine_chunks()
         _mark("fetch_wait_outcomes")
         # align outcomes to the selected order with one C++ hash lookup
         # (index_in) — the dict/zip/list-comprehension this replaces was

@@ -112,6 +112,9 @@ class FlowDaemon:
         return self.srv.server_address  # (host, port)
 
     def start(self) -> "FlowDaemon":
+        # POST .../run must switch to claim-at-take while this consumer
+        # competes for the queue (see run_flow) — else double execution
+        self.state.consumer_attached = True
         t_http = threading.Thread(target=self.srv.serve_forever,
                                   name="flowd-http", daemon=True)
         t_consume = threading.Thread(target=self._consume_loop,
@@ -235,19 +238,29 @@ class FlowDaemon:
         """Dispatch every workflow that has queued triggers; returns the
         number of dispatches (0 = queue empty / nothing runnable)."""
         with self.state.lock:
-            # snapshot queues AND resolve specs under the same lock the
+            # resolve specs AND snapshot queues under the same lock the
             # HTTP handlers mutate the store with — FlowStore.find
             # iterates _flows, and an unlocked iteration races a
             # concurrent flow POST ("dict changed size during
-            # iteration" would kill this consumer thread)
-            snapshot = {wf: list(q) for wf, q in self.state.pending.items()
-                        if q}
-            specs = {wf: self.store.find(wf) for wf in snapshot}
+            # iteration" would kill this consumer thread).  Specs
+            # resolve FIRST so draft/unknown dead-letter queues are
+            # never copied: a stuck backlog must not cost O(backlog)
+            # per 50 ms poll.
+            specs = {wf: self.store.find(wf)
+                     for wf, q in self.state.pending.items() if q}
+            snapshot = {wf: list(self.state.pending[wf])
+                        for wf, spec in specs.items()
+                        if spec is not None and spec.status == "active"}
         dispatched = 0
         for wf_id, queued in snapshot.items():
+            if self._stop.is_set():
+                # stop() may have closed the ack journal after its join
+                # timeout expired mid-dispatch: taking more work now
+                # would remove messages whose ack can no longer be
+                # journaled, and a restart would replay (re-run) them.
+                # Untaken messages stay queued — at-most-once holds.
+                break
             spec = specs[wf_id]  # reconcile: re-read per drain
-            if spec is None or spec.status != "active":
-                continue  # draft/unknown: leave queued (no consumer bound)
             triggers = triggers_from_messages(queued)
             # ack BEFORE process (at-most-once, the reference's delivery
             # contract) — by message IDENTITY, so only the exact

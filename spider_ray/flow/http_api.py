@@ -108,6 +108,16 @@ class _ApiState:
         self.on_trigger = None
         self.on_consume = None
         self.msg_seq = 0  # stamped into messages as msg_id (ack identity)
+        # True while a FlowDaemon consumer thread competes for the
+        # queue: POST .../run must then TAKE messages at-most-once
+        # (claim under the lock before running) or the same message
+        # runs twice — once here, once in the daemon's drain
+        self.consumer_attached = False
+        # per-workflow queue bound, discard-OLD on overflow — the
+        # reference's JetStream retention (memory storage, DiscardOld,
+        # pkg/spider/nats.go:149-159); discarded messages are acked in
+        # the journal so a restart never resurrects them
+        self.pending_cap = 10_000
 
 
 _ROUTES = [
@@ -136,6 +146,7 @@ class _Handler(BaseHTTPRequestHandler):
         pass
 
     def _json(self, code: int, obj) -> None:
+        self._last_status = code
         body = json.dumps(obj).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
@@ -144,6 +155,7 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def _empty(self, code: int) -> None:
+        self._last_status = code
         self.send_response(code)
         self.send_header("Content-Length", "0")
         self.end_headers()
@@ -169,10 +181,17 @@ class _Handler(BaseHTTPRequestHandler):
                 except (ValueError, json.JSONDecodeError) as ex:
                     self._json(400, {"error": str(ex)})
                 if (verb != "GET" and self.state.on_store_change
-                        and name not in ("webhook_trigger", "run_flow")):
-                    # flow/action mutation -> durable snapshot (tiny
-                    # control-plane data; snapshot-per-change, atomic
-                    # rename — the reference saves per mutation too)
+                        and name not in ("webhook_trigger", "run_flow")
+                        and 200 <= getattr(self, "_last_status", 0) < 300):
+                    # SUCCESSFUL flow/action mutation -> durable
+                    # snapshot (tiny control-plane data; snapshot-per-
+                    # change, atomic rename — the reference saves per
+                    # mutation too).  A 4xx left the store unchanged:
+                    # snapshotting it would only burn a write.  The
+                    # snapshot runs after the response — a hard kill in
+                    # that window loses only this snapshot, never the
+                    # journals (which write under the lock BEFORE the
+                    # response); stop() takes a final snapshot.
                     self.state.on_store_change()
                 return
         self._json(404, {"error": "no route"})
@@ -297,9 +316,19 @@ class _Handler(BaseHTTPRequestHandler):
         with self.state.lock:
             self.state.msg_seq += 1
             msg["msg_id"] = self.state.msg_seq
-            self.state.pending.setdefault(msg["workflow_id"], []).append(msg)
+            q = self.state.pending.setdefault(msg["workflow_id"], [])
+            q.append(msg)
             if self.state.on_trigger:  # journal inside the lock: the
                 self.state.on_trigger(msg)  # log order IS queue order
+            if len(q) > self.state.pending_cap:
+                # discard-old retention (JetStream DiscardOld,
+                # nats.go:149-159): a dead-letter flood for a draft or
+                # unknown flow must not grow the daemon without bound.
+                # Discards are acked so a restart never replays them.
+                dropped = q[:len(q) - self.state.pending_cap]
+                del q[:len(q) - self.state.pending_cap]
+                if self.state.on_consume:
+                    self.state.on_consume(dropped)
         self._json(200, {"status": "sent"})
 
     def run_flow(self, tenant_id: str, flow_id: str, query=None):
@@ -310,12 +339,25 @@ class _Handler(BaseHTTPRequestHandler):
         from .runtime import FlowRuntime
 
         p = self._body()
-        # PEEK the queue (don't pop yet): a failed run — draft flow,
-        # max-hops cycle guard — must not discard queued triggers; the
-        # broker analogue is ack-after-process
+        # Two take disciplines, matched to who else is consuming:
+        #   * standalone server (no daemon): PEEK, run, ack-after-
+        #     process — a failed run (draft flow, max-hops guard) keeps
+        #     its queued triggers for an interactive retry;
+        #   * daemon attached: CLAIM at take under the lock (remove +
+        #     durable ack before running) — the broker's at-most-once
+        #     discipline, because peeking while the drain thread also
+        #     dispatches would run the same message TWICE (here and in
+        #     the daemon), which is worse than a lost message under the
+        #     reference's own delivery contract.
         with self.state.lock:
             spec = self.state.store.get(tenant_id, flow_id)
-            queued = list(self.state.pending.get(flow_id, []))
+            claimed = self.state.consumer_attached
+            if claimed:
+                queued = self.state.pending.pop(flow_id, [])
+                if queued and self.state.on_consume:
+                    self.state.on_consume(queued)  # ack at take time
+            else:
+                queued = list(self.state.pending.get(flow_id, []))
 
         triggers = triggers_from_messages(queued)
         triggers += triggers_from_messages(p.get("triggers", []))
@@ -325,23 +367,24 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             result = FlowRuntime(spec).run(triggers)
         except (ValueError, RuntimeError) as ex:
-            self._json(400, {"error": str(ex)})  # queued triggers kept
+            # claimed messages are gone (at-most-once); peeked ones kept
+            self._json(400, {"error": str(ex)})
             return
-        with self.state.lock:
-            # ack by IDENTITY: drop exactly the messages this run
-            # consumed.  A positional pop (rest[len(queued):]) is wrong
-            # when another consumer exists — the FlowDaemon may have
-            # drained some of `queued` concurrently, and a front-slice
-            # would then discard later messages that were never run.
-            taken = {id(m) for m in queued}
-            rest = [m for m in self.state.pending.get(flow_id, [])
-                    if id(m) not in taken]
-            if rest:
-                self.state.pending[flow_id] = rest
-            else:
-                self.state.pending.pop(flow_id, None)
-            if self.state.on_consume:  # durable ack (journal replay skip)
-                self.state.on_consume(queued)
+        if not claimed:
+            with self.state.lock:
+                # ack by IDENTITY: drop exactly the messages this run
+                # consumed.  A positional pop (rest[len(queued):]) is
+                # wrong if anything raced this run — a front-slice would
+                # discard later messages that were never run.
+                taken = {id(m) for m in queued}
+                rest = [m for m in self.state.pending.get(flow_id, [])
+                        if id(m) not in taken]
+                if rest:
+                    self.state.pending[flow_id] = rest
+                else:
+                    self.state.pending.pop(flow_id, None)
+                if self.state.on_consume:  # durable ack (replay skip)
+                    self.state.on_consume(queued)
         self._json(200, {"counts": {k: len(v) for k, v in result.items()},
                          "leaves": result["leaves"],
                          "errors": result["errors"]})

@@ -200,7 +200,7 @@ class FlowRuntime:
             # per-row UDF dispatch itself is the reference contract)
             names = batch.column_names
             col = {f: batch[f].to_pylist() for f in names}
-            kinds, keys = col["kind"], col["key"]
+            kinds = col["kind"]
             out_rows: list[dict] = []
             pass_through: list[int] = []
             for i in range(batch.num_rows):

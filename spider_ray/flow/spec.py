@@ -225,11 +225,19 @@ class FlowStore:
         TriggerMessage carries only {workflow_id, key, values}
         (`pkg/spider/workflow.go:83-99` resolves the flow from the
         message), so the daemon needs the id→spec resolution the
-        reference does storage-side (GetWorkflowByID)."""
-        for (_, wf), spec in self._flows.items():
-            if wf == workflow_id:
-                return spec
-        return None
+        reference does storage-side (GetWorkflowByID; its ids are
+        globally-unique ObjectIDs).  This store keys by (tenant, id),
+        so a client-chosen id CAN repeat across tenants: a unique match
+        resolves; among duplicates only a unique ACTIVE one resolves
+        (first-match by insertion order would dispatch one tenant's
+        triggers against another tenant's spec — or wedge them behind a
+        draft); otherwise the message stays queued as unresolvable."""
+        matches = [spec for (_, wf), spec in self._flows.items()
+                   if wf == workflow_id]
+        if len(matches) == 1:
+            return matches[0]
+        active = [s for s in matches if s.status == "active"]
+        return active[0] if len(active) == 1 else None
 
     def all(self) -> list[FlowSpec]:
         """Every flow across tenants, creation order — the cron

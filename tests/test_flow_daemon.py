@@ -318,3 +318,79 @@ class TestDaemonDurability:
                     {a["key"]: a["disabled"] for a in truth["actions"]})
         finally:
             d2.stop()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDaemonReviewRegressions:
+    """Round-4 review fixes: at-most-once /run vs the drain thread,
+    cross-tenant id resolution, discard-old queue retention."""
+
+    def test_run_claims_at_take_when_consumer_attached(self):
+        # slow poll: the consumer thread can't race this test's /run
+        d = FlowDaemon(port=0, poll_interval=9999,
+                       reconcile_interval=9999).start()
+        try:
+            base = _base(d)
+            assert _req(base, "POST", "/tenants/t1/flows",
+                        BASIC_FLOW)[0] == 200
+            _req(base, "POST", "/trigger",
+                 {"workflow_id": "wa", "key": "a1", "value": "x"})
+            code, r = _req(base, "POST", "/tenants/t1/flows/wa/run", {})
+            assert code == 200 and len(r["leaves"]) == 1
+            with d.state.lock:  # claimed at take: nothing left for the
+                assert not d.state.pending  # drain thread to run AGAIN
+        finally:
+            d.stop()
+
+    def test_run_failed_claim_is_at_most_once_under_daemon(self):
+        d = FlowDaemon(port=0, poll_interval=9999,
+                       reconcile_interval=9999).start()
+        try:
+            base = _base(d)
+            assert _req(base, "POST", "/tenants/t1/flows",
+                        {**BASIC_FLOW, "status": "draft"})[0] == 200
+            _req(base, "POST", "/trigger",
+                 {"workflow_id": "wa", "key": "a1", "value": "x"})
+            code, _ = _req(base, "POST", "/tenants/t1/flows/wa/run", {})
+            assert code == 400  # draft flow refuses to run
+            with d.state.lock:  # broker discipline: claimed = consumed
+                assert not d.state.pending  # even though the run failed
+        finally:
+            d.stop()
+
+    def test_find_never_resolves_across_tenants_ambiguously(self):
+        from spider_ray.flow.spec import FlowSpec, FlowStore
+
+        def _spec(tenant, status):
+            return FlowSpec.from_json({
+                "tenant_id": tenant,
+                "flow": {"id": "wa", "status": status}})
+
+        store = FlowStore()
+        a = _spec("tA", "draft")
+        store.create(a)
+        b = _spec("tB", "active")
+        store.create(b)
+        # duplicate id across tenants: the unique ACTIVE one resolves
+        # (insertion-order first-match would return tA's draft and
+        # wedge tB's triggers forever)
+        assert store.find("wa") is b
+        a.status = "active"
+        assert store.find("wa") is None  # two actives: unresolvable
+
+    def test_trigger_queue_discards_old_at_cap(self):
+        d = FlowDaemon(port=0, poll_interval=9999,
+                       reconcile_interval=9999).start()
+        try:
+            base = _base(d)
+            d.state.pending_cap = 5
+            for i in range(8):  # unknown flow: pure dead-letter queue
+                _req(base, "POST", "/trigger",
+                     {"workflow_id": "nope", "key": "k", "value": i})
+            with d.state.lock:
+                q = d.state.pending["nope"]
+                assert len(q) == 5  # bounded (JetStream discard-old)
+                kept = [m["values"]["value"] for m in q]
+                assert kept == [3, 4, 5, 6, 7]  # oldest discarded
+        finally:
+            d.stop()

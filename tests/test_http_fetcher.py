@@ -133,3 +133,15 @@ def test_http_fetcher_timeout_miss_and_reuse():
         assert f.fetch_part(0, np.zeros(1, np.int64), [ok_url]) == [body]
     finally:
         srv.shutdown()
+
+
+def test_bad_port_is_a_miss_not_a_crash():
+    """Round-4 review fix: p.port raises ValueError on ':8a' or
+    out-of-range ports AFTER urlsplit/hostname succeed — the fetcher
+    contract maps every malformed url to a per-row miss (None), never
+    a batch-killing exception."""
+    from spider_ray.stages.crawl import HttpFetcher
+
+    f = HttpFetcher()
+    assert f._get("http://example.com:99999/") is None
+    assert f._get("http://example.com:8a/") is None
