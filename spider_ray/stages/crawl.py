@@ -345,7 +345,7 @@ class HttpFetcher:
             https = p.scheme == "https"
             if not p.hostname:  # malformed/relative url -> per-row miss
                 return None
-            port = p.port  # ValueError on ':8a' / out-of-range ports —
+            tport = p.port  # ValueError on ':8a'/out-of-range ports —
         except ValueError:    # the contract maps EVERY bad url to miss
             return None
         tunnel = self.proxy is not None and https and self.tunnel_https
@@ -354,20 +354,20 @@ class HttpFetcher:
             # plaintext absolute-URI GET would be rejected by any
             # standards-compliant proxy); pool per target host so
             # tunnels aren't cross-wired between hosts
-            key = (self.proxy, p.hostname, port)
+            key = (self.proxy, p.hostname, tport)
             target = (p.path or "/") + (f"?{p.query}" if p.query else "")
         elif self.proxy:
             key = self.proxy
             target = url  # absolute-URI request line (proxy semantics)
         else:
-            key = (p.scheme, p.hostname, port)
+            key = (p.scheme, p.hostname, tport)
             target = (p.path or "/") + (f"?{p.query}" if p.query else "")
         conn = self._conns.pop(key, None)
         for _attempt in range(2):  # retry once on a stale kept-alive conn
             try:
                 if conn is None:
                     host, port = (self.proxy if self.proxy
-                                  else (p.hostname, port))
+                                  else (p.hostname, tport))
                     # TLS only end-to-end (direct https) or through a
                     # CONNECT tunnel; proxied-plaintext mode stays HTTP
                     cls = (http.client.HTTPSConnection
@@ -375,7 +375,7 @@ class HttpFetcher:
                            else http.client.HTTPConnection)
                     conn = cls(host, port, timeout=self.timeout_s)
                     if tunnel:
-                        conn.set_tunnel(p.hostname, port or 443)
+                        conn.set_tunnel(p.hostname, tport or 443)
                 conn.request("GET", target,
                              headers={"User-Agent": self.user_agent,
                                       "Host": p.netloc})
