@@ -261,22 +261,26 @@ class FlowDaemon:
                 # Untaken messages stay queued — at-most-once holds.
                 break
             spec = specs[wf_id]  # reconcile: re-read per drain
-            triggers = triggers_from_messages(queued)
             # ack BEFORE process (at-most-once, the reference's delivery
-            # contract) — by message IDENTITY, so only the exact
-            # messages this dispatch took are dropped even if another
-            # consumer (the synchronous /run endpoint) raced this drain
-            taken = {id(m) for m in queued}
+            # contract) — by message IDENTITY, and dispatch ONLY what is
+            # still present at take time: a concurrent POST .../run may
+            # have claimed part (or all) of this snapshot between the
+            # two locks, and dispatching the stale snapshot would run
+            # those messages TWICE
+            snap_ids = {id(m) for m in queued}
             with self.state.lock:
-                rest = [m for m in self.state.pending.get(wf_id, [])
-                        if id(m) not in taken]
+                cur = self.state.pending.get(wf_id, [])
+                claimed = [m for m in cur if id(m) in snap_ids]
+                rest = [m for m in cur if id(m) not in snap_ids]
                 if rest:
                     self.state.pending[wf_id] = rest
                 else:
                     self.state.pending.pop(wf_id, None)
-                if self.state.on_consume:  # durable ack at take time
-                    self.state.on_consume(queued)
-            self._dispatch(spec, wf_id, triggers)
+                if claimed and self.state.on_consume:  # durable ack
+                    self.state.on_consume(claimed)     # at take time
+            if not claimed:
+                continue  # everything raced away: nothing to run
+            self._dispatch(spec, wf_id, triggers_from_messages(claimed))
             dispatched += 1
         return dispatched
 

@@ -353,9 +353,17 @@ class _Handler(BaseHTTPRequestHandler):
             spec = self.state.store.get(tenant_id, flow_id)
             claimed = self.state.consumer_attached
             if claimed:
-                queued = self.state.pending.pop(flow_id, [])
-                if queued and self.state.on_consume:
-                    self.state.on_consume(queued)  # ack at take time
+                # claim ONLY if this spec is the queue's resolvable
+                # consumer: with duplicate ids across tenants, popping
+                # by flow_id alone would destroy (ack-without-running)
+                # messages FlowStore.find routes to ANOTHER tenant's
+                # flow — e.g. a draft claiming an active flow's queue
+                if self.state.store.find(flow_id) is spec:
+                    queued = self.state.pending.pop(flow_id, [])
+                    if queued and self.state.on_consume:
+                        self.state.on_consume(queued)  # ack at take
+                else:
+                    queued = []  # another consumer's messages: hands off
             else:
                 queued = list(self.state.pending.get(flow_id, []))
 

@@ -200,15 +200,20 @@ class FlowStore:
         Action/peer mutations go through FlowSpec's own methods (which
         bump the version themselves)."""
         spec = self._flows[(tenant_id, workflow_id)]
+        # validate EVERYTHING before mutating ANYTHING: a partial apply
+        # followed by the raise would leave the in-memory store changed
+        # behind a 400 response — which the daemon's snapshot-on-2xx
+        # gate would then never persist (memory/disk divergence)
+        if trigger_type is not None and trigger_type not in ("event",
+                                                             "schedule"):
+            raise ValueError(f"bad trigger_type {trigger_type!r}")
+        if status is not None and status not in ("draft", "active"):
+            raise ValueError(f"bad status {status!r}")
         if name is not None:
             spec.name = name
         if trigger_type is not None:
-            if trigger_type not in ("event", "schedule"):
-                raise ValueError(f"bad trigger_type {trigger_type!r}")
             spec.trigger_type = trigger_type
         if status is not None:
-            if status not in ("draft", "active"):
-                raise ValueError(f"bad status {status!r}")
             spec.status = status
         spec.version += 1
         return spec

@@ -2740,6 +2740,7 @@ def source_overlap_matrix(sf_dir: str, k: int = 5):
             .groupby(["g", "source"]).aggregate(Count(alias_name="c"))
             .map_batches(lambda t: t.drop_columns(["c"]),
                          batch_format="pyarrow")).materialize()
+    n_rows = rows.count()
 
     sizes = rows.groupby("source").aggregate(Count(alias_name="n"))
 
@@ -2749,8 +2750,12 @@ def source_overlap_matrix(sf_dir: str, k: int = 5):
     import ray
     cpus = int(ray.cluster_resources().get("CPU", 8))
     nparts = max(2, min(16, cpus // 2))
-    matched = rows.repartition(8).join(
-        index.repartition(8), join_type="inner", num_partitions=nparts,
+    # the self-join inputs are the big intermediates: spread them to the
+    # join's own width (clamped by row count so no block is empty — Ray
+    # drops empty blocks and the join then fails on the key field)
+    big = max(1, min(nparts, n_rows))
+    matched = rows.repartition(big).join(
+        index.repartition(big), join_type="inner", num_partitions=nparts,
         on=("g",), right_on=("g",))
 
     def pair_partials(t: pa.Table) -> pa.Table:

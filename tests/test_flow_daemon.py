@@ -378,6 +378,32 @@ class TestDaemonReviewRegressions:
         a.status = "active"
         assert store.find("wa") is None  # two actives: unresolvable
 
+    def test_run_never_claims_another_tenants_queue(self):
+        d = FlowDaemon(port=0, poll_interval=9999,
+                       reconcile_interval=9999).start()
+        try:
+            base = _base(d)
+            assert _req(base, "POST", "/tenants/tA/flows",
+                        {**BASIC_FLOW, "status": "draft"})[0] == 200
+            assert _req(base, "POST", "/tenants/tB/flows",
+                        BASIC_FLOW)[0] == 200  # active, same id "wa"
+            _req(base, "POST", "/trigger",
+                 {"workflow_id": "wa", "key": "a1", "value": "x"})
+            # tA's draft is NOT the queue's resolvable consumer
+            # (find routes "wa" to tB's active flow): its /run must not
+            # claim-and-destroy tB's message
+            code, _ = _req(base, "POST", "/tenants/tA/flows/wa/run", {})
+            assert code == 400
+            with d.state.lock:
+                assert len(d.state.pending.get("wa", [])) == 1
+            # the rightful consumer drains it
+            code, r = _req(base, "POST", "/tenants/tB/flows/wa/run", {})
+            assert code == 200 and len(r["leaves"]) == 1
+            with d.state.lock:
+                assert not d.state.pending
+        finally:
+            d.stop()
+
     def test_trigger_queue_discards_old_at_cap(self):
         d = FlowDaemon(port=0, poll_interval=9999,
                        reconcile_interval=9999).start()
