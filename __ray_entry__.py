@@ -350,20 +350,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
     import json as _json
     import os as _os
 
-    reported: set[str] = set()
+    # FAILURE-AWARE (round-4 verdict item 2): "reported" means the
+    # LATEST driver report for the entry actually passed — an entry
+    # whose newest report errored or mismatched re-enters the next
+    # window FIRST, so a fixed query is re-certified immediately
+    # instead of queueing behind never-reported ones.
+    latest: dict[str, dict] = {}
     here = _os.path.dirname(_os.path.abspath(__file__))
     for path in sorted(_glob.glob(_os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
-                reported |= set(_json.load(f))
+                latest.update(_json.load(f))
         except Exception:
             pass  # a malformed report must never break the driver import
-    # deterministic full order: static rotation list first, then the
-    # grouped literal order for everything else
-    base = list(dict.fromkeys(first + list(out)))
+
+    def _passed(rep: dict) -> bool:
+        if not isinstance(rep, dict) or rep.get("err"):
+            return False
+        # absent/None match fields (rows-only checks) count as pass
+        return all(rep.get(k) is not False
+                   for k in ("rows_match", "schema_match", "hash_match"))
+
+    reported = {k for k, rep in latest.items() if _passed(rep)}
+    failed = [k for k in latest if k not in reported]
+    # deterministic full order: freshly-FAILED entries first, then the
+    # static rotation list, then the grouped literal order for the rest
+    base = list(dict.fromkeys(failed + first + list(out)))
     oracle_backed = set(oracle_sql())
-    fresh = [k for k in base if k in oracle_backed and k not in reported]
-    rest = [k for k in base if k not in fresh]
+    fresh = [k for k in base if k in oracle_backed and k not in reported
+             and k in out]
+    rest = [k for k in base if k not in fresh and k in out]
     return {k: out[k] for k in fresh + rest}
 
 

@@ -50,6 +50,27 @@ def join_partitions(*row_counts: int, rows_per_part: int = 150_000,
     return max(floor, min(cpus, need))
 
 
+def coalesce_for_join(ds, num_blocks: int):
+    """Merge an Aggregate's output blocks before a hash join.  Ray's
+    join shuffle broadcasts each side's schema to all aggregator
+    partitions via the FIRST input bundle only (hash_shuffle.py marks
+    `_has_schemas_broadcasted` at submission) — but `_shuffle_block`
+    returns early on a zero-row block, so when the upstream Aggregate's
+    first emitted block is one of its schema-less empties ("RefBundle
+    with a different schema ... new schema: .") the broadcast is
+    silently consumed, and any join partition that then receives no
+    real rows for that side holds a ZERO-COLUMN table, which Acero
+    rejects with 'No match or multiple matches for key field
+    reference' (reproduced at 32 CPUs with a vocab-sized side; a
+    map_batches pass cannot fix it — empty blocks survive map tasks).
+    `repartition(num_blocks=...)` concatenates blocks, absorbing the
+    schema-less empties into typed non-empty blocks, so the join's
+    first bundle always carries a schema.  Size num_blocks to the
+    join's own partition count (data-sized via join_partitions) so the
+    merge is a split/concat pass, not an extra all-to-all."""
+    return ds.repartition(num_blocks=num_blocks)
+
+
 def distinct_tokens(ds, column_out: str = "token"):
     """Corpus vocabulary over a Dataset with a `text` column: per-batch
     distinct tokens (the shared split_tokens kernel) re-deduped by ONE

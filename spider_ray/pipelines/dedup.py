@@ -1184,8 +1184,17 @@ def simjoin_tfidf_cosine_ds(ds, n_docs: int, threshold: float = 0.8,
             "doc_b": pc.array_filter(t["doc_b"], pa.array(keep)),
             "cosine": pa.array(cos_r[keep], pa.float64())})
 
-    return (pairs.map_batches(finalize, batch_format="pyarrow")
-            .sort(["doc_a", "doc_b"]))
+    # union a typed empty table AFTER the sort so the all-filtered
+    # corner (e.g. every shared shingle at df=n -> both norms 0) yields
+    # the SAME (doc_a, doc_b, cosine) schema as the driver tier instead
+    # of a schema-less empty dataset (round-4 ADVICE).  Order: union
+    # concatenates operands, and the leading block carries zero rows,
+    # so the sorted sequence is unchanged; unioning BEFORE the sort
+    # does not work — Sort on an all-empty input re-emits schema-less
+    # blocks and drops the typed one.
+    return rd.from_arrow(empty).union(
+        pairs.map_batches(finalize, batch_format="pyarrow")
+        .sort(["doc_a", "doc_b"]))
 
 
 def _idf_cosine_driver(sh: np.ndarray, doc: np.ndarray, n_docs: int,

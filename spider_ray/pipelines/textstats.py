@@ -289,14 +289,23 @@ def tfidf_top_terms_per_lang(sf_dir: str, k: int = 10):
         g = pa.TableGroupBy(distinct, ["token"]).aggregate([([], "count_all")])
         return g.rename_columns(["token", "df"])
 
+    from . import coalesce_for_join, join_partitions, table_num_rows
+
     tf = (ds.map_batches(tf_partials, batch_format="pyarrow")
           .groupby(["lang", "token"]).aggregate(Sum("tf", alias_name="tf")))
     df = (ds.map_batches(df_partials, batch_format="pyarrow")
           .groupby("token").aggregate(Sum("df", alias_name="df")))
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    joined = tf.join(df, join_type="inner",
-                     num_partitions=max(2, min(16, cpus // 2)),
-                     on=("token",))
+    # partition count sized from DATA (vocab scales with the corpus —
+    # the documents row count is the metadata-cheap proxy), never from
+    # the CPU count: at sf0.01 the vocabulary is ~31 tokens and a
+    # 16-way join left right-side partitions holding only Ray's
+    # schema-less empty aggregate blocks, which Acero rejects.  The
+    # coalesce guard makes the join robust even when partitions
+    # outnumber distinct keys (see coalesce_for_join).
+    nparts = join_partitions(table_num_rows(sf_dir, "documents"))
+    joined = coalesce_for_join(tf, nparts).join(
+        coalesce_for_join(df, nparts), join_type="inner",
+        num_partitions=nparts, on=("token",))
 
     def score(t: pa.Table) -> pa.Table:
         tfv = np.asarray(t["tf"], dtype=np.float64)

@@ -2741,6 +2741,20 @@ def source_overlap_matrix(sf_dir: str, k: int = 5):
             .map_batches(lambda t: t.drop_columns(["c"]),
                          batch_format="pyarrow")).materialize()
     n_rows = rows.count()
+    if n_rows == 0:
+        # zero-row guard: a corpus where every doc has < k word tokens
+        # yields no (gram, source) rows, and the self-join below would
+        # raise ArrowInvalid on the schema-less empty side; the oracle
+        # returns an empty result for this input, so match it with a
+        # typed empty table (mirrors simjoin_tfidf_cosine_ds's guard).
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "source_a": pa.array([], pa.string()),
+            "source_b": pa.array([], pa.string()),
+            "shared": pa.array([], pa.int64()),
+            "frac": pa.array([], pa.float64()),
+        }))
 
     sizes = rows.groupby("source").aggregate(Count(alias_name="n"))
 

@@ -1,0 +1,90 @@
+"""Regression tests for the round-4 verdict items: joins whose
+partition count exceeds the key cardinality (the tfidf 32-CPU crash)
+and the empty-result corners of the pair pipelines (round-4 ADVICE)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestJoinOverPartitioned:
+    def test_tfidf_survives_partitions_over_vocab(self, monkeypatch):
+        """r4's only driver failure: at num_cpus=32 the tf join df got
+        16 partitions for a ~31-token vocabulary, some right-side join
+        partitions held only Ray's schema-less empty aggregate blocks,
+        and Acero raised 'No match ... for key field reference'.  Force
+        the failing 16-way split (any CPU count) and require the result
+        to equal the data-sized plan's output."""
+        import spider_ray.pipelines as P
+        from spider_ray.pipelines.textstats import tfidf_top_terms_per_lang
+
+        sf = "/root/testdata/sf0.001"
+        base = tfidf_top_terms_per_lang(sf).to_pandas()
+        assert len(base) > 0
+        monkeypatch.setattr(P, "join_partitions", lambda *a, **k: 16)
+        forced = tfidf_top_terms_per_lang(sf).to_pandas()
+        assert base.equals(forced)
+
+    def test_coalesce_for_join_absorbs_schemaless_empties(self):
+        """coalesce_for_join merges an Aggregate's schema-less empty
+        blocks into typed non-empty ones (the join-side precondition)."""
+        import ray
+        import ray.data as rd
+
+        from ray.data.aggregate import Sum
+        from spider_ray.pipelines import coalesce_for_join
+
+        ds = rd.from_arrow(pa.table({
+            "k": pa.array(["a", "b", "a", "c"], pa.string()),
+            "v": pa.array([1, 2, 3, 4], pa.int64()),
+        })).groupby("k").aggregate(Sum("v", alias_name="v"))
+        m = coalesce_for_join(ds, 2).materialize()
+        blocks = [ray.get(ref) for bundle in m.iter_internal_ref_bundles()
+                  for ref, _ in bundle.blocks]
+        assert all(b.num_rows > 0 for b in blocks)
+        assert all(b.schema.names == ["k", "v"] for b in blocks)
+        assert sum(b.num_rows for b in blocks) == 3
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEmptyResultCorners:
+    def test_source_overlap_matrix_short_docs(self, tmp_path):
+        """r4 ADVICE: every doc shorter than k=5 word tokens used to
+        raise ArrowInvalid in the self-join; the oracle returns empty."""
+        from spider_ray.pipelines.webtext import source_overlap_matrix
+
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "source": pa.array(["a", "b"], pa.string()),
+            "lang": pa.array(["en", "en"], pa.string()),
+            "text": pa.array(["one two", "three"], pa.string()),
+        }), str(tmp_path / "documents.parquet"))
+        out = source_overlap_matrix(str(tmp_path)).to_pandas()
+        assert len(out) == 0
+
+    def test_simjoin_distributed_empty_blocks_typed(self):
+        """r4 ADVICE: when every candidate pair is filtered (all shared
+        shingles at df=n so both norms are 0) the distributed tier used
+        to return a schema-less empty dataset; now both tiers emit
+        typed (doc_a, doc_b, cosine) blocks."""
+        import ray
+        import ray.data as rd
+
+        from spider_ray.pipelines.dedup import simjoin_tfidf_cosine_ds
+
+        txt = "alpha beta gamma delta epsilon zeta eta theta"
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([txt] * 3, pa.string()),
+        }))
+        out = simjoin_tfidf_cosine_ds(ds, 3, verify_distributed=True)
+        m = out.materialize()
+        assert m.count() == 0
+        blocks = [ray.get(ref) for bundle in m.iter_internal_ref_bundles()
+                  for ref, _ in bundle.blocks]
+        typed = [b for b in blocks if b.num_columns > 0]
+        assert typed, "expected at least one typed block"
+        assert all(b.schema.names == ["doc_a", "doc_b", "cosine"]
+                   for b in typed)

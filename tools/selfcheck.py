@@ -64,11 +64,19 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 
+    import os
+
     import ray
 
+    # DRIVER PARITY: the correctness driver runs at num_cpus=32, and
+    # partitioning-dependent bugs (r4's tfidf join failure) are
+    # invisible at lower parallelism — so the gate defaults to 32.
+    # Override with SELFCHECK_CPUS to sweep (e.g. 2/8/32) before
+    # committing join-bearing queries.
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False,
-                 logging_level="ERROR")
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("SELFCHECK_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
