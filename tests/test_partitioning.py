@@ -49,6 +49,35 @@ class TestJoinOverPartitioned:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestPriorityRevenueDispatch:
+    def test_broadcast_and_join_paths_match_oracle(self):
+        """hash_join_priority_revenue's size-adaptive dispatch: the
+        broadcast map-side path (adaptive at test scale) and the forced
+        Dataset.join twin (the 100 TB path) must both match DuckDB."""
+        import duckdb
+
+        from spider_ray.pipelines.relational import hash_join_priority_revenue
+
+        sf = "/root/testdata/sf0.001"
+        con = duckdb.connect()
+        exp = con.execute(f"""
+            SELECT o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM read_parquet('{sf}/lineitem.parquet') l
+            JOIN read_parquet('{sf}/orders.parquet') o
+              ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """).fetchdf()
+        for force in (None, "join_only"):
+            got = (hash_join_priority_revenue(sf, force=force).to_pandas()
+                   .sort_values("o_orderpriority", ignore_index=True)
+                   [["o_orderpriority", "revenue", "n_items"]])
+            import pandas as pd
+            pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestEmptyResultCorners:
     def test_source_overlap_matrix_short_docs(self, tmp_path):
         """r4 ADVICE: every doc shorter than k=5 word tokens used to
