@@ -209,3 +209,95 @@ def test_fetch_actor_loss_fails_fast_then_resume_matches(smoke_fixture,
     assert fresh.seen_table().equals(full.seen_table())
     assert fresh.order_table().equals(full.order_table())
     assert fresh.text_table().equals(full.text_table())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crash_between_check_and_add_resumes_to_oracle_20k(tmp_path):
+    """Chaos test for the distributed epoch tail's crash-replay seam
+    (round-4 verdict item 6): the fused admit task for one partition
+    dies AFTER its admitted checkpoint is on disk but BEFORE the seen
+    shards received the phase-2 add — so on resume the checkpoint's
+    committed verdicts must be replayed, not re-checked (re-checking
+    after sibling parts' adds could flip verdicts).  A fresh engine
+    resumed from the checkpoint tree must equal the uninterrupted run
+    AND the oracle exactly, at the 20k fixture with the fully
+    distributed spine."""
+    import spider_ray.engine as eng_mod
+    from spider_ray.datagen import default_politeness, write_fixture
+    from spider_ray.engine import CrawlEngine
+    from spider_ray.oracle import crawl_oracle
+
+    def _crashing_admit(*args):
+        """Injected epoch-tail task: for part 0 of epoch 2, die BETWEEN
+        the admitted-checkpoint write (phase 1) and the seen-shard add
+        (phase 2) — the exact seam the two-phase protocol exists for —
+        and keep dying on in-run retries (a hard host crash, not a
+        transient fault).  Defined INSIDE the test so cloudpickle
+        serializes it by value into the worker process (a test-module
+        global is pickled by reference and fails to import there)."""
+        import os
+
+        import spider_ray.state.seen as seenmod
+        from spider_ray.engine import _admit_frontier_part as real
+
+        part, epoch, adm_path = args[0], args[5], args[6]
+        if part == 0 and epoch == 2:
+            if os.path.exists(adm_path):
+                raise RuntimeError("injected: host still down")
+            orig = seenmod.SeenChecker.add
+
+            def boom(self, *a, **k):
+                raise RuntimeError("injected crash between check and add")
+
+            seenmod.SeenChecker.add = boom
+            try:
+                return real(*args)
+            finally:
+                seenmod.SeenChecker.add = orig
+        return real(*args)
+
+    pol = default_politeness(max_per_host_per_epoch=8, max_epochs=4)
+    paths = write_fixture("/tmp/spider_ray_testfix/n20000_r5", n_pages=20_000,
+                          seed=42, politeness=pol)
+    pages = pq.read_table(paths["pages"])
+    seeds = pq.read_table(paths["seeds"])
+
+    kw = dict(num_parts=8, seen_shards=4, fetch_concurrency=4,
+              force_distributed=True, driver_threshold=0)
+    full = CrawlEngine(paths["pages"], pol, str(tmp_path / "full"), **kw)
+    full.run(seeds=seeds)
+
+    orig_fn = eng_mod._admit_frontier_part
+    old_rfns = eng_mod._RFNS
+    eng_mod._RFNS = None  # rebuild the remote-fn table with the poison
+    eng_mod._admit_frontier_part = _crashing_admit
+    try:
+        crash = CrawlEngine(paths["pages"], pol, str(tmp_path / "crash"),
+                            **kw)
+        with pytest.raises(Exception, match="injected"):
+            crash.run(seeds=seeds)
+        crash.close()
+    finally:
+        eng_mod._admit_frontier_part = orig_fn
+        eng_mod._RFNS = None  # next engine rebuilds with the real task
+        del old_rfns
+
+    # the crashed state is exactly mid-seam: part 0's epoch-2 admitted
+    # checkpoint reached disk (phase 1 committed) even though its
+    # phase-2 add never hit the shards — that file is what resume's
+    # replay must honor instead of re-checking
+    import glob
+    adm2 = glob.glob(str(tmp_path / "crash" / "epoch_0002" / "admitted" /
+                         "*.parquet"))
+    assert adm2, "expected the phase-1 admitted checkpoint on disk"
+
+    fresh = CrawlEngine(paths["pages"], pol, str(tmp_path / "crash"), **kw)
+    m = fresh.run(resume=True)
+    assert m["done"]
+    assert fresh.seen_table().equals(full.seen_table())
+    assert fresh.order_table().equals(full.order_table())
+    assert fresh.text_table().equals(full.text_table())
+
+    oracle_res = crawl_oracle(pages, seeds, pol)
+    assert fresh.seen_table().equals(oracle_res.seen_table())
+    assert fresh.order_table().equals(oracle_res.order_table())
