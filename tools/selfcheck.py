@@ -71,8 +71,13 @@ def main():
     # DRIVER PARITY: the correctness driver runs at num_cpus=32, and
     # partitioning-dependent bugs (r4's tfidf join failure) are
     # invisible at lower parallelism — so the gate defaults to 32.
-    # Override with SELFCHECK_CPUS to sweep (e.g. 2/8/32) before
-    # committing join-bearing queries.
+    # Override with SELFCHECK_CPUS to sweep (e.g. 3/4/8/32) before
+    # committing join-bearing queries.  KNOWN FLOOR: num_cpus=2
+    # deadlocks every Dataset.join — Ray's join reserves its
+    # HashShuffleAggregator actors at min(1, cpus/2/partitions) CPU
+    # each (2 x 0.5 at 2 CPUs) plus executor overhead, leaving < 1
+    # CPU available, so no 1-CPU map task can ever schedule (verified:
+    # available CPU pins at 0.75-0.8 forever).  3 CPUs works.
     if not ray.is_initialized():
         ray.init(address="local",
                  num_cpus=int(os.environ.get("SELFCHECK_CPUS", "32")),
