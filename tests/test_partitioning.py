@@ -49,6 +49,48 @@ class TestJoinOverPartitioned:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestJoinCardinalityProperty:
+    def test_join_correct_across_cardinality_partition_grid(self):
+        """Property sweep over the r4 crash class: an aggregate-fed
+        inner join must equal the pandas merge for every (distinct-key
+        count, partition count) combination — including partitions >>
+        keys, the shape where Ray's schema-broadcast race bites."""
+        import pandas as pd
+        import ray.data as rd
+
+        from ray.data.aggregate import Sum
+        from spider_ray.pipelines import coalesce_for_join
+
+        rng = np.random.default_rng(11)
+        for n_keys in (1, 3, 7):
+            for nparts in (2, 5, 11):
+                n = 200
+                k = rng.integers(0, n_keys, n).astype(np.int64)
+                v = rng.integers(1, 100, n).astype(np.int64)
+                left = (rd.from_arrow(pa.table({"k": pa.array(k),
+                                                "v": pa.array(v)}))
+                        .groupby("k").aggregate(Sum("v", alias_name="v")))
+                rk = np.arange(n_keys, dtype=np.int64)
+                right = (rd.from_arrow(pa.table({
+                    "rk": pa.array(np.repeat(rk, 2)),
+                    "w": pa.array(np.tile([1, 2], n_keys).astype(np.int64)),
+                })).groupby("rk").aggregate(Sum("w", alias_name="w")))
+                got = (coalesce_for_join(left, nparts)
+                       .join(coalesce_for_join(right, nparts),
+                             join_type="inner", num_partitions=nparts,
+                             on=("k",), right_on=("rk",))
+                       .to_pandas()
+                       .sort_values("k", ignore_index=True))
+                exp_l = (pd.DataFrame({"k": k, "v": v})
+                         .groupby("k", as_index=False)["v"].sum())
+                exp = (exp_l.assign(w=3)
+                       .sort_values("k", ignore_index=True))
+                pd.testing.assert_frame_equal(
+                    got[["k", "v", "w"]], exp[["k", "v", "w"]],
+                    check_dtype=False), (n_keys, nparts)
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestPriorityRevenueDispatch:
     def test_broadcast_and_join_paths_match_oracle(self):
         """hash_join_priority_revenue's size-adaptive dispatch: the
