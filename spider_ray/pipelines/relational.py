@@ -763,34 +763,74 @@ class _RankSelector:
                 if rows else np.zeros(bins, np.int64))
 
     def select(self, rank: int) -> float:
+        return self.select_many([rank])[rank]
+
+    def select_many(self, ranks) -> dict:
+        """All requested order statistics with ONE candidate-gather
+        pass: every rank's refinement chain is resolved driver-side
+        from the (cached) histograms first — a histogram pass runs only
+        when a bucket exceeds `cap`, and a chain shared by several
+        ranks refines once — then a single map_batches collects the
+        values of every final bucket (one list-column row per chain per
+        block) and each rank indexes its sorted bucket.  Replaces the
+        gather-per-select loop that cost equidepth (2k selects) ~16
+        Dataset executions of constant each.  Driver memory: ≤ cap
+        values per DISTINCT final bucket (k buckets for an equidepth-k
+        call) — same bound class as the one-at-a-time path."""
         if self._h0 is None:
-            return self.lo
+            return {int(r): self.lo for r in ranks}
         bins = self.bins
-        chain: list = []
-        lo_, w, below, h = self.lo, self.hi - self.lo, 0, self._h0
-        while True:
-            cum = below + np.cumsum(h)
-            b = int(np.searchsorted(cum, rank + 1))
-            b_below = int(cum[b - 1]) if b else below
-            b_lo = lo_ + w * b / bins
-            b_w = w / bins
-            chain_b = chain + [(lo_, w, b)]
-            if int(h[b]) > self.cap and b_w > 0 and b_lo + b_w > np.nextafter(
-                    b_lo, np.inf):
-                chain, lo_, w, below = chain_b, b_lo, b_w, b_below
-                h = self._hist(chain, lo_, w)
-                continue
+        jobs: dict[int, tuple] = {}   # rank -> (chain tuple, b_below)
+        hist_cache: dict[tuple, np.ndarray] = {}
+        for rank in ranks:
+            rank = int(rank)
+            chain: list = []
+            lo_, w, below, h = self.lo, self.hi - self.lo, 0, self._h0
+            while True:
+                cum = below + np.cumsum(h)
+                b = int(np.searchsorted(cum, rank + 1))
+                b_below = int(cum[b - 1]) if b else below
+                b_lo = lo_ + w * b / bins
+                b_w = w / bins
+                chain_b = chain + [(lo_, w, b)]
+                if int(h[b]) > self.cap and b_w > 0 and \
+                        b_lo + b_w > np.nextafter(b_lo, np.inf):
+                    chain, lo_, w, below = chain_b, b_lo, b_w, b_below
+                    key = tuple(chain)
+                    if key not in hist_cache:
+                        hist_cache[key] = self._hist(chain, lo_, w)
+                    h = hist_cache[key]
+                    continue
+                jobs[rank] = (tuple(chain_b), b_below)
+                break
 
-            def gather(t: pa.Table, _s=self) -> pa.Table:
-                v = _s._members(np.asarray(t["value"], dtype=np.float64),
-                                chain_b)
-                return pa.table({"value": pa.array(v, pa.float64())})
+        chains = sorted({c for c, _ in jobs.values()})
 
-            vals = np.sort(np.concatenate(
-                [np.asarray(t["value"], dtype=np.float64) for t in
-                 self.ds.map_batches(gather, batch_format="pyarrow")
-                     .iter_batches(batch_format="pyarrow")] or [np.zeros(0)]))
-            return float(vals[rank - b_below])
+        def gather(t: pa.Table, _s=self, _chains=chains) -> pa.Table:
+            v0 = np.asarray(t["value"], dtype=np.float64)
+            return pa.table({
+                "chain": pa.array(range(len(_chains)), pa.int64()),
+                "vals": pa.array([_s._members(v0, list(c)).tolist()
+                                  for c in _chains],
+                                 pa.list_(pa.float64())),
+            })
+
+        parts: dict[int, list] = {i: [] for i in range(len(chains))}
+        for t in (self.ds.map_batches(gather, batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow")):
+            ci = np.asarray(t["chain"])
+            flat = t["vals"]
+            for row, i in enumerate(ci):
+                parts[int(i)].append(np.asarray(flat[row].values
+                                                if hasattr(flat[row], "values")
+                                                else flat[row].as_py(),
+                                                dtype=np.float64))
+        sorted_bucket = {
+            chains[i]: np.sort(np.concatenate(parts[i])
+                               if parts[i] else np.zeros(0))
+            for i in range(len(chains))}
+        return {r: float(sorted_bucket[c][r - b_below])
+                for r, (c, b_below) in jobs.items()}
 
 
 def quantile_event_value_global(sf_dir: str, qs=(0.5, 0.9, 0.99),
@@ -799,10 +839,11 @@ def quantile_event_value_global(sf_dir: str, qs=(0.5, 0.9, 0.99),
     Rank rule: value at floor(q·(n−1)) of the sorted column — identical
     in the SQL oracle."""
     sel = _RankSelector(_rp(sf_dir, "events", ["value"]), bins, cap)
+    targets = {q: int(np.floor(q * (sel.n - 1))) for q in qs}
+    got = sel.select_many(sorted(set(targets.values())))
     out = {"n_events": pa.array([sel.n], pa.int64())}
     for q in qs:
-        r = int(np.floor(q * (sel.n - 1)))
-        out[f"p{int(q * 100)}"] = pa.array([sel.select(r)], pa.float64())
+        out[f"p{int(q * 100)}"] = pa.array([got[targets[q]]], pa.float64())
     return pa.table(out)
 
 
@@ -822,14 +863,18 @@ def equidepth_histogram_event_value(sf_dir: str, k: int = 8,
     q, r = divmod(n, k)
     sizes = [q + 1 if t < r else q for t in range(k)]
     starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    want = sorted({int(starts[t]) for t in range(k) if sizes[t]} |
+                  {int(starts[t] + sizes[t] - 1)
+                   for t in range(k) if sizes[t]})
+    got = sel.select_many(want)  # ONE gather pass for all 2k ranks
     rows = {"tile": [], "n": [], "min_value": [], "max_value": []}
     for t in range(k):
         if sizes[t] == 0:
             continue
         rows["tile"].append(t + 1)
         rows["n"].append(sizes[t])
-        rows["min_value"].append(sel.select(int(starts[t])))
-        rows["max_value"].append(sel.select(int(starts[t] + sizes[t] - 1)))
+        rows["min_value"].append(got[int(starts[t])])
+        rows["max_value"].append(got[int(starts[t] + sizes[t] - 1)])
     return pa.table({
         "tile": pa.array(rows["tile"], pa.int64()),
         "n": pa.array(rows["n"], pa.int64()),
