@@ -221,17 +221,39 @@ def crawl_anchor_stats(sf_dir: str):
               .groupby(["url", "anchor"])
               .aggregate(Sum("n", alias_name="n")))
 
-    def per_url(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["n", "anchor"], ascending=[False, True],
-                          kind="mergesort")
-        return pd.DataFrame({
-            "url": g["url"].iloc[:1].to_numpy(),
-            "n_links": np.array([int(g["n"].sum())], np.int64),
-            "distinct_anchors": np.array([len(g)], np.int64),
-            "top_anchor": g["anchor"].iloc[:1].to_numpy(),
-        })
+    # per-url argmax via the suite's BUCKET pattern (dedup.py pair
+    # buckets): a groupby().map_groups keyed on the ~url-cardinality
+    # key pays Ray's per-group finalization ~40k times (measured ~4 s
+    # of the query's 7 s at the 20k fixture); hashing urls into 64
+    # buckets keeps every url's rows together and runs ONE vectorized
+    # pandas reduce per bucket instead.
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = np.asarray(pc.hash64(t["url"]), dtype=np.uint64) \
+            if hasattr(pc, "hash64") else None
+        if h is None:
+            import pandas as pd  # stable per-url hash, vectorized
+            h = pd.util.hash_array(
+                np.asarray(t["url"], dtype=object)).astype(np.uint64)
+        return t.append_column(
+            "pb", pa.array((h % np.uint64(64)).astype(np.int64)))
 
-    return counts.groupby("url").map_groups(per_url, batch_format="pandas")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["url", "n", "anchor"],
+                          ascending=[True, False, True], kind="mergesort")
+        agg = (g.groupby("url", sort=False)
+               .agg(n_links=("n", "sum"),
+                    distinct_anchors=("n", "size"),
+                    top_anchor=("anchor", "first"))
+               .reset_index())
+        agg["n_links"] = agg["n_links"].astype(np.int64)
+        agg["distinct_anchors"] = agg["distinct_anchors"].astype(np.int64)
+        return agg
+
+    return (counts.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("pb").map_groups(per_bucket, batch_format="pandas")
+            .map_batches(lambda t: t.drop_columns(["pb"])
+                         if "pb" in t.column_names else t,
+                         batch_format="pyarrow"))
 
 
 def crawl_host_stats(sf_dir: str):
