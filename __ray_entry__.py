@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_token_count": ts.token_count,
         "text_quality_score": ts.quality_score,
         "quality_quantile_gate": ts.quality_quantile_gate,
+        "select_token_budget": ts.select_token_budget,
         "text_normalize": ts.normalize_text,
         "text_lang_id": ts.lang_id,
         "text_fingerprints": ts.fingerprints,
@@ -254,6 +255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_match_customer_names": dedup.fuzzy_match_customer_names,
         # -- similarity search ---------------------------------------------
         "ann_topk_bruteforce": ann.ann_topk_bruteforce,
+        "hard_negatives_topk": ann.hard_negatives_topk,
         "ann_topk_quantized": ann.ann_topk_quantized,
         "ann_lsh_topk": ann.ann_lsh_topk,
         # LSH with integer hyperplanes + int8 vectors: the bucketing
@@ -1340,6 +1342,24 @@ def _oracle_sql_build() -> dict[str, str]:
             FROM s JOIN thr USING (lang)
             WHERE s.q_score >= thr.thr ORDER BY s.doc_id
         """,
+        # token-budget-constrained selection: greedy by quality until
+        # the running token total exceeds the budget (window cumsum)
+        "select_token_budget": """
+            WITH s AS (
+              SELECT doc_id,
+                     round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                           / greatest(length(text), 1)
+                           - length(regexp_replace(text, '[^0-9]', '', 'g'))
+                           / greatest(length(text), 1), 4) AS q_score,
+                     len(regexp_extract_all(lower(text), '[a-z0-9_]+'))
+                         AS n_tokens
+              FROM documents),
+            r AS (SELECT *, SUM(n_tokens) OVER (
+                      ORDER BY q_score DESC, doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum FROM s)
+            SELECT doc_id, q_score, n_tokens FROM r
+            WHERE cum <= 20000 ORDER BY doc_id
+        """,
         "text_normalize": r"""
             SELECT doc_id,
                    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
@@ -2420,6 +2440,21 @@ def _oracle_sql_build() -> dict[str, str]:
                                         CAST(c.embedding AS DOUBLE[])) AS cosine
                 FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 10) q
                 JOIN embeddings c ON c.vec_id <> q.vec_id
+                QUALIFY row_number() OVER (
+                    PARTITION BY q.vec_id ORDER BY cosine DESC, c.vec_id) <= 5
+            ) t
+        """,
+        # hard-negative mining: same exact-cosine plan, candidates
+        # restricted to a DIFFERENT label than the query's (which also
+        # excludes self)
+        "hard_negatives_topk": """
+            SELECT query_id, neighbor_id, round(cosine, 4) AS cosine
+            FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])) AS cosine
+                FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 10) q
+                JOIN embeddings c ON c.label <> q.label
                 QUALIFY row_number() OVER (
                     PARTITION BY q.vec_id ORDER BY cosine DESC, c.vec_id) <= 5
             ) t

@@ -120,6 +120,55 @@ def ann_topk_bruteforce(sf_dir: str, n_queries: int = 10, k: int = 5):
     return _final_topk(partials, k)
 
 
+def hard_negatives_topk(sf_dir: str, n_queries: int = 10, k: int = 5):
+    """Hard-negative mining for contrastive training (the retrieval-
+    training data op: for each anchor, the most-similar candidates of a
+    DIFFERENT label are the informative negatives — random negatives
+    are too easy).  For the first n_queries vec_ids: exact top-k by
+    cosine among candidates with label <> the query's label (which
+    also excludes self).  Same scale shape as ann_topk_bruteforce:
+    queries broadcast once via ray.put, the corpus streams through a
+    per-batch matmul + partial top-k combiner, and the final reduce
+    sees only n_queries × k rows per block."""
+    import ray
+    import ray.data as rd
+
+    q_ids, q_mat = _load_queries(sf_dir, n_queries)
+    lab = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "label"],
+                        filters=[("vec_id", "in", q_ids.tolist())])
+    order = np.argsort(np.asarray(lab["vec_id"], dtype=np.int64))
+    q_labels = np.asarray(lab["label"], dtype=np.int64)[order]
+    q_ref = ray.put((q_ids, q_mat, q_labels))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        qids, qm, qlab = ray.get(q_ref)
+        cids = _assert_nonneg(np.asarray(t["vec_id"], dtype=np.int64))
+        clab = np.asarray(t["label"], dtype=np.int64)
+        cm = _normalize(np.stack(
+            t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64))
+        sims = qm @ cm.T
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(qids)):
+            s = sims[qi]
+            cand_idx = np.nonzero(clab != qlab[qi])[0]  # negatives only
+            if len(cand_idx) == 0:
+                continue
+            top = cand_idx[np.lexsort((cids[cand_idx], -s[cand_idx]))[:k]]
+            out_q += [qids[qi]] * len(top)
+            out_n += cids[top].tolist()
+            out_s += s[top].tolist()
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "cosine": pa.array(out_s, pa.float64())})
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    return _final_topk(partials, k)
+
+
 def _quantize_i8(mat: np.ndarray) -> np.ndarray:
     """Fixed-point int8 quantization q = min(floor(x * 128), 127).
     The scale is a power of two, so the float64 multiply and floor are

@@ -738,6 +738,29 @@ def pmi_adjacent_tokens(sf_dir: str, min_count: int = 30, k: int = 20):
             .limit(k))
 
 
+def _q_score_batch(t: pa.Table) -> pa.Table:
+    """The suite's shared quality score — (alpha ratio − digit ratio)
+    rounded half-away at 4dp so thresholds and orderings computed from
+    it are bit-identical to the SQL oracles' round().  One definition,
+    used by quality_quantile_gate and select_token_budget.  Passes
+    doc_id plus any of lang/text's siblings already projected."""
+    text = t["text"]
+    n_safe = pc.max_element_wise(
+        pc.cast(pc.utf8_length(text), pa.float64()), pa.scalar(1.0))
+    n_alpha = pc.cast(pc.utf8_length(pc.replace_substring_regex(
+        text, pattern="[^A-Za-z]", replacement="")), pa.float64())
+    n_digit = pc.cast(pc.utf8_length(pc.replace_substring_regex(
+        text, pattern="[^0-9]", replacement="")), pa.float64())
+    s = pc.round(pc.subtract(pc.divide(n_alpha, n_safe),
+                             pc.divide(n_digit, n_safe)),
+                 ndigits=4, round_mode="half_towards_infinity")
+    cols = {"doc_id": t["doc_id"]}
+    if "lang" in t.column_names:
+        cols["lang"] = t["lang"]
+    cols["q_score"] = s
+    return pa.table(cols)
+
+
 def quality_quantile_gate(sf_dir: str, q: float = 0.75):
     """Per-language quality gating — keep each language's top quality
     quartile (what curation pipelines actually do with a quality score:
@@ -755,22 +778,8 @@ def quality_quantile_gate(sf_dir: str, q: float = 0.75):
     import ray
 
     ds = _rp(sf_dir, "documents", ["doc_id", "lang", "text"])
-
-    def score(t: pa.Table) -> pa.Table:
-        text = t["text"]
-        n_safe = pc.max_element_wise(
-            pc.cast(pc.utf8_length(text), pa.float64()), pa.scalar(1.0))
-        n_alpha = pc.cast(pc.utf8_length(pc.replace_substring_regex(
-            text, pattern="[^A-Za-z]", replacement="")), pa.float64())
-        n_digit = pc.cast(pc.utf8_length(pc.replace_substring_regex(
-            text, pattern="[^0-9]", replacement="")), pa.float64())
-        s = pc.round(pc.subtract(pc.divide(n_alpha, n_safe),
-                                 pc.divide(n_digit, n_safe)),
-                     ndigits=4, round_mode="half_towards_infinity")
-        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
-                         "q_score": s})
-
-    scored = ds.map_batches(score, batch_format="pyarrow").materialize()
+    scored = ds.map_batches(_q_score_batch, batch_format="pyarrow") \
+               .materialize()
 
     def group_thr(df: "pd.DataFrame") -> "pd.DataFrame":
         import pandas as pd
@@ -794,6 +803,82 @@ def quality_quantile_gate(sf_dir: str, q: float = 0.75):
 
     return (scored.map_batches(gate, batch_format="pyarrow")
             .sort("doc_id"))
+
+
+def select_token_budget(sf_dir: str, budget: int = 20_000):
+    """Token-budget-constrained corpus selection — the curation step
+    that turns a quality score into a training set of a TARGET SIZE:
+    greedily keep the highest-quality documents (q_score DESC, doc_id
+    ASC tie-break) while the running token total stays ≤ budget — i.e.
+    exactly SQL's `SUM(n_tokens) OVER (ORDER BY q_score DESC, doc_id)
+    <= budget`.
+
+    Scale shape: NO global sort.  One scoring pass emits (doc_id,
+    q_score, n_tokens); the budget boundary is found on the SCORE
+    DOMAIN — a grouped Σ n_tokens per distinct 4dp score (≤ 20,001
+    tiers regardless of corpus size) cumsummed on the driver — and only
+    the single boundary tier's (doc_id, n_tokens) pairs are pulled to
+    resolve the intra-tier doc_id prefix (tier-sized ints; a degenerate
+    corpus where every doc shares one score pulls id-pairs for all of
+    them — still two int64s per doc, never text).  The final pass is a
+    broadcast-threshold filter."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..common.tokens import split_tokens
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def score_tokens(t: pa.Table) -> pa.Table:
+        out = _q_score_batch(t)
+        _, parent = split_tokens(t["text"], lower=True)
+        n_tok = np.bincount(parent, minlength=t.num_rows).astype(np.int64)
+        return out.append_column("n_tokens", pa.array(n_tok, pa.int64()))
+
+    scored = ds.map_batches(score_tokens, batch_format="pyarrow") \
+               .materialize()
+
+    tiers = (scored.groupby("q_score")
+             .aggregate(Sum("n_tokens", alias_name="tok"))
+             .to_pandas())  # score-DOMAIN-sized (≤ 20,001 rows at 4dp)
+    tiers = tiers.sort_values("q_score", ascending=False,
+                              ignore_index=True)
+    cum = tiers["tok"].cumsum()
+    over = np.nonzero(cum.to_numpy() > budget)[0]
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "q_score": pa.array([], pa.float64()),
+                      "n_tokens": pa.array([], pa.int64())})
+    if len(tiers) == 0:
+        return rd.from_arrow(empty)
+    if len(over) == 0:
+        return scored.sort("doc_id")  # whole corpus fits the budget
+
+    bi = int(over[0])
+    b_score = float(tiers["q_score"].iloc[bi])
+    spent = int(cum.iloc[bi - 1]) if bi else 0
+    remaining = budget - spent
+
+    # resolve the boundary tier's doc_id prefix (tier-sized pull)
+    btier = (scored.map_batches(
+        lambda t: t.filter(pc.equal(t["q_score"], pa.scalar(b_score)))
+                   .select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow").to_pandas()
+        .sort_values("doc_id", ignore_index=True))
+    keep_mask = btier["n_tokens"].cumsum() <= remaining
+    cutoff = int(btier.loc[keep_mask, "doc_id"].max()) \
+        if keep_mask.any() else -1
+
+    bs_ref = ray.put((b_score, cutoff))
+
+    def gate(t: pa.Table, _b=bs_ref) -> pa.Table:
+        s, cut = ray.get(_b)
+        qs = np.asarray(t["q_score"], dtype=np.float64)
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        return t.filter(pa.array((qs > s) | ((qs == s) & (ids <= cut))))
+
+    return rd.from_arrow(empty).union(
+        scored.map_batches(gate, batch_format="pyarrow").sort("doc_id"))
 
 
 def zipf_slope_by_lang(sf_dir: str, top_ranks: int = 30):

@@ -159,3 +159,40 @@ class TestEmptyResultCorners:
         assert typed, "expected at least one typed block"
         assert all(b.schema.names == ["doc_a", "doc_b", "cosine"]
                    for b in typed)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSelectTokenBudgetCorners:
+    def _write(self, tmp_path, texts):
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["s"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }), str(tmp_path / "documents.parquet"))
+        return str(tmp_path)
+
+    def test_single_score_tier_prefix_by_doc_id(self, tmp_path):
+        """Degenerate corpus where every doc shares one q_score: the
+        budget boundary falls inside the only tier and the kept set is
+        the doc_id-ascending prefix — exactly the SQL window rule."""
+        from spider_ray.pipelines.textstats import select_token_budget
+
+        sf = self._write(tmp_path, ["alpha beta gamma"] * 10)  # 3 tokens
+        out = select_token_budget(sf, budget=7).to_pandas()
+        assert out["doc_id"].tolist() == [1, 2]  # 3+3 <= 7, +3 would be 9
+
+    def test_zero_budget_returns_typed_empty(self, tmp_path):
+        from spider_ray.pipelines.textstats import select_token_budget
+
+        sf = self._write(tmp_path, ["alpha beta", "gamma delta"])
+        out = select_token_budget(sf, budget=0).to_pandas()
+        assert len(out) == 0
+
+    def test_budget_covers_all(self, tmp_path):
+        from spider_ray.pipelines.textstats import select_token_budget
+
+        sf = self._write(tmp_path, ["alpha beta", "gamma"])
+        out = select_token_budget(sf, budget=100).to_pandas()
+        assert sorted(out["doc_id"].tolist()) == [1, 2]

@@ -817,6 +817,8 @@ class TestRound3LateOperators:
         ("global_shuffle_rank", ["position"]),
         ("dedup_simhash_tok8", ["doc_a", "doc_b"]),
         ("ann_lsh_topk_quantized", ["query_id", "neighbor_id"]),
+        ("hard_negatives_topk", ["query_id", "neighbor_id"]),
+        ("select_token_budget", ["doc_id"]),
         ("simjoin_tfidf_cosine", ["doc_a", "doc_b"]),
         ("dedup_prefix_tokens", ["doc_id"]),
         ("url_filter_rules", ["url_key"]),
