@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL unroll; pytest pins an independent per-row reference loop
         "dedup_events_window": rel.dedup_events_window,
         "sessionize_users": rel.sessionize_users,
+        "hourly_counts_watermark": rel.hourly_counts_watermark,
         "asof_join_purchase_click": rel.asof_join_purchase_click,
         "sliding_avg_user_value": rel.sliding_avg_user_value,
         "sample_deterministic": rel.sample_deterministic,
@@ -1263,6 +1264,26 @@ def _oracle_sql_build() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ) s
             GROUP BY user_id
+        """,
+        # watermark/late-data accounting: running event-time watermark
+        # over arrival order (event_id), hour windows, integer-us math
+        "hourly_counts_watermark": """
+            WITH w AS (
+              SELECT epoch_us(ts) AS ts_us,
+                     max(epoch_us(ts)) OVER (ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS prev_us
+              FROM events),
+            l AS (SELECT ts_us - ts_us % 3600000000 AS win_us,
+                         CASE WHEN prev_us IS NOT NULL AND
+                              ts_us - ts_us % 3600000000 + 3600000000
+                                <= prev_us - 900000000
+                              THEN 1 ELSE 0 END AS late
+                  FROM w)
+            SELECT make_timestamp(win_us) AS window_start,
+                   CAST(count(*) - sum(late) AS BIGINT) AS n_on_time,
+                   CAST(sum(late) AS BIGINT) AS n_late
+            FROM l GROUP BY win_us ORDER BY window_start
         """,
         "flow_basic_leaves": """
             SELECT CAST(o_orderkey AS VARCHAR) || '_updatedx1_updatedx2' AS value

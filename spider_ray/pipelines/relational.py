@@ -494,6 +494,92 @@ def sample_deterministic(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def hourly_counts_watermark(sf_dir: str, delay_min: int = 15,
+                            buckets: int = 64):
+    """Watermark / late-data accounting over a batch replay of the
+    event log — the streaming-window corner the reference lacks
+    entirely (SURVEY §2 negative list: "no late-data handling") and
+    Ray Data has no primitive for.  Arrival order is the event_id
+    sequence; the watermark at each arrival is the running max EVENT
+    TIME of all strictly-earlier arrivals minus delay_min; an event is
+    LATE when its hour window already closed under that watermark
+    (window_end ≤ watermark).  Output per hour window: on-time vs late
+    arrival counts — what a streaming engine's window trigger + late
+    side-output would emit, reproduced deterministically on the log.
+
+    Scale shape: the exclusive running max is the suite's two-pass
+    ordered scan (global_shuffle_rank / pack_documents): bucket events
+    by event_id RANGE, per-bucket max-ts partials, driver exclusive
+    prefix-max over the ordered bucket domain (`buckets` rows,
+    broadcast once), then one per-bucket pass computes the in-bucket
+    running max with the carry-in — no global sort, nothing
+    event-sized on the driver; the final reduce is window-domain-sized.
+    All comparisons in integer microseconds so both engines agree
+    bit-for-bit."""
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    HOUR = 3_600_000_000
+    delay_us = delay_min * 60_000_000
+    SENTINEL = -(1 << 62)  # "no earlier arrival": never marks late
+
+    ds = _rp(sf_dir, "events", ["event_id", "ts"])
+    stats = ds.aggregate(Min("event_id", alias_name="lo"),
+                         Max("event_id", alias_name="hi"))
+    lo, hi = int(stats["lo"]), int(stats["hi"])
+    width = max(1, (hi - lo + buckets) // buckets)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["event_id"], dtype=np.int64)
+        ts_us = np.asarray(t["ts"]).astype("datetime64[us]").astype(np.int64)
+        return pa.table({"event_id": pa.array(ids),
+                         "ts_us": pa.array(ts_us),
+                         "bucket": pa.array((ids - lo) // width)})
+
+    kd = ds.map_batches(keyed, batch_format="pyarrow").materialize()
+
+    bmax = (kd.groupby("bucket").aggregate(Max("ts_us", alias_name="m"))
+            .to_pandas().sort_values("bucket"))  # bucket-domain-sized
+    carry_vals = np.concatenate(
+        ([SENTINEL], np.maximum.accumulate(
+            bmax["m"].to_numpy(np.int64))[:-1]))
+    carry_ref = ray.put(dict(zip(bmax["bucket"].astype(np.int64).tolist(),
+                                 carry_vals.tolist())))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        carry = ray.get(carry_ref)[int(g["bucket"].iloc[0])]
+        g = g.sort_values("event_id", kind="mergesort")
+        ts = g["ts_us"].to_numpy(np.int64)
+        m = np.maximum.accumulate(ts)
+        prev = np.concatenate(([carry], np.maximum(m[:-1], carry)))
+        win = ts - ts % HOUR
+        late = (win + HOUR) <= (prev - delay_us)
+        out = pd.DataFrame({"win_us": win, "late": late.astype(np.int64)})
+        return (out.groupby("win_us", sort=False)
+                .agg(n=("late", "size"), n_late=("late", "sum"))
+                .reset_index())
+
+    from ray.data.aggregate import Sum
+
+    agg = (kd.groupby("bucket").map_groups(per_bucket,
+                                           batch_format="pandas")
+           .groupby("win_us").aggregate(Sum("n", alias_name="n"),
+                                        Sum("n_late", alias_name="n_late")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        win = np.asarray(t["win_us"], dtype=np.int64)
+        n = np.asarray(t["n"], dtype=np.int64)
+        nl = np.asarray(t["n_late"], dtype=np.int64)
+        return pa.table({
+            "window_start": pa.array(win.astype("datetime64[us]")),
+            "n_on_time": pa.array(n - nl, pa.int64()),
+            "n_late": pa.array(nl, pa.int64()),
+        })
+
+    return (agg.map_batches(finish, batch_format="pyarrow")
+            .sort("window_start"))
+
+
 def sessionize_users(sf_dir: str):
     """Session windows (30-min gap) per user: groupby(user).map_groups
     over ts-sorted groups — keyed, ordered, stateful-within-group.

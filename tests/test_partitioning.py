@@ -196,3 +196,49 @@ class TestSelectTokenBudgetCorners:
         sf = self._write(tmp_path, ["alpha beta", "gamma"])
         out = select_token_budget(sf, budget=100).to_pandas()
         assert sorted(out["doc_id"].tolist()) == [1, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWatermarkLateData:
+    def test_out_of_order_arrivals_marked_late(self, tmp_path):
+        """The testdata event log arrives in event-time order, so the
+        driver oracle never exercises the LATE branch; pin it with a
+        crafted out-of-order log: a straggler whose hour window closed
+        under the watermark (running max event time - delay) must land
+        in n_late, checked against the same SQL window oracle."""
+        import duckdb
+        import pandas as pd
+
+        from spider_ray.pipelines.relational import hourly_counts_watermark
+
+        base = np.datetime64("2026-01-01T00:00:00", "us")
+        h = np.timedelta64(3600, "s")
+        # arrivals (event_id order): two in hour 0, one in hour 2 that
+        # advances the watermark past hour 0's close, then a straggler
+        # whose event time is back in hour 0 -> LATE; and one slightly
+        # old event still within the 15-min grace -> on time
+        ts = [base, base + np.timedelta64(10, "m"),
+              base + 2 * h + np.timedelta64(30, "m"),   # watermark mover
+              base + np.timedelta64(20, "m"),           # straggler: late
+              base + 2 * h + np.timedelta64(20, "m")]   # within grace
+        pq.write_table(pa.table({
+            "event_id": pa.array(range(1, 6), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([1] * 5, pa.int64()),
+            "event_type": pa.array(["e"] * 5, pa.string()),
+            "value": pa.array([1.0] * 5, pa.float64()),
+            "props": pa.array(["{}"] * 5, pa.string()),
+        }), str(tmp_path / "events.parquet"))
+
+        got = (hourly_counts_watermark(str(tmp_path), buckets=3)
+               .to_pandas())
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/events.parquet')")
+        import __ray_entry__ as entry
+        exp = con.execute(entry.oracle_sql()["hourly_counts_watermark"]) \
+                 .fetchdf()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), exp.reset_index(drop=True),
+            check_dtype=False)
+        assert int(got["n_late"].sum()) == 1  # exactly the straggler

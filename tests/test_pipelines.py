@@ -819,6 +819,7 @@ class TestRound3LateOperators:
         ("ann_lsh_topk_quantized", ["query_id", "neighbor_id"]),
         ("hard_negatives_topk", ["query_id", "neighbor_id"]),
         ("select_token_budget", ["doc_id"]),
+        ("hourly_counts_watermark", ["window_start"]),
         ("simjoin_tfidf_cosine", ["doc_a", "doc_b"]),
         ("dedup_prefix_tokens", ["doc_id"]),
         ("url_filter_rules", ["url_key"]),
