@@ -526,6 +526,14 @@ def hourly_counts_watermark(sf_dir: str, delay_min: int = 15,
     ds = _rp(sf_dir, "events", ["event_id", "ts"])
     stats = ds.aggregate(Min("event_id", alias_name="lo"),
                          Max("event_id", alias_name="hi"))
+    if stats["lo"] is None:  # empty log -> typed empty result
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "window_start": pa.array([], pa.timestamp("us")),
+            "n_on_time": pa.array([], pa.int64()),
+            "n_late": pa.array([], pa.int64()),
+        }))
     lo, hi = int(stats["lo"]), int(stats["hi"])
     width = max(1, (hi - lo + buckets) // buckets)
 
