@@ -1269,21 +1269,21 @@ def _oracle_sql_build() -> dict[str, str]:
         # over arrival order (event_id), hour windows, integer-us math
         "hourly_counts_watermark": """
             WITH w AS (
-              SELECT epoch_us(ts) AS ts_us,
-                     max(epoch_us(ts)) OVER (ORDER BY event_id
+              SELECT date_trunc('hour', ts) AS win,
+                     max(ts) OVER (ORDER BY event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING
-                         AND 1 PRECEDING) AS prev_us
+                         AND 1 PRECEDING) AS prev_ts
               FROM events),
-            l AS (SELECT ts_us - ts_us % 3600000000 AS win_us,
-                         CASE WHEN prev_us IS NOT NULL AND
-                              ts_us - ts_us % 3600000000 + 3600000000
-                                <= prev_us - 900000000
+            l AS (SELECT win,
+                         CASE WHEN prev_ts IS NOT NULL AND
+                              win + INTERVAL 1 HOUR
+                                <= prev_ts - INTERVAL 15 MINUTE
                               THEN 1 ELSE 0 END AS late
                   FROM w)
-            SELECT make_timestamp(win_us) AS window_start,
+            SELECT win AS window_start,
                    CAST(count(*) - sum(late) AS BIGINT) AS n_on_time,
                    CAST(sum(late) AS BIGINT) AS n_late
-            FROM l GROUP BY win_us ORDER BY window_start
+            FROM l GROUP BY win ORDER BY window_start
         """,
         "flow_basic_leaves": """
             SELECT CAST(o_orderkey AS VARCHAR) || '_updatedx1_updatedx2' AS value

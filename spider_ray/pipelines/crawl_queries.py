@@ -228,12 +228,10 @@ def crawl_anchor_stats(sf_dir: str):
     # buckets keeps every url's rows together and runs ONE vectorized
     # pandas reduce per bucket instead.
     def add_bucket(t: pa.Table) -> pa.Table:
-        h = np.asarray(pc.hash64(t["url"]), dtype=np.uint64) \
-            if hasattr(pc, "hash64") else None
-        if h is None:
-            import pandas as pd  # stable per-url hash, vectorized
-            h = pd.util.hash_array(
-                np.asarray(t["url"], dtype=object)).astype(np.uint64)
+        import pandas as pd  # stable per-url hash, vectorized
+
+        h = pd.util.hash_array(
+            np.asarray(t["url"], dtype=object)).astype(np.uint64)
         return t.append_column(
             "pb", pa.array((h % np.uint64(64)).astype(np.int64)))
 

@@ -233,7 +233,13 @@ def hash_join_priority_revenue(sf_dir: str, force: str | None = None):
                 [("revenue", "sum"), ([], "count_all")])
             return g.rename_columns(["o_orderpriority", "revenue", "n_items"])
 
-        out = (li.map_batches(prio_partials, batch_format="pyarrow")
+        # batch_size=None -> whole-block batches: pc.index_in rebuilds
+        # its hash table over the broadcast orders column on EVERY
+        # call, so the per-call constant scales with the gate-sized
+        # value_set — block-sized batches pay it ~num_blocks times
+        # instead of ~num_rows/1024 times (review finding, r5)
+        out = (li.map_batches(prio_partials, batch_format="pyarrow",
+                              batch_size=None, zero_copy_batch=True)
                .groupby("o_orderpriority")
                .aggregate(Sum("revenue", alias_name="revenue"),
                           Sum("n_items", alias_name="n_items")))

@@ -87,7 +87,8 @@ class TestJoinCardinalityProperty:
                        .sort_values("k", ignore_index=True))
                 pd.testing.assert_frame_equal(
                     got[["k", "v", "w"]], exp[["k", "v", "w"]],
-                    check_dtype=False), (n_keys, nparts)
+                    check_dtype=False,
+                    obj=f"join grid n_keys={n_keys} nparts={nparts}")
 
 
 @pytest.mark.usefixtures("ray_session")
